@@ -1,0 +1,156 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S12).
+
+Design notes for scale:
+  - Parquet is the canonical storage: columnar, predicate-pushdown and
+    column-pruning friendly. CSV support exists for parity with the
+    reference (its pipeline is CSV-first, spark_jobs/01_ingest.py:25-29)
+    but defaults to an explicit schema — ``inferSchema`` triggers an extra
+    full scan per read, which at 100 TB is an extra 100 TB read.
+  - ``write_csv_single`` (coalesce(1), reference idiom at
+    spark_jobs/01_ingest.py:86-91) is only for small KPI exports; it
+    serializes the final stage onto one task by construction. The default
+    sink is partitioned parquet.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_taxi_pyspark_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver-testdata parquet table with its explicit schema.
+
+    The explicit schema skips footer-based inference on the driver and keeps
+    the scan plan stable across scale factors.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright; we read it as raw nanos
+    (``nanosAsLong``) and truncate to microseconds — the same ns→µs
+    truncation DuckDB applies — so both engines see identical timestamps.
+    """
+    # Pin UTC even when running under a caller-provided session (e.g. the
+    # driver's): hour()/to_date()/dayofweek() over timestamps are
+    # session-TZ-dependent and the oracle is UTC-naive (SURVEY.md §4).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        phys = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        return (
+            spark.read.schema(phys)
+            .parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+    schema = TESTDATA_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] | None = None
+) -> None:
+    """Register testdata tables as temp views for the SQL front door (V1)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    infer: bool = False,
+    header: bool = True,
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """CSV scan (S1/S2/S3). Explicit schema by default; ``infer=True`` keeps
+    capability parity with the reference's inferSchema reads
+    (spark_jobs/01_ingest.py:25-29). Directory paths scan all part files (S3).
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("timestampFormat", timestamp_format)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Canonical sink (S9 generalized): partitioned parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv_single(df: DataFrame, path: str, limit: int | None = None) -> None:
+    """Single-file CSV export (S8; reference spark_jobs/01_ingest.py:86-91).
+
+    Only for small result tables: ``coalesce(1)`` funnels the final stage
+    through one task, which is exactly right for a 10-row KPI table and
+    exactly wrong for anything big.
+    """
+    if limit is not None:
+        df = df.limit(limit)
+    (
+        df.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+_COMPLEX_TYPES = (T.ArrayType, T.MapType, T.StructType)
+
+
+def to_pandas_sanitized(df: DataFrame, max_rows: int | None = None) -> pd.DataFrame:
+    """Arrow-path ``toPandas`` with the reference UI's sanitizer semantics
+    (streamlit_app/app5.py:129-152): drop complex-typed columns, cast
+    Decimal→double, bound the row count before collecting.
+    """
+    keep = [
+        f.name for f in df.schema.fields if not isinstance(f.dataType, _COMPLEX_TYPES)
+    ]
+    out = df.select(
+        [
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, T.DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+            if f.name in keep
+        ]
+    )
+    if max_rows is not None:
+        out = out.limit(max_rows)
+    return out.toPandas()
