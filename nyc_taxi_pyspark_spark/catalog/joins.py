@@ -1,1 +1,220 @@
-"""Placeholder — populated in this round."""
+"""Join queries (SURVEY.md §2.3: J1 + the generalized join surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.functions.exact import davg, dsum, oracle_davg, oracle_dsum
+from nyc_taxi_pyspark_spark.operators.joins import (
+    asof_join,
+    enrich_with_lookup,
+    range_join_buckets,
+)
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+
+@query(
+    "join_lookup_enrich",
+    oracle="""
+    SELECT r.r_name AS region_name, COUNT(*) AS n_nations
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    ORDER BY n_nations DESC, region_name
+    """,
+)
+def join_lookup_enrich(spark, sf_dir):
+    """J1 — broadcast left enrich + grouped agg (the reference's only join,
+    spark_jobs/02e_join_lookup.py:57-66, re-targeted at nation⋈region)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    enriched = enrich_with_lookup(
+        nation, region, on=nation.n_regionkey == region.r_regionkey, how="left"
+    )
+    return (
+        enriched.groupBy(F.col("r_name").alias("region_name"))
+        .agg(F.count("*").alias("n_nations"))
+        .orderBy(F.desc("n_nations"), "region_name")
+    )
+
+
+@query(
+    "join_inner_agg",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_orders,
+           {oracle_dsum('o.o_totalprice', 2)} AS sum_total,
+           {oracle_davg('o.o_totalprice', 2)} AS avg_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_inner_agg(spark, sf_dir):
+    """Inner equi-join fact⋈dim + KPI agg. Customer is broadcast-sized at
+    every SF (1.5 % of orders), so the hint avoids shuffling orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 2).alias("sum_total"),
+            davg("o_totalprice", 2).alias("avg_total"),
+        )
+    )
+
+
+@query(
+    "join_left_missing",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IS NULL
+    """,
+)
+def join_left_missing(spark, sf_dir):
+    """Left join + null probe: customers with no orders (the classic
+    enrich-miss diagnostic of J1's left-preserving semantics)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_semi(spark, sf_dir):
+    """left_semi — EXISTS without right-payload shuffle (§2.3 extension)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """left_anti — NOT EXISTS (§2.3 extension)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_three_way",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_lines,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_three_way(spark, sf_dir):
+    """Three-way fact⋈fact⋈dim: lineitem⋈orders is the only true shuffle
+    join (sort-merge on orderkey, AQE may flip to broadcast per-SF); customer
+    is broadcast. Revenue via exact decimal sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_lines"), dsum(revenue, 4).alias("revenue"))
+    )
+
+
+@query(
+    "join_range_buckets",
+    oracle=f"""
+    SELECT b.bucket_label,
+           COUNT(e.event_id) AS n,
+           {oracle_dsum('e.value', 2)} AS sum_value
+    FROM events e
+    LEFT JOIN (VALUES
+        ('low', 0.0, 5.0), ('mid', 5.0, 20.0),
+        ('high', 20.0, 100.0), ('extreme', 100.0, 1e9)
+    ) AS b(bucket_label, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+def join_range_buckets(spark, sf_dir):
+    """Range (non-equi) join against an in-memory interval dim (S4 + §2.3
+    extension): broadcast nested-loop — each fact partition streams against
+    the 4-row dim, zero shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 100.0), ("extreme", 100.0, 1e9)],
+        T.StructType(
+            [
+                T.StructField("bucket_label", T.StringType(), False),
+                T.StructField("lo", T.DoubleType(), False),
+                T.StructField("hi", T.DoubleType(), False),
+            ]
+        ),
+    )
+    joined = range_join_buckets(ev, buckets, "value")
+    return joined.groupBy("bucket_label").agg(
+        F.count("event_id").alias("n"), dsum("value", 2).alias("sum_value")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT c.event_id, c.ts, c.user_id,
+           e.ts AS asof_ts,
+           CAST(date_diff('second', e.ts, c.ts) AS BIGINT) AS secs_since_error
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (§2.3 extension; Spark has no native one): for each click,
+    the most recent error by the same user. Union + window formulation —
+    one shuffle on user_id, linear per-group scan; oracle is DuckDB's native
+    ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = asof_join(
+        clicks, errors, by="user_id", left_ts="ts", right_ts="ts", value_cols=["ts"]
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("asof_ts"),
+        (F.col("ts").cast("long") - F.col("asof_ts").cast("long")).alias(
+            "secs_since_error"
+        ),
+    )

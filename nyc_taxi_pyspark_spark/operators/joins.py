@@ -1,0 +1,101 @@
+"""Join operators (SURVEY.md §2.3).
+
+The reference contains exactly one join — a broadcast left equi-join to a
+6-row dimension (spark_jobs/02e_join_lookup.py:57-59). The engine generalizes
+to the full idiomatic Spark join surface and adds the two join shapes a
+100 TB pipeline needs that Spark lacks natively: as-of join and range join.
+
+Scale strategy per shape:
+  - dim enrich        → broadcast hash join (no shuffle of the fact side)
+  - fact ⋈ fact       → sort-merge on the keys; AQE converts to broadcast /
+                        splits skewed partitions at runtime
+  - semi/anti         → left_semi / left_anti (no payload shuffle of right)
+  - range join        → broadcast nested-loop against a small bucket dim, or
+                        bucketize-the-range-key + equi-join when both sides
+                        are large
+  - as-of join        → union + partitioned window scan: ONE shuffle on
+                        (by-keys), no per-row lookups, no skew cliff — the
+                        standard distributed as-of formulation
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich_with_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """J1 — broadcast dimension enrich, preserving unmatched fact rows
+    (reference spark_jobs/02e_join_lookup.py:57-59)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``by`` group.
+
+    Implemented as union + window (last_value ignoring nulls over rows
+    unbounded-preceding..current): a single shuffle on ``by``, linear scan
+    per group — the scalable distributed formulation. Right rows sort before
+    left rows at equal timestamps so ties match (<= semantics, same as
+    DuckDB's ASOF JOIN).
+    """
+    lcols = left.columns
+    tagged_left = left.withColumn("__is_left", F.lit(1))
+    for c in value_cols:
+        tagged_left = tagged_left.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    tagged_right = right.select(
+        F.col(by),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    for c in lcols:
+        if c not in (by, left_ts):
+            tagged_right = tagged_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lcols,
+        F.col("__is_left"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).drop("__is_left")
+
+
+def range_join_buckets(
+    fact: DataFrame,
+    buckets: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Range join of a fact value column against [lo, hi) bucket intervals.
+
+    With a small bucket dim this is a broadcast nested-loop join — each fact
+    partition streams against the in-memory dim, no shuffle. (For two large
+    sides, bucketize the range key to an equi-join first.)
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(F.broadcast(buckets), on=cond, how="left")
