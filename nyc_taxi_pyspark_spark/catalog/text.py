@@ -1,1 +1,278 @@
-"""Placeholder — populated in this round."""
+"""Text / dedup queries over ``documents`` (north-star extension).
+
+Oracle twins are generated programmatically from the same constants as the
+Spark operators (N_HASHES, bands, stopwords, profiles) so the two sides
+cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.functions.exact import oracle_davg
+from nyc_taxi_pyspark_spark.operators.text import (
+    LANG_PROFILES,
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    STOPWORDS,
+    distinct_tokens,
+    exact_dedup,
+    near_dup_pairs,
+    predict_lang,
+    quality_features,
+    simhash16,
+    tokens,
+    with_minhash_signature,
+)
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+# DuckDB fragments mirroring the operator definitions.
+_DUCK_WORDS = "string_split_regex(text, '\\s+')"
+_DUCK_DWORDS = f"list_distinct({_DUCK_WORDS})"
+_DUCK_SHINGLES = (
+    f"CASE WHEN len({_DUCK_WORDS}) >= 3 THEN "
+    f"list_distinct(list_transform(generate_series(1, len({_DUCK_WORDS}) - 2), "
+    f"i -> array_to_string(({_DUCK_WORDS})[i:i+2], ' '))) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST(len({_DUCK_WORDS}) AS INTEGER) AS n_tokens,
+           CAST(len({_DUCK_DWORDS}) AS INTEGER) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting — row-level array exprs, no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens()).alias("n_tokens"),
+        F.size(distinct_tokens()).alias("n_distinct_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "text_lang_summary",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           {oracle_davg(f'len({_DUCK_WORDS})', 0)} AS avg_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_summary(spark, sf_dir):
+    """Per-language corpus stats (grouping + integer-exact averaging)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens())
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(n_tok.cast("decimal(18,0)")).cast("double") / F.count(n_tok)
+        ).alias("avg_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
+    "text_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_exact_dedup(spark, sf_dir):
+    """Exact dedup via md5 fingerprint — deterministic min-id survivor."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    hcols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    SELECT doc_id, {hcols}
+    FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+    """
+
+
+@query("text_minhash_signature", oracle=_minhash_oracle())
+def text_minhash_signature(spark, sf_dir):
+    """MinHash signatures (8 md5-permutation minima over word-trigram
+    shingles) — a narrow projection, embarrassingly parallel."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_minhash_signature(d).drop("text")
+
+
+def _near_dup_oracle() -> str:
+    hcols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(N_HASHES)
+    )
+    band_rows = ", ".join(
+        "({b}, md5({concat}))".format(
+            b=b,
+            concat=" || '|' || ".join(
+                f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH sets AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id, {hcols} FROM sets
+    ),
+    bands AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, LATERAL (
+            SELECT * FROM (VALUES {band_rows}) AS v(band_idx, band_hash)
+        ) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+             AS jaccard
+    FROM cands
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    """
+
+
+@query("text_near_dup_pairs", oracle=_near_dup_oracle())
+def text_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate detection: signature scan → band-bucket
+    join (bounded candidates) → exact Jaccard verification ≥ 0.5."""
+    return near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(dw,
+             w -> CASE WHEN (strpos('0123456789abcdef', md5(w)[{b + 1}:{b + 1}]) - 1) % 2 = 1
+                       THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END"""
+        for b in range(16)
+    )
+    return f"""
+    SELECT doc_id, CAST({bit_terms} AS INTEGER) AS simhash
+    FROM (SELECT doc_id, {_DUCK_DWORDS} AS dw FROM documents)
+    """
+
+
+@query("text_simhash", oracle=_simhash_oracle())
+def text_simhash(spark, sf_dir):
+    """16-bit SimHash per document (integer arithmetic end-to-end)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(distinct_tokens()).alias("simhash"))
+
+
+def _quality_oracle() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(n_distinct AS INTEGER) AS n_distinct_tokens,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(sum_len AS DOUBLE) / n_tokens AS mean_token_len,
+           CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+           0.5 * (CAST(n_distinct AS DOUBLE) / n_tokens)
+             + 0.1 * (CAST(sum_len AS DOUBLE) / n_tokens)
+             - 0.4 * (CAST(stop_hits AS DOUBLE) / n_tokens) AS quality_score
+    FROM (
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               len(list_distinct(w)) AS n_distinct,
+               list_sum(list_transform(w, x -> length(x))) AS sum_len,
+               list_sum(list_transform(w, x -> CASE WHEN x IN ({stop_list})
+                                               THEN 1 ELSE 0 END)) AS stop_hits
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    )
+    """
+
+
+@query("text_quality_scores", oracle=_quality_oracle())
+def text_quality_scores(spark, sf_dir):
+    """Length/diversity/stopword quality features + composite score."""
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    langs = list(LANG_PROFILES)
+    score = {
+        lang: (
+            f"len(list_intersect(dw, [{', '.join(repr(m) for m in LANG_PROFILES[lang])}]))"
+        )
+        for lang in langs
+    }
+    expr = f"'{langs[-1]}'"
+    for lang in reversed(langs[:-1]):
+        later = [score[lo] for lo in langs[langs.index(lang) + 1 :]]
+        best_later = later[0]
+        for c in later[1:]:
+            best_later = f"greatest({best_later}, {c})"
+        expr = f"CASE WHEN {score[lang]} >= {best_later} THEN '{lang}' ELSE {expr} END"
+    return f"""
+    SELECT doc_id, lang, {expr} AS predicted_lang,
+           CAST(lang = ({expr}) AS INTEGER) AS is_correct
+    FROM (SELECT doc_id, lang, {_DUCK_DWORDS} AS dw FROM documents)
+    """
+
+
+@query("text_lang_id", oracle=_lang_id_oracle())
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language ID (deterministic argmax, fixed tie order).
+    The synthetic corpus shares one vocabulary across langs, so accuracy is
+    meaningless here; unit tests exercise real multilingual fixtures."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = predict_lang(distinct_tokens())
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        (F.col("lang") == pred).cast("int").alias("is_correct"),
+    )
+
+
+@query(
+    "text_token_topk",
+    oracle=f"""
+    SELECT w AS token, COUNT(*) AS n
+    FROM (SELECT unnest({_DUCK_WORDS}) AS w FROM documents)
+    GROUP BY 1
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_token_topk(spark, sf_dir):
+    """Corpus-wide token frequency top-k (explode → count → TakeOrdered)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )

@@ -1,0 +1,162 @@
+"""Embedding similarity search (north-star extension): brute-force cosine
+top-k as the exact baseline, plus a hyperplane-LSH bucketed variant as the
+approximate scale path.
+
+Scale design:
+  - Dot products / norms are row-level array expressions (zip_with +
+    aggregate) — JVM-side, no Python, no shuffle. Accumulation is in
+    decimal(28,14) so the value is association-order-independent and
+    bit-identical on every engine (see functions.exact docstring).
+  - Brute-force query-vs-corpus top-k is a scan + TakeOrderedAndProject:
+    O(n·d) work, no shuffle, perfectly parallel — the right baseline even at
+    100 TB when k is small.
+  - The LSH variant prunes the scan to one hash bucket. Hyperplane signs are
+    derived from md5 parity (deterministic, engine-portable, no RNG state),
+    so the same buckets come out of Spark, DuckDB, or plain Python.
+  - All-pairs similarity joins should LSH-bucket first (join on bucket),
+    never crossJoin; ``bucket_join_candidates`` provides that shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+
+# Order-independent float accumulation via micro-quantization: each term is
+# floor(x·1e14) — a bit-identical integer on every engine (floor of the same
+# IEEE double) — summed in int64 (exact, associative), then scaled back.
+# Decimal casts are NOT used here: casting an arbitrary irrational double to
+# decimal rounds HALF_UP on the shortest repr in Java but binary-nearest in
+# DuckDB, which diverges ~1e-3 per term at scale 14 (observed). floor has no
+# rounding mode to disagree on. Quantization bias ≤ dim·1e-14 ≈ 6e-13.
+_SCALE = 1e14
+
+
+def hyperplane_signs(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign[j][i] = parity of the first hex
+    digit of md5('<j>|<i>'). Reproducible in any engine or language — the
+    Python, Spark, and DuckDB variants all agree by construction."""
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0], 16) % 2 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def _dsum_terms(terms: Column) -> Column:
+    """Order-independent sum of an array of doubles via integer folding
+    (micro-quantized at 1e-14; see _SCALE note above)."""
+    return F.aggregate(
+        terms,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.floor(x * F.lit(_SCALE)).cast("bigint"),
+        lambda acc: acc.cast("double") / F.lit(_SCALE),
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _dsum_terms(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        _dsum_terms(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def signed_projection(vec: Column, signs: list[int]) -> Column:
+    """Dot product against a ±1 hyperplane as decimal-exact signed sum."""
+    terms = F.zip_with(
+        vec,
+        F.array(*[F.lit(s) for s in signs]),
+        lambda x, s: x.cast("double") * s.cast("double"),
+    )
+    return _dsum_terms(terms)
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
+    """Bit-string bucket id: one bit per hyperplane, 1 iff projection > 0."""
+    planes = planes or hyperplane_signs()
+    bits = [
+        F.when(signed_projection(vec, p) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine vs one query vector.
+
+    The query vector is attached as a literal-free crossJoin of a 1-row
+    DataFrame (broadcast — each partition scans once); ordering carries the
+    id as tie-breaker for determinism.
+    """
+    sim = cosine(F.col(vec_col), query_vec).alias("cosine_sim")
+    return (
+        corpus.select(F.col(id_col), sim)
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    query_vec: Column,
+    query_bucket: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: restrict the exact scan to the query's LSH bucket.
+
+    At scale the bucket column is precomputed and partitioned/bucketed on
+    disk, so the filter becomes partition pruning — the scan touches
+    1/2^n_planes of the corpus."""
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col)))
+    sim = cosine(F.col(vec_col), query_vec).alias("cosine_sim")
+    return (
+        bucketed.filter(F.col("bucket") == query_bucket)
+        .select(F.col(id_col), sim)
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )
+
+
+def bucket_join_candidates(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All-pairs candidate generation by LSH bucket equi-join (a < b) — the
+    scalable alternative to crossJoin for near-dup embedding search."""
+    b = corpus.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col)).alias("bucket")
+    )
+    left = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        F.col("bucket"),
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        F.col("bucket"),
+    )
+    return left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))

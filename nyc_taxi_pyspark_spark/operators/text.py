@@ -1,0 +1,276 @@
+"""Text analysis & deduplication operators (BASELINE.json north-star
+extension: the LLM-training-data pipeline surface over ``documents``).
+
+Design for 100 TB:
+  - Tokenization, shingling, MinHash signatures, SimHash, fingerprints and
+    quality scores are all computed as *row-level array expressions*
+    (split / transform / aggregate / array_min) — no explode, no shuffle,
+    no Python. A signature scan parallelizes embarrassingly.
+  - The only shuffles in near-dup detection are (1) the explode+self-join on
+    LSH (band_idx, band_hash) — whose output is bounded by true-collision
+    candidates, not O(n²) — and (2) the candidate-pair verification join.
+  - Hash functions are md5 (hex string), identical across engines, so every
+    stage is oracle-checkable in DuckDB — no Spark-private hash in the data
+    path.
+
+MinHash config: 8 hashes × (4 bands × 2 rows) ⇒ LSH threshold
+(1/bands)^(1/rows) ≈ 0.5, matching the planted near-dup population in the
+driver's documents table (pairwise Jaccard either <0.2 or ≥0.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4
+ROWS_PER_BAND = 2
+SHINGLE_K = 3
+
+# The 5 highest-frequency tokens in the documents vocabulary — used as the
+# stopword set for quality scoring.
+STOPWORDS = ("join", "hash", "row", "batch", "scan")
+
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokenization (regex split, consistent with DuckDB's
+    string_split_regex)."""
+    return F.split(F.col(text_col), r"\s+")
+
+
+def distinct_tokens(text_col: str = "text") -> Column:
+    return F.array_distinct(tokens(text_col))
+
+
+def word_shingles(words: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct word k-gram shingles as an array expression (no explode)."""
+    return F.when(
+        F.size(words) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_sig(shingles: Column, seed: int) -> Column:
+    """One MinHash value: min over md5('<seed>|' || shingle) hex strings.
+
+    md5 is engine-portable; min over hex strings is a valid uniform
+    permutation surrogate. Null for empty shingle sets.
+    """
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def with_minhash_signature(
+    df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Append h0..h{n-1} MinHash columns — a single narrow projection."""
+    sh = word_shingles(tokens(text_col))
+    out = df.withColumn("__sh", sh)
+    for i in range(n_hashes):
+        out = out.withColumn(f"h{i}", minhash_sig(F.col("__sh"), i))
+    return out.drop("__sh")
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_idx, band_hash) — one row per band via posexplode of the
+    banded signature."""
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig_df.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band_idx", "band_hash")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct id pairs (a < b) sharing at least one LSH band bucket.
+
+    The self-join shuffles on (band_idx, band_hash); bucket sizes are small
+    for honest hash functions, so output ≈ true candidates, not O(n²).
+    """
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pipeline: signature scan → band join →
+    exact Jaccard verification on candidates only.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold. The exact
+    verification joins each candidate pair back to the two shingle arrays
+    and intersects them row-wise (array_intersect on already-distinct
+    arrays), so its cost is O(candidates), not O(n²).
+    """
+    sets_df = docs.select(
+        F.col(id_col), word_shingles(tokens(text_col)).alias("shingles")
+    )
+    sig = with_minhash_signature(docs.select(id_col, text_col), text_col)
+    pairs = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
+    sa = sets_df.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sets_df.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union_size = F.size("sh_a") + F.size("sh_b") - shared
+    jaccard = shared.cast("double") / union_size.cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """Exact-dup document fingerprint: md5 of the raw text."""
+    return F.md5(F.col(text_col))
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via fingerprint group: keeps min(id) per distinct text —
+    deterministic survivor, single hash-aggregate shuffle."""
+    return (
+        docs.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def simhash16(words: Column) -> Column:
+    """16-bit SimHash over a distinct-word array.
+
+    Bit b is set iff sum over words of ±1 (sign = parity of hex digit b of
+    md5(word)) is positive. Integer arithmetic end-to-end ⇒ engine-portable.
+    """
+    def bit_contrib(b: int) -> Column:
+        # NB: the transform lambda must have arity 1 — a second parameter
+        # (even defaulted) makes PySpark pass the array index into it.
+        def sign(w: Column) -> Column:
+            digit = F.substring(F.md5(w), b + 1, 1)
+            parity = (F.instr(F.lit("0123456789abcdef"), digit) - 1) % 2
+            return F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.aggregate(
+            F.transform(words, sign), F.lit(0), lambda acc, x: acc + x
+        )
+
+    bit_terms = [
+        F.when(bit_contrib(b) > 0, F.lit(2**b)).otherwise(F.lit(0))
+        for b in range(16)
+    ]
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token counts, distinct ratio, mean token
+    length, stopword ratio, and a composite score. All integer-count based
+    divisions ⇒ deterministic doubles."""
+    w = tokens(text_col)
+    dw = F.array_distinct(w)
+    n_tok = F.size(w)
+    n_distinct = F.size(dw)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    stop_hits = F.aggregate(
+        F.transform(
+            w,
+            lambda x: F.when(
+                x.isin(*STOPWORDS), F.lit(1)
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    distinct_ratio = n_distinct.cast("double") / n_tok.cast("double")
+    mean_len = sum_len.cast("double") / n_tok.cast("double")
+    stop_ratio = stop_hits.cast("double") / n_tok.cast("double")
+    score = 0.5 * distinct_ratio + 0.1 * mean_len - 0.4 * stop_ratio
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        mean_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+# Language marker profiles for the stopword-overlap language-ID heuristic.
+# Real-text profiles; on the synthetic shared-vocabulary documents table the
+# classifier degenerates (deterministically) — unit tests exercise it on
+# real multilingual fixtures.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def lang_scores(words: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(
+            F.array_intersect(words, F.array(*[F.lit(m) for m in markers]))
+        )
+        for lang, markers in LANG_PROFILES.items()
+    }
+
+
+def predict_lang(words: Column) -> Column:
+    """Argmax over profile scores with fixed tie order (profile declaration
+    order) — strictly-greater-else-next, deterministic on every engine."""
+    scores = lang_scores(words)
+    langs = list(LANG_PROFILES)
+    expr = F.lit(langs[-1])
+    for lang in reversed(langs[:-1]):
+        later = [scores[lo] for lo in langs[langs.index(lang) + 1 :]]
+        best_later = later[0]
+        for c in later[1:]:
+            best_later = F.greatest(best_later, c)
+        expr = F.when(scores[lang] >= best_later, F.lit(lang)).otherwise(expr)
+    return expr
