@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], one warm-up + 3 timed runs per query (median),
+materializing each plan fully through the noop sink (no collect cost, no
+pruned work). Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "pricing_summary",
+    "group_by_day",
+    "having_topk",
+    "dedup_keep_first",
+    "join_three_way",
+    "join_asof",
+    "window_topn_per_group",
+    "rollup_sums",
+    # streaming twins
+    "stream_session_window",
+    # python paths
+    "udf_group_center",
+    "multimodal_features",
+    # text / similarity north star
+    "text_minhash_signature",
+    "text_near_dup_pairs",
+    "embed_cosine_topk",
+    "embed_ann_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+    from nyc_taxi_pyspark_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        materialize(fn(spark, sf_dir))  # warm-up (JIT, file listing, broadcast)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        print(f"  {name}: {timings[name]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

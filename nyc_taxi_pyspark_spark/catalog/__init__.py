@@ -18,6 +18,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     text,
     similarity,
     streaming,
+    udfs_mm,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -20,7 +20,12 @@ from nyc_taxi_pyspark_spark.operators.similarity import (
     l2_norm,
     lsh_bucket,
 )
-from nyc_taxi_pyspark_spark.sources.io import load_table
+from nyc_taxi_pyspark_spark.sources.io import load_table, parallelize_scan
+
+
+def _emb(spark, sf_dir):
+    return parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+
 
 _SIGNS = hyperplane_signs()
 
@@ -44,7 +49,7 @@ def _duck_acc(expr: str) -> str:
 )
 def embed_norms(spark, sf_dir):
     """Vector norms — row-level array fold in decimal (order-independent)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -78,7 +83,7 @@ _COSINE_CTE = f"""
 def embed_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-k vs the vec_id=0 query vector: scan +
     TakeOrderedAndProject, no shuffle — the exact baseline."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     qvec = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec")
     )
@@ -120,7 +125,7 @@ def _duck_bucket_cte() -> str:
 def embed_lsh_buckets(spark, sf_dir):
     """Hyperplane-LSH bucket histogram — the partitioning layout the ANN
     path prunes against. At scale `bucket` is a write-time partition column."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     b = e.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket"))
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
@@ -151,7 +156,7 @@ def embed_lsh_buckets(spark, sf_dir):
 def embed_ann_topk(spark, sf_dir):
     """ANN top-k: exact cosine restricted to the query's LSH bucket —
     scan prunes to ~1/2^8 of the corpus when bucket is a partition column."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     qrow = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec"),
         lsh_bucket(F.col("embedding")).alias("query_bucket"),
@@ -187,7 +192,7 @@ def embed_label_stats(spark, sf_dir):
     arbitrary double to decimal hits rounding-mode divergence between
     engines (Java HALF_UP on the shortest repr vs binary-nearest), while
     floor of the same double is bit-identical everywhere."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     nrm = l2_norm(F.col("embedding"))
     return (
         e.select("label", nrm.alias("nrm"))

@@ -1,1 +1,77 @@
-"""Placeholder — populated in this round."""
+"""Event-time window queries (batch twins of the streaming module —
+identical transforms run under readStream in streaming/runner; the batch
+form is what the DuckDB oracle checks)."""
+
+from __future__ import annotations
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.functions.exact import oracle_dsum
+from nyc_taxi_pyspark_spark.sources.io import load_table
+from nyc_taxi_pyspark_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value', 2)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT window_start, COUNT(*) AS n_events, {oracle_dsum('value', 2)} AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour', value FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding 2-hour windows every 1 hour (each event in 2 windows; the
+    oracle expands the window membership with a shifted-bucket union)."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         > INTERVAL '30 minutes'
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           COUNT(*) AS n_events, {oracle_dsum('value', 2)} AS sum_value
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (30-minute gap) per user — Spark's native stateful
+    session operator; the oracle is the classic gaps-and-islands SQL."""
+    return session_counts(load_table(spark, sf_dir, "events"))

@@ -26,7 +26,12 @@ from nyc_taxi_pyspark_spark.operators.text import (
     tokens,
     with_minhash_signature,
 )
-from nyc_taxi_pyspark_spark.sources.io import load_table
+from nyc_taxi_pyspark_spark.sources.io import load_table, parallelize_scan
+
+
+def _docs(spark, sf_dir):
+    return parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+
 
 # DuckDB fragments mirroring the operator definitions.
 _DUCK_WORDS = "string_split_regex(text, '\\s+')"
@@ -51,7 +56,7 @@ _DUCK_SHINGLES = (
 )
 def text_token_stats(spark, sf_dir):
     """Token counting — row-level array exprs, no shuffle, no Python."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         "lang",
@@ -74,7 +79,7 @@ def text_token_stats(spark, sf_dir):
 )
 def text_lang_summary(spark, sf_dir):
     """Per-language corpus stats (grouping + integer-exact averaging)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     n_tok = F.size(tokens())
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -95,7 +100,7 @@ def text_lang_summary(spark, sf_dir):
 )
 def text_exact_dedup(spark, sf_dir):
     """Exact dedup via md5 fingerprint — deterministic min-id survivor."""
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(_docs(spark, sf_dir))
 
 
 def _minhash_oracle() -> str:
@@ -113,7 +118,7 @@ def _minhash_oracle() -> str:
 def text_minhash_signature(spark, sf_dir):
     """MinHash signatures (8 md5-permutation minima over word-trigram
     shingles) — a narrow projection, embarrassingly parallel."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
     return with_minhash_signature(d).drop("text")
 
 
@@ -166,7 +171,7 @@ def _near_dup_oracle() -> str:
 def text_near_dup_pairs(spark, sf_dir):
     """MinHash-LSH near-duplicate detection: signature scan → band-bucket
     join (bounded candidates) → exact Jaccard verification ≥ 0.5."""
-    return near_dup_pairs(load_table(spark, sf_dir, "documents"))
+    return near_dup_pairs(_docs(spark, sf_dir))
 
 
 def _simhash_oracle() -> str:
@@ -185,7 +190,7 @@ def _simhash_oracle() -> str:
 @query("text_simhash", oracle=_simhash_oracle())
 def text_simhash(spark, sf_dir):
     """16-bit SimHash per document (integer arithmetic end-to-end)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", simhash16(distinct_tokens()).alias("simhash"))
 
 
@@ -216,7 +221,7 @@ def _quality_oracle() -> str:
 @query("text_quality_scores", oracle=_quality_oracle())
 def text_quality_scores(spark, sf_dir):
     """Length/diversity/stopword quality features + composite score."""
-    return quality_features(load_table(spark, sf_dir, "documents"))
+    return quality_features(_docs(spark, sf_dir))
 
 
 def _lang_id_oracle() -> str:
@@ -246,7 +251,7 @@ def text_lang_id(spark, sf_dir):
     """Stopword-profile language ID (deterministic argmax, fixed tie order).
     The synthetic corpus shares one vocabulary across langs, so accuracy is
     meaningless here; unit tests exercise real multilingual fixtures."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     pred = predict_lang(distinct_tokens())
     return d.select(
         "doc_id",
@@ -268,7 +273,7 @@ def text_lang_id(spark, sf_dir):
 )
 def text_token_topk(spark, sf_dir):
     """Corpus-wide token frequency top-k (explode → count → TakeOrdered)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.select(F.explode(tokens()).alias("token"))
         .groupBy("token")

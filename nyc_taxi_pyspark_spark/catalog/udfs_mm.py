@@ -1,0 +1,109 @@
+"""UDF-surface and multimodal queries (SURVEY.md §2.10; north-star
+multimodal extension). These prove the Python paths — row UDF, pandas UDF,
+applyInPandas, mapInPandas over binary columns — against the same DuckDB
+oracle gate as the native operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.functions.udfs import (
+    bucket_distance_udf,
+    center_values_per_group,
+    fare_per_mile_pandas,
+)
+from nyc_taxi_pyspark_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from nyc_taxi_pyspark_spark.sources.io import load_table, parallelize_scan
+
+
+@query(
+    "udf_distance_bucket",
+    oracle="""
+    SELECT CASE WHEN l_quantity >= 10 THEN '>=10mi'
+                WHEN l_quantity >= 5 THEN '5-10mi'
+                WHEN l_quantity >= 2 THEN '2-5mi'
+                WHEN l_quantity >= 1 THEN '1-2mi'
+                ELSE '<1mi' END AS bucket,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def udf_distance_bucket(spark, sf_dir):
+    """U2 — the reference's row-at-a-time bucket UDF
+    (spark_jobs/05c_make_report.py:27-36), exercised verbatim through the
+    Python-worker path and checked against its native CASE twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("bucket", bucket_distance_udf(F.col("l_quantity")))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "udf_pandas_ratio",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity END
+             AS price_per_unit
+    FROM lineitem
+    """,
+)
+def udf_pandas_ratio(spark, sf_dir):
+    """Arrow-vectorized pandas UDF (guarded division) — the fast Python
+    path; row-level IEEE ops so values are engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fare_per_mile_pandas(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "price_per_unit"
+        ),
+    )
+
+
+@query(
+    "udf_group_center",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - (CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                         OVER (PARTITION BY user_id) AS DOUBLE)
+                    / 100.0 / COUNT(*) OVER (PARTITION BY user_id)) AS centered
+    FROM events
+    """,
+)
+def udf_group_center(spark, sf_dir):
+    """U4 — applyInPandas grouped-map (subtract group mean). The mean goes
+    through exact integer cents, so the pandas row order doesn't matter and
+    the result hash-matches the SQL window twin."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    return center_values_per_group(ev)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'blob' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           CAST(16 + ((strpos('0123456789abcdef', md5(text)[1:1]) - 1) * 16
+                      + strpos('0123456789abcdef', md5(text)[2:2]) - 1) % 240
+                AS INTEGER) AS fake_width,
+           CAST(16 + ((strpos('0123456789abcdef', md5(text)[3:3]) - 1) * 16
+                      + strpos('0123456789abcdef', md5(text)[4:4]) - 1) % 240
+                AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary-column feature extraction via mapInPandas (Arrow batches of
+    binary in, typed features out). Decode is the deterministic fake from
+    operators.multimodal.decode_stub — the oracle reproduces it from md5."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return extract_features(documents_as_media(docs))

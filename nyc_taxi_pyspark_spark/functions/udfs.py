@@ -1,0 +1,102 @@
+"""UDF surface (SURVEY.md §2.10, U1-U4).
+
+The engine's canonical implementations are native expressions
+(functions.scalar); these UDF forms exist for capability parity with the
+reference and as the template for genuinely-Python logic. Preference order
+at scale: native expr ≫ pandas_udf (Arrow-vectorized) ≫ row-at-a-time udf
+(kept only as the U1/U2 demo — it pays per-row serialization and blocks
+predicate pushdown through it).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _is_weekend(dow):
+    # U1 — row-at-a-time Python UDF exactly as the reference defines it
+    # (spark_jobs/03a_engineer_features.py:27-36): 1 if dow∈{1,7} under the
+    # Spark dayofweek convention.
+    if dow is None:
+        return None
+    return 1 if dow in (1, 7) else 0
+
+
+is_weekend_udf = F.udf(_is_weekend, T.IntegerType())
+
+
+def _bucket_distance(miles: float | None) -> str:
+    # U2's exact semantics incl. None→'<1mi' (spark_jobs/05c_make_report.py:27-36)
+    if miles is None:
+        return "<1mi"
+    if miles >= 10:
+        return ">=10mi"
+    if miles >= 5:
+        return "5-10mi"
+    if miles >= 2:
+        return "2-5mi"
+    if miles >= 1:
+        return "1-2mi"
+    return "<1mi"
+
+
+bucket_distance_udf = F.udf(_bucket_distance, T.StringType())
+
+
+@F.pandas_udf(T.DoubleType())
+def fare_per_mile_pandas(fare: pd.Series, distance: pd.Series) -> pd.Series:
+    """Arrow-vectorized scalar pandas UDF (the fast Python path): guarded
+    division matching functions.scalar.guarded_div."""
+    out = fare / distance
+    out[~(distance > 0)] = None
+    return out
+
+
+def center_values_per_group(
+    df: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """U4 — grouped-map applyInPandas: subtract the group mean from each row.
+
+    The mean is computed over exact integer cents (int64), so the result is
+    independent of the row order pandas happens to receive — the property
+    that makes this UDAF-style op oracle-checkable.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(group_col, T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("centered", T.DoubleType()),
+        ]
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf[value_col] * 100).round().astype("int64")
+        mean = float(cents.sum()) / 100.0 / len(pdf)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                group_col: pdf[group_col],
+                value_col: pdf[value_col],
+                "centered": pdf[value_col] - mean,
+            }
+        )
+
+    return (
+        df.select("event_id", group_col, value_col)
+        .groupBy(group_col)
+        .applyInPandas(center, out_schema)
+    )
+
+
+def add_running_index(df: DataFrame, order_col: str) -> Iterator:
+    """U3's general form — mapInPandas per-partition batch transform.
+    (See operators.multimodal for the production use of this shape.)"""
+    raise NotImplementedError("template; see operators/multimodal.py")

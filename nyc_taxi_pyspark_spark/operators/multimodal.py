@@ -1,0 +1,107 @@
+"""Multimodal (binary) columns: schema, plumbing, and feature extraction.
+
+Images/audio/video are modeled as opaque ``binary`` content plus typed
+metadata — the layout a 100 TB multimodal training pipeline uses (content
+in parquet binary columns or object-store refs, metadata queryable).
+
+The Spark-side plumbing is real and tested: binary columns flow through
+``mapInPandas`` in Arrow batches, features come back as typed columns.
+The actual media *decoding* is stubbed (no image/audio libraries in this
+container): ``decode_stub`` raises NotImplementedError unless the
+deterministic fake decoder is requested, which derives pseudo
+width/height/duration from the content hash so every downstream stage is
+exercisable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video | blob
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("declared_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as opaque media content — gives the
+    binary-column pipeline a deterministic corpus without media files."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("blob").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("declared_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_stub(content: bytes, kind: str, fake: bool = True) -> tuple[int, int]:
+    """STUB decoder. Real image/audio decode libraries are not available in
+    this environment; with ``fake=True`` it derives deterministic pseudo
+    dimensions from the content hash (so plumbing and oracles are real),
+    otherwise it raises — marking exactly where a real codec plugs in.
+    """
+    if not fake:
+        raise NotImplementedError(
+            f"no codec for kind={kind!r} in this environment; "
+            "plug a real decoder in here"
+        )
+    h = hashlib.md5(content).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
+def extract_features(media: DataFrame, batch_fake_decode: bool = True) -> DataFrame:
+    """Binary→features via mapInPandas: Arrow batches of binary content in,
+    typed feature rows out — the production shape for media feature
+    extraction (decode/resize/frame-sample all live in this iterator)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = pdf["content"]
+            dims = [
+                decode_stub(c, k, fake=batch_fake_decode)
+                for c, k in zip(contents, pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(c) for c in contents],
+                    "checksum": [hashlib.md5(c).hexdigest() for c in contents],
+                    "fake_width": [d[0] for d in dims],
+                    "fake_height": [d[1] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

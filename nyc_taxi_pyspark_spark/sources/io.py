@@ -24,6 +24,37 @@ from pyspark.sql import types as T
 from nyc_taxi_pyspark_spark.schemas import TESTDATA_SCHEMAS, TESTDATA_TABLES
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make the engine package importable on Python workers.
+
+    Pandas-UDF / applyInPandas / mapInPandas closures are pickled by
+    reference to this package; a caller-provided session (e.g. the grading
+    driver) may not have it on the workers' PYTHONPATH. Shipping a zip via
+    ``addPyFile`` once per session fixes that for every downstream task.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_engine_pyfile_added", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parent = os.path.dirname(pkg_root)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"nyc_taxi_pyspark_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_root):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, parent))
+    sc.addPyFile(zpath)
+    sc._engine_pyfile_added = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-testdata parquet table with its explicit schema.
 
@@ -39,6 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver's): hour()/to_date()/dayofweek() over timestamps are
     # session-TZ-dependent and the oracle is UTC-naive (SURVEY.md §4).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         phys = T.StructType(
@@ -62,6 +94,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a scan up to the session's parallelism when the source
+    yields fewer splits than cores.
+
+    Small single-file parquet inputs (one row group) arrive as ONE partition,
+    which serializes every downstream computation regardless of cluster
+    width. On a real multi-file 100 TB table the scan is already wide and
+    this is a no-op — the check is on actual scan partitioning, so the extra
+    shuffle is only paid when it buys parallelism that doesn't exist.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 
 def load_tables(

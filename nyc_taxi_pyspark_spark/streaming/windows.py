@@ -1,0 +1,72 @@
+"""Event-time windowed aggregations (SURVEY.md §2.9 extension — the
+reference is batch-only; this module adds the Structured Streaming surface
+over the ``events`` table).
+
+Each window shape is defined ONCE as a batch-compatible transform
+(``F.window`` / ``F.session_window`` work identically on batch and streaming
+DataFrames). Batch mode feeds the DuckDB oracle; ``streaming.runner`` drives
+the same transform through readStream → memory sink with a watermark for the
+real streaming path. That twin structure is what makes a stateful streaming
+op oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.functions.exact import dsum
+
+
+def _measures() -> list[Column]:
+    return [
+        F.count("*").alias("n_events"),
+        dsum("value", 2).alias("sum_value"),
+    ]
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", keys: tuple[str, ...] = ("event_type",)
+) -> DataFrame:
+    """Tumbling event-time window aggregation."""
+    return (
+        events.groupBy(F.window("ts", size).alias("w"), *keys)
+        .agg(*_measures())
+        .select(F.col("w.start").alias("window_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, size: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding window aggregation — each event lands in size/slide windows."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(*_measures())
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of silence.
+
+    In batch this compiles to a sort-within-user + merge; in streaming it is
+    Spark's native stateful session operator.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(*_measures())
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Late-data bound for the streaming path: state for windows older than
+    max(event time) − delay is finalized and dropped — bounded state at
+    100 TB/day ingest rates."""
+    return events.withWatermark("ts", delay)

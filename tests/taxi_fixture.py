@@ -1,0 +1,86 @@
+"""Deterministic NYC-taxi-shaped fixture generator (FIXTURES.md §1).
+
+Seed-42 numpy; includes nulls, out-of-band outliers for every cleaning rule,
+exact duplicates on the dedup keys, and ~40% zero tips (drives label_tip).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def make_trips_pdf(n: int = 2000, seed: int = 42) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2015-01-01 00:00:00")
+    pickup = base + pd.to_timedelta(rng.integers(0, 30 * 24 * 3600, n), unit="s")
+    dur_min = rng.gamma(2.0, 8.0, n)
+    # outliers: negative durations and >4h
+    dur_min[rng.random(n) < 0.02] = -5.0
+    dur_min[rng.random(n) < 0.02] = 400.0
+    dropoff = pickup + pd.to_timedelta((dur_min * 60).astype("int64"), unit="s")
+
+    dist = np.round(rng.gamma(1.5, 2.0, n), 2)
+    dist[rng.random(n) < 0.01] = 0.0
+    dist[rng.random(n) < 0.01] = 120.0
+
+    fare = np.round(3.0 + dist * 2.5 + rng.normal(0, 2, n).clip(-2, 5), 2)
+    fare[rng.random(n) < 0.01] = -10.0
+    fare[rng.random(n) < 0.005] = 600.0
+    payment = rng.choice(
+        [1, 2, 3, 4, 5, 6], n, p=[0.5, 0.35, 0.05, 0.04, 0.03, 0.03]
+    ).astype("int32")
+    # tip behavior depends on payment type (card tips are recorded, cash
+    # mostly isn't) — gives label_tip real signal, as in the actual data
+    p_tip = np.where(payment == 1, 0.9, 0.15)
+    tip = np.where(rng.random(n) < p_tip, np.round(fare * 0.2, 2), 0.0).clip(0)
+    tip[rng.random(n) < 0.005] = 250.0
+    total = np.round(fare + tip + 0.8, 2)
+
+    lat = rng.uniform(40.4, 41.2, n)
+    lon = rng.uniform(-74.5, -73.0, n)
+    lat[rng.random(n) < 0.01] = 39.0
+    lon[rng.random(n) < 0.01] = -60.0
+
+    pdf = pd.DataFrame(
+        {
+            "VendorID": rng.choice([1, 2], n).astype("int32"),
+            "tpep_pickup_datetime": pickup,
+            "tpep_dropoff_datetime": dropoff,
+            "passenger_count": rng.integers(0, 9, n).astype("int32"),
+            "trip_distance": dist,
+            "pickup_longitude": lon,
+            "pickup_latitude": lat,
+            "RateCodeID": rng.integers(1, 7, n).astype("int32"),
+            "store_and_fwd_flag": rng.choice(["Y", "N"], n),
+            "dropoff_longitude": lon + rng.normal(0, 0.05, n),
+            "dropoff_latitude": lat + rng.normal(0, 0.05, n),
+            "payment_type": payment,
+            "fare_amount": fare,
+            "extra": rng.choice([0.0, 0.5, 1.0], n),
+            "mta_tax": np.full(n, 0.5),
+            "tip_amount": tip,
+            "tolls_amount": np.where(rng.random(n) < 0.1, 5.54, 0.0),
+            "improvement_surcharge": np.full(n, 0.3),
+            "total_amount": total,
+        }
+    )
+    # occasional nulls — int columns go through object dtype with python
+    # ints/None so createDataFrame accepts them with or without Arrow
+    for col, frac in [
+        ("VendorID", 0.01),
+        ("passenger_count", 0.01),
+        ("payment_type", 0.02),
+        ("tpep_pickup_datetime", 0.005),
+    ]:
+        mask = rng.random(n) < frac
+        if pdf[col].dtype.kind == "i":
+            pdf[col] = pd.Series(
+                [None if m else int(v) for m, v in zip(mask, pdf[col])],
+                dtype=object,
+            )
+        else:
+            pdf.loc[mask, col] = None
+    # exact duplicates on the dedup natural key: copy 20 rows verbatim
+    dups = pdf.iloc[:20].copy()
+    return pd.concat([pdf, dups], ignore_index=True)

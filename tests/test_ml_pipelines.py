@@ -1,0 +1,103 @@
+"""ML pipeline smoke tests (SURVEY.md §5.4): fit on the taxi fixture,
+metrics in sane bounds, save→load→transform round-trip, seed determinism."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.ml import PipelineModel
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.ml.pipelines import (
+    FeatureConfig,
+    classification_lr,
+    classification_rf,
+    fit_and_evaluate_classification,
+    fit_and_evaluate_regression,
+    regression_lr,
+    regression_rf,
+    score_with_threshold,
+    train_test_split,
+)
+from nyc_taxi_pyspark_spark.operators.taxi import clean_trips, engineer_features
+
+CFG = FeatureConfig(
+    numeric_cols=[
+        "trip_distance",
+        "fare_amount",
+        "duration_min",
+        "pickup_hour",
+        "pickup_dow",
+        "is_weekend",
+        "night_flag",
+    ],
+    categorical_cols=["payment_type"],
+)
+
+
+@pytest.fixture(scope="module")
+def featured(trips):
+    df = engineer_features(clean_trips(trips)).na.fill({"payment_type": 5})
+    return df.cache()
+
+
+def test_feature_config_schema_tolerance(featured):
+    cfg = FeatureConfig(
+        numeric_cols=["trip_distance", "nonexistent_col"],
+        categorical_cols=["payment_type", "also_missing"],
+    ).available(featured)
+    assert cfg.numeric_cols == ["trip_distance"]
+    assert cfg.categorical_cols == ["payment_type"]
+
+
+def test_regression_lr_and_roundtrip(featured):
+    train, test = train_test_split(featured, "total_amount")
+    model, metrics = fit_and_evaluate_regression(
+        regression_lr(CFG, "total_amount"), train, test, "total_amount"
+    )
+    assert metrics["rmse"] > 0
+    assert metrics["r2"] > 0.5  # fare is ~linear in distance by construction
+    with tempfile.TemporaryDirectory() as d:
+        model.write().overwrite().save(d)
+        loaded = PipelineModel.load(d)
+        a = model.transform(test).agg(F.sum("prediction")).first()[0]
+        b = loaded.transform(test).agg(F.sum("prediction")).first()[0]
+        assert abs(a - b) < 1e-6
+
+
+def test_classification_lr_threshold_scoring(featured):
+    train, test = train_test_split(featured, "label_tip")
+    model, metrics = fit_and_evaluate_classification(
+        classification_lr(CFG, "label_tip"), train, test, "label_tip"
+    )
+    assert 0.5 <= metrics["auc"] <= 1.0
+    assert 0.5 <= metrics["accuracy"] <= 1.0
+    scored = score_with_threshold(model, test, threshold=0.5)
+    r = scored.agg(
+        F.min("proba1").alias("lo"),
+        F.max("proba1").alias("hi"),
+        F.sum((F.col("pred_at_threshold") != F.col("prediction").cast("int")).cast("int")).alias("mismatch"),
+    ).first()
+    assert 0.0 <= r.lo and r.hi <= 1.0
+    assert r.mismatch == 0  # at t=0.5 thresholded == argmax prediction
+
+
+def test_random_forests_fit(featured):
+    train, test = train_test_split(featured, "total_amount")
+    _, reg_metrics = fit_and_evaluate_regression(
+        regression_rf(CFG, "total_amount"), train, test, "total_amount"
+    )
+    assert reg_metrics["r2"] > 0.3
+    train_c, test_c = train_test_split(featured, "label_tip")
+    _, cls_metrics = fit_and_evaluate_classification(
+        classification_rf(CFG, "label_tip"), train_c, test_c, "label_tip"
+    )
+    assert cls_metrics["auc"] >= 0.5
+
+
+def test_split_deterministic(featured):
+    t1, _ = train_test_split(featured, "total_amount")
+    t2, _ = train_test_split(featured, "total_amount")
+    assert t1.count() == t2.count()
+    assert t1.exceptAll(t2).count() == 0

@@ -1,0 +1,100 @@
+"""Operator-level unit tests: transforms, joins, sets, multimodal, engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.operators.joins import asof_join, range_join_buckets
+from nyc_taxi_pyspark_spark.operators.multimodal import (
+    decode_stub,
+    documents_as_media,
+    extract_features,
+)
+from nyc_taxi_pyspark_spark.operators.sets import except_distinct, union_by_name
+from nyc_taxi_pyspark_spark.operators.transforms import (
+    cast_columns,
+    dedup_deterministic,
+    with_if_missing,
+)
+
+
+def test_cast_columns_projects_and_casts(spark):
+    df = spark.createDataFrame([("1", "2.5", "x")], "a string, b string, c string")
+    out = cast_columns(df, {"a": "int", "b": "double"})
+    assert out.columns == ["a", "b"]
+    row = out.first()
+    assert row.a == 1 and row.b == 2.5
+
+
+def test_with_if_missing(spark):
+    df = spark.createDataFrame([(1,)], "a int")
+    added = with_if_missing(df, "b", F.lit(9))
+    unchanged = with_if_missing(added, "b", F.lit(999))
+    assert unchanged.first().b == 9
+
+
+def test_dedup_deterministic_keeps_min(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 5, "y"), (2, 7, "z")], "k int, ord int, v string"
+    )
+    out = {(r.k, r.ord, r.v) for r in dedup_deterministic(df, ["k"], "ord").collect()}
+    assert out == {(1, 5, "y"), (2, 7, "z")}
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 25), (3, 200, 10)],
+        "event_id long, user long, t long",
+    ).select("event_id", F.col("user"), F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(100, 10), (100, 20), (100, 30)], "user long, t long"
+    ).select("user", F.timestamp_seconds("t").alias("ts"))
+    out = asof_join(left, right, by="user", left_ts="ts", right_ts="ts", value_cols=["ts"])
+    got = {r.event_id: r.asof_ts.timestamp() if r.asof_ts else None for r in out.collect()}
+    # event 1 at t=10: matches right t=10 (<= semantics); event 2 at t=25 → 20;
+    # event 3: user 200 has no rights → None
+    assert got == {1: 10.0, 2: 20.0, 3: None}
+
+
+def test_range_join_unmatched_is_null(spark):
+    fact = spark.createDataFrame([(1, 3.0), (2, 999.0)], "id int, value double")
+    dim = spark.createDataFrame([("low", 0.0, 10.0)], "bucket_label string, lo double, hi double")
+    out = {r.id: r.bucket_label for r in range_join_buckets(fact, dim, "value").collect()}
+    assert out == {1: "low", 2: None}
+
+
+def test_union_by_name_aligns_columns(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([("y", 2)], "name string, id int")
+    out = union_by_name(a, b).collect()
+    assert {(r.id, r.name) for r in out} == {(1, "x"), (2, "y")}
+
+
+def test_except_distinct_set_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    b = spark.createDataFrame([(1,)], "k int")
+    assert {r.k for r in except_distinct(a, b).collect()} == {2}
+
+
+def test_multimodal_pipeline_and_stub(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    feats = extract_features(documents_as_media(docs)).first()
+    assert feats.n_bytes == 11
+    assert len(feats.checksum) == 32
+    assert 16 <= feats.fake_width < 256
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"abc", "image", fake=False)
+
+
+def test_engine_sql_and_summary(spark):
+    from nyc_taxi_pyspark_spark import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    n = eng.sql("SELECT COUNT(*) AS n FROM lineitem").first().n
+    assert n == 6000
+    summ = eng.summary("nation")
+    assert summ["n_rows"][0] == 25

@@ -1,0 +1,78 @@
+"""Physical-plan quality gates: pushdown, pruning, join strategy, top-k.
+
+These assert the *plan*, not the result — the properties that decide whether
+a query survives a 100× scale-up."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog import QUERIES
+from nyc_taxi_pyspark_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    scan_pushed_filters,
+    scan_read_schema,
+    shuffle_count,
+    uses_take_ordered,
+)
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["filter_battery"](spark, SF)
+    pushed = scan_pushed_filters(df)
+    assert "l_quantity" in pushed and "l_discount" in pushed
+
+
+def test_column_pruning(spark):
+    # a 2-column projection must not read all 11 lineitem columns
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    schema_line = scan_read_schema(df)
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_extendedprice" not in schema_line
+
+
+def test_flagship_predicate_pushdown(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    assert "l_shipdate" in scan_pushed_filters(df)
+
+
+def test_dim_joins_broadcast(spark):
+    assert has_broadcast_join(QUERIES["join_lookup_enrich"](spark, SF))
+    assert has_broadcast_join(QUERIES["join_inner_agg"](spark, SF))
+    assert has_broadcast_join(QUERIES["join_range_buckets"](spark, SF))
+
+
+def test_topk_uses_heap_not_global_sort(spark):
+    assert uses_take_ordered(QUERIES["topk_orders"](spark, SF))
+    assert uses_take_ordered(QUERIES["embed_cosine_topk"](spark, SF))
+
+
+def test_single_shuffle_for_flagship_agg(spark):
+    # scan → partial agg → ONE exchange → final agg
+    assert shuffle_count(QUERIES["pricing_summary"](spark, SF)) == 1
+
+
+def test_asof_join_single_shuffle(spark):
+    # the union+window as-of formulation must shuffle once (on user_id)
+    df = QUERIES["join_asof"](spark, SF)
+    assert shuffle_count(df) == 1
+
+
+def test_minhash_signature_no_shuffle(spark):
+    # signatures are row-level array exprs over a (possibly repartitioned)
+    # scan: at most the one explicit round-robin exchange, none from the op
+    df = QUERIES["text_minhash_signature"](spark, SF)
+    assert shuffle_count(df) <= 1
+
+
+def test_null_scan_is_single_pass(spark):
+    from nyc_taxi_pyspark_spark.plans.explain import count_nodes
+
+    df = QUERIES["null_scan"](spark, SF)
+    assert count_nodes(df, "Scan parquet") == 1
+    # one exchange: the unavoidable single-partition merge of a global agg
+    assert shuffle_count(df) == 1

@@ -1,0 +1,123 @@
+"""Unit tests for text/similarity operators on controlled fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.operators.similarity import (
+    cosine,
+    hyperplane_signs,
+    l2_norm,
+    lsh_bucket,
+)
+from nyc_taxi_pyspark_spark.operators.text import (
+    exact_dedup,
+    near_dup_pairs,
+    predict_lang,
+    simhash16,
+    word_shingles,
+    tokens,
+)
+
+
+def test_shingles_and_edge_cases(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("x y z",)], "text string"
+    )
+    rows = df.select(word_shingles(tokens()).alias("sh")).collect()
+    assert rows[0].sh == ["a b c", "b c d"]
+    assert rows[1].sh == []  # below k → empty, not null
+    assert rows[2].sh == ["x y z"]
+
+
+def test_near_dup_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely different words forming another sentence entirely here now"
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    pairs = near_dup_pairs(docs).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_exact_dedup_survivor_is_min_id(spark):
+    docs = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "unique")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.n_copies for r in exact_dedup(docs).collect()}
+    assert out == {2: 2, 9: 1}
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark query engine with hash join and sort merge"),
+            (2, "spark query engine with hash join and sort spill"),
+            (3, "unrelated gardening tips for tomato plants in spring"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", simhash16(F.array_distinct(tokens())).alias("sh")
+        ).collect()
+    }
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(rows[1], rows[2]) < hamming(rows[1], rows[3])
+
+
+def test_lang_id_on_real_text(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "the cat sat on the mat and looked at a bird in the garden"),
+            ("es", "el gato que vive en la casa de los vecinos es muy grande"),
+            ("de", "der hund und die katze sind nicht in das haus gegangen"),
+            ("fr", "le chien et les chats sont dans une maison pres des arbres"),
+        ],
+        "lang string, text string",
+    )
+    rows = df.select(
+        "lang", predict_lang(F.array_distinct(tokens())).alias("pred")
+    ).collect()
+    for r in rows:
+        assert r.pred == r.lang, f"{r.lang} predicted as {r.pred}"
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.normal(size=8).astype("float32")
+    b = rng.normal(size=8).astype("float32")
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], "va array<float>, vb array<float>"
+    )
+    got = df.select(cosine(F.col("va"), F.col("vb")).alias("c")).first().c
+    ad, bd = a.astype("float64"), b.astype("float64")
+    want = float(ad @ bd / (np.linalg.norm(ad) * np.linalg.norm(bd)))
+    assert math.isclose(got, want, rel_tol=1e-9)
+    nrm = df.select(l2_norm(F.col("va")).alias("n")).first().n
+    assert math.isclose(nrm, float(np.linalg.norm(ad)), rel_tol=1e-9)
+
+
+def test_lsh_bucket_matches_python_reference(spark):
+    """The Spark bucket must equal a pure-Python recomputation from the same
+    md5-parity hyperplanes — proving the constants are engine-portable."""
+    rng = np.random.default_rng(11)
+    v = rng.normal(size=64).astype("float32")
+    df = spark.createDataFrame([(v.tolist(),)], "embedding array<float>")
+    got = df.select(lsh_bucket(F.col("embedding")).alias("b")).first().b
+    planes = hyperplane_signs()
+    want = "".join(
+        "1" if sum(float(x) * s for x, s in zip(v, p)) > 0 else "0"
+        for p in planes
+    )
+    assert got == want
