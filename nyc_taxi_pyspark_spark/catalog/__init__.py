@@ -19,6 +19,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     similarity,
     streaming,
     udfs_mm,
+    sql_entry,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -392,3 +392,40 @@ def topk_orders(spark, sf_dir):
         [F.desc("o_totalprice"), F.col("o_orderkey")],
         10,
     )
+
+
+@query("approx_quantiles")
+def approx_quantiles(spark, sf_dir):
+    """A9 — the APPROXIMATE quantile path the reference actually uses
+    (approxQuantile / percentile_approx, spark_jobs/02_clean_eda.py:88-90).
+    Sketch results can't hash-match another engine ⇒ rows-only check; the
+    exact twin (exact_quantiles) carries the value-level oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = li.stat.approxQuantile("l_extendedprice", [0.5, 0.9, 0.99], 0.01)
+    return spark.createDataFrame(
+        [(0.5, qs[0]), (0.9, qs[1]), (0.99, qs[2])], "quantile double, value double"
+    )
+
+
+@query("approx_count_distinct")
+def approx_count_distinct_q(spark, sf_dir):
+    """HyperLogLog++ distinct estimate — the 100 TB-scale path for
+    cardinality (exact countDistinct shuffles an expand; HLL is one pass,
+    constant memory). Sketch value ⇒ rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.count("*").alias("n"),
+    )
+
+
+@query("sampled_agg")
+def sampled_agg(spark, sf_dir):
+    """O5 — seeded sampling (df.sample) + aggregate. Sample membership
+    depends on partitioning ⇒ rows-only check; determinism under a FIXED
+    partitioning is covered by tests."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).agg(
+        F.count("*").alias("n_sampled"),
+        dsum("o_totalprice", 2).alias("sum_total"),
+    )

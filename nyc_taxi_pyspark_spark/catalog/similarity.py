@@ -206,3 +206,43 @@ def embed_label_stats(spark, sf_dir):
             ).alias("avg_norm"),
         )
     )
+
+
+@query(
+    "embed_near_dup_pairs",
+    oracle=_duck_bucket_cte()
+    + f"""
+    , cands AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           {_duck_acc('CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)')}
+             / (SQRT({_duck_acc('CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)')})
+                * SQRT({_duck_acc('CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)')}))
+             AS cosine_sim
+    FROM cands c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b,
+    generate_series(1, {DIM}) AS g(i)
+    GROUP BY c.id_a, c.id_b
+    HAVING cosine_sim >= 0.9
+    """,
+)
+def embed_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection at corpus scale: LSH-bucket
+    equi-join generates candidates (never a crossJoin), exact cosine ≥ 0.9
+    verifies. This corpus has no planted embedding dups — the pipeline's
+    correctness is exactly that it returns none without scanning n² pairs."""
+    from nyc_taxi_pyspark_spark.operators.similarity import (
+        bucket_join_candidates,
+        cosine,
+    )
+
+    cands = bucket_join_candidates(_emb(spark, sf_dir))
+    sim = cosine(F.col("vec_a"), F.col("vec_b")).alias("cosine_sim")
+    return (
+        cands.select("id_a", "id_b", sim)
+        .filter(F.col("cosine_sim") >= 0.9)
+    )

@@ -281,3 +281,66 @@ def text_token_topk(spark, sf_dir):
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+_DUCK_CHAR_SH = (
+    "CASE WHEN length(text) >= 8 THEN "
+    "list_distinct(list_transform(generate_series(1, length(text) - 7), "
+    "i -> text[i:i+7])) ELSE [] END"
+)
+
+
+def _ngram_oracle() -> str:
+    # char-8-gram variant: 8 hashes in 2 bands × 4 rows (LSH threshold ≈ 0.84)
+    hcols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}"
+        for i in range(8)
+    )
+    band_rows = ", ".join(
+        "({b}, md5({concat}))".format(
+            b=b,
+            concat=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
+        )
+        for b in range(2)
+    )
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    )
+    return f"""
+    WITH sets AS (SELECT doc_id, {_DUCK_CHAR_SH} AS sh FROM documents),
+    sigs AS (SELECT doc_id, {hcols} FROM sets),
+    bands AS (
+        SELECT doc_id, b.band_idx, b.band_hash
+        FROM sigs, LATERAL (
+            SELECT * FROM (VALUES {band_rows}) AS v(band_idx, band_hash)
+        ) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {jac} AS jaccard
+    FROM cands
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE {jac} >= 0.8
+    """
+
+
+@query("text_ngram_jaccard_pairs", oracle=_ngram_oracle())
+def text_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram-Jaccard near-dup variant: character 8-gram shingles, tighter
+    LSH banding (2×4, threshold ≈ 0.84), exact Jaccard ≥ 0.8 verification.
+    Word-order robust and language agnostic, vs the word-trigram pipeline."""
+    from nyc_taxi_pyspark_spark.operators.text import char_shingles
+
+    return near_dup_pairs(
+        _docs(spark, sf_dir),
+        threshold=0.8,
+        shingles=char_shingles(),
+        n_bands=2,
+        rows_per_band=4,
+    )

@@ -56,6 +56,24 @@ def word_shingles(words: Column, k: int = SHINGLE_K) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+CHAR_K = 8
+
+
+def char_shingles(text_col: str = "text", k: int = CHAR_K) -> Column:
+    """Distinct character k-gram shingles — the n-gram-Jaccard dedup basis
+    (word-order robust, language agnostic)."""
+    t = F.col(text_col)
+    return F.when(
+        F.length(t) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (k - 1)),
+                lambda i: F.substring(t, i, k),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def minhash_sig(shingles: Column, seed: int) -> Column:
     """One MinHash value: min over md5('<seed>|' || shingle) hex strings.
 
@@ -68,31 +86,41 @@ def minhash_sig(shingles: Column, seed: int) -> Column:
 
 
 def with_minhash_signature(
-    df: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    shingles: Column | None = None,
 ) -> DataFrame:
-    """Append h0..h{n-1} MinHash columns — a single narrow projection."""
-    sh = word_shingles(tokens(text_col))
+    """Append h0..h{n-1} MinHash columns — a single narrow projection.
+    ``shingles`` defaults to word trigrams; pass :func:`char_shingles` for
+    the n-gram-Jaccard variant."""
+    sh = shingles if shingles is not None else word_shingles(tokens(text_col))
     out = df.withColumn("__sh", sh)
     for i in range(n_hashes):
         out = out.withColumn(f"h{i}", minhash_sig(F.col("__sh"), i))
     return out.drop("__sh")
 
 
-def lsh_bands(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
     """(id, band_idx, band_hash) — one row per band via posexplode of the
-    banded signature."""
+    banded signature. LSH threshold ≈ (1/n_bands)^(1/rows_per_band)."""
     band_hashes = F.array(
         *[
             F.md5(
                 F.concat_ws(
                     "|",
                     *[
-                        F.col(f"h{b * ROWS_PER_BAND + r}")
-                        for r in range(ROWS_PER_BAND)
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
                     ],
                 )
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return sig_df.select(
@@ -127,6 +155,9 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    shingles: Column | None = None,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pipeline: signature scan → band join →
     exact Jaccard verification on candidates only.
@@ -134,13 +165,19 @@ def near_dup_pairs(
     Returns (doc_a, doc_b, jaccard) with jaccard >= threshold. The exact
     verification joins each candidate pair back to the two shingle arrays
     and intersects them row-wise (array_intersect on already-distinct
-    arrays), so its cost is O(candidates), not O(n²).
+    arrays), so its cost is O(candidates), not O(n²). ``shingles`` +
+    banding parameters select the variant (word-trigram default; char
+    k-grams with tighter bands for n-gram-Jaccard dedup).
     """
-    sets_df = docs.select(
-        F.col(id_col), word_shingles(tokens(text_col)).alias("shingles")
+    if shingles is None:
+        shingles = word_shingles(tokens(text_col))
+    sets_df = docs.select(F.col(id_col), shingles.alias("shingles"))
+    sig = with_minhash_signature(
+        docs.select(id_col, text_col), text_col, shingles=shingles
     )
-    sig = with_minhash_signature(docs.select(id_col, text_col), text_col)
-    pairs = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
+    pairs = lsh_candidate_pairs(
+        lsh_bands(sig, id_col, n_bands, rows_per_band), id_col
+    )
     sa = sets_df.select(
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
     )
