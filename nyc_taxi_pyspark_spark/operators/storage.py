@@ -1,0 +1,40 @@
+"""Storage-layout operators for shuffle avoidance at scale.
+
+Bucketing pre-partitions a table on its join/agg key at WRITE time so every
+later join or aggregation on that key is co-located — the single biggest
+shuffle eliminator for repeated 100 TB fact⋈fact joins. Locally this uses
+the Spark warehouse (managed tables); on a cluster the same API writes to
+the metastore.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table.
+
+    Sorting within buckets lets a later sort-merge join skip its sort too —
+    the plan degenerates to a zip-merge of co-located, pre-sorted buckets.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables: no Exchange on either side (verified
+    by tests via plan inspection)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -1,0 +1,119 @@
+"""Scale-operator tests: bucketed joins (no shuffle), skew salting
+(exact results), stateful streaming (state across micro-batches)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.functions.exact import dsum
+from nyc_taxi_pyspark_spark.operators.skew import salted_aggregate, salted_join
+from nyc_taxi_pyspark_spark.operators.storage import bucketed_join, write_bucketed
+from nyc_taxi_pyspark_spark.plans.explain import shuffle_count
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    import shutil
+
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    write_bucketed(o, "t_orders_b", "o_orderkey", 4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "t_lineitem_b", "o_orderkey", 4
+    )
+    joined = bucketed_join(spark, "t_orders_b", "t_lineitem_b", "o_orderkey")
+    # co-located buckets: the join itself introduces no Exchange
+    assert shuffle_count(joined) == 0
+    plain = o.join(li, o.o_orderkey == li.l_orderkey)
+    assert joined.count() == plain.count()
+
+
+def test_salted_aggregate_exact(spark):
+    ev = load_table(spark, SF, "events")
+    plain = {
+        (r.event_type, r.n, r.s)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 2).alias("s"))
+        .collect()
+    }
+    salted = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        measures={
+            "pn": F.count("*"),
+            "pc": F.sum(F.round(F.col("value") * 100).cast("bigint")),
+        },
+        finals={
+            "n": F.sum("pn"),
+            "s": (F.sum("pc").cast("double") / 100.0),
+        },
+        n_salt=8,
+    )
+    got = {(r.event_type, r.n, r.s) for r in salted.collect()}
+    assert got == plain
+
+
+def test_salted_join_equals_plain_join(spark):
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    plain = c.join(n, "c_nationkey").select("c_custkey", "n_name")
+    salted = salted_join(c, n, "c_nationkey", n_salt=4).select("c_custkey", "n_name")
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_stateful_running_totals_across_batches(spark):
+    from nyc_taxi_pyspark_spark.schemas import TESTDATA_SCHEMAS
+    from nyc_taxi_pyspark_spark.streaming.stateful import running_totals_per_user
+
+    ev = load_table(spark, SF, "events").limit(200).cache()
+    d = tempfile.mkdtemp(prefix="stateful_")
+    # two files → with maxFilesPerTrigger=1, two micro-batches → state must carry
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(f"{d}/a.parquet")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(f"{d}/a.parquet")
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/a.parquet")
+    )
+    q = (
+        running_totals_per_user(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is None or q.recentProgress  # ran at least one batch
+    finally:
+        q.stop()
+    # memory sink in update mode appends every emitted update; the LAST row
+    # per user is the final state
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, sum_value_cents FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+            FROM stateful_out
+        ) WHERE rn = 1
+        """
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_cents"),
+        )
+    )
+    got_rows = {tuple(r) for r in out.collect()}
+    want_rows = {tuple(r) for r in want.collect()}
+    assert got_rows == want_rows
