@@ -20,6 +20,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     streaming,
     udfs_mm,
     sql_entry,
+    taxi_domain,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -429,3 +429,28 @@ def sampled_agg(spark, sf_dir):
         F.count("*").alias("n_sampled"),
         dsum("o_totalprice", 2).alias("sum_total"),
     )
+
+
+@query(
+    "grouping_sets_sums",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, {oracle_dsum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_sums(spark, sf_dir):
+    """Extension: explicit GROUPING SETS (the general form of rollup/cube),
+    via the SQL front door — one Expand + one aggregate, not three scans."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )

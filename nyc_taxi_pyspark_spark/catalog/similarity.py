@@ -246,3 +246,51 @@ def embed_near_dup_pairs(spark, sf_dir):
         cands.select("id_a", "id_b", sim)
         .filter(F.col("cosine_sim") >= 0.9)
     )
+
+
+def _duck_hamming_leq1(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"CASE WHEN {a}[{j+1}:{j+1}] <> {b}[{j+1}:{j+1}] THEN 1 ELSE 0 END"
+        for j in range(N_PLANES)
+    )
+    return f"(({terms}) <= 1)"
+
+
+@query(
+    "embed_ann_multiprobe",
+    oracle=_duck_bucket_cte()
+    + f"""
+    , q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    probed AS (
+        SELECT b.vec_id FROM buckets b, qb
+        WHERE {_duck_hamming_leq1('b.bucket', 'qb.qbucket')}
+    ),
+    sims AS (
+        SELECT e.vec_id,
+               {_duck_acc(f'{_DUCK_X} * CAST(q.qe[i] AS DOUBLE)')}
+                 / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                    * SQRT({_duck_acc('CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)')}))
+                 AS cosine_sim
+        FROM embeddings e, q, generate_series(1, {DIM}) AS g(i)
+        WHERE e.vec_id IN (SELECT vec_id FROM probed)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, cosine_sim FROM sims
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embed_ann_multiprobe(spark, sf_dir):
+    """Multi-probe ANN top-k: query bucket + Hamming-1 neighbors (9/256
+    buckets) — the recall/cost dial between `embed_ann_topk` (1 bucket) and
+    `embed_cosine_topk` (full scan)."""
+    from nyc_taxi_pyspark_spark.operators.similarity import ann_topk_multiprobe
+
+    e = _emb(spark, sf_dir)
+    qrow = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec"),
+        lsh_bucket(F.col("embedding")).alias("query_bucket"),
+    )
+    corpus = e.crossJoin(F.broadcast(qrow))
+    return ann_topk_multiprobe(corpus, F.col("query_vec"), F.col("query_bucket"), k=10)

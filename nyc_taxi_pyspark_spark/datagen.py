@@ -1,4 +1,8 @@
-"""Deterministic NYC-taxi-shaped fixture generator (FIXTURES.md §1).
+"""Deterministic NYC-taxi-shaped data generator (FIXTURES.md §1).
+
+Used by unit tests AND the `taxi_pipeline_kpis` catalog query — the engine
+can demonstrate the reference's full domain pipeline end-to-end without
+shipping taxi data: seed-42 generation is reproducible everywhere.
 
 Seed-42 numpy; includes nulls, out-of-band outliers for every cleaning rule,
 exact duplicates on the dedup keys, and ~40% zero tips (drives label_tip).

@@ -4,9 +4,9 @@ approximate scale path.
 
 Scale design:
   - Dot products / norms are row-level array expressions (zip_with +
-    aggregate) — JVM-side, no Python, no shuffle. Accumulation is in
-    decimal(28,14) so the value is association-order-independent and
-    bit-identical on every engine (see functions.exact docstring).
+    aggregate) — JVM-side, no Python, no shuffle. Accumulation is
+    micro-quantized int64 (see _SCALE below) so the value is
+    association-order-independent and bit-identical on every engine.
   - Brute-force query-vs-corpus top-k is a scan + TakeOrderedAndProject:
     O(n·d) work, no shuffle, perfectly parallel — the right baseline even at
     100 TB when k is small.
@@ -160,3 +160,39 @@ def bucket_join_candidates(
         F.col("bucket"),
     )
     return left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+
+
+def hamming_leq1(a: Column, b: Column, n_bits: int = N_PLANES) -> Column:
+    """Bit-string Hamming distance ≤ 1, as a row-level expression."""
+    diffs = [
+        F.when(
+            F.substring(a, j + 1, 1) != F.substring(b, j + 1, 1), F.lit(1)
+        ).otherwise(F.lit(0))
+        for j in range(n_bits)
+    ]
+    total = diffs[0]
+    for d in diffs[1:]:
+        total = total + d
+    return total <= 1
+
+
+def ann_topk_multiprobe(
+    corpus: DataFrame,
+    query_vec: Column,
+    query_bucket: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe ANN: scan the query's bucket plus all Hamming-1 neighbor
+    buckets (9 of 256 here) — the standard recall/cost dial for hyperplane
+    LSH. At scale with `bucket` as a partition column this is a 9-partition
+    IN-list prune instead of a full scan."""
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col)))
+    sim = cosine(F.col(vec_col), query_vec).alias("cosine_sim")
+    return (
+        bucketed.filter(hamming_leq1(F.col("bucket"), query_bucket))
+        .select(F.col(id_col), sim)
+        .orderBy(F.desc("cosine_sim"), id_col)
+        .limit(k)
+    )

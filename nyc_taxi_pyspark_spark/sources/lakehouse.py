@@ -1,0 +1,73 @@
+"""Lakehouse-format connectors (Delta / Iceberg / Hudi) — gated stubs.
+
+The table-format jars are not on this environment's classpath, so these
+readers/writers detect availability and fail with an actionable message
+instead of an opaque ClassNotFoundException. The MERGE/SCD2 capability the
+formats provide is emulated natively in :func:`merge_upsert` (anti-join +
+union), which is format-agnostic and runs anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_FORMATS = ("delta", "iceberg", "hudi")
+
+
+def format_available(spark: SparkSession, fmt: str) -> bool:
+    """Probe whether a lakehouse format's classes are on the classpath."""
+    probes = {
+        "delta": "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        "iceberg": "org.apache.iceberg.spark.SparkCatalog",
+        "hudi": "org.apache.hudi.DefaultSource",
+    }
+    try:
+        spark._jvm.java.lang.Class.forName(probes[fmt])
+        return True
+    except Exception:  # noqa: BLE001 — Py4J wraps ClassNotFound opaquely
+        return False
+
+
+def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown lakehouse format {fmt!r}; one of {_FORMATS}")
+    if not format_available(spark, fmt):
+        raise NotImplementedError(
+            f"{fmt} jars are not on the classpath in this environment; add the "
+            f"spark-{fmt} package to spark.jars.packages to enable this reader"
+        )
+    return spark.read.format(fmt).load(path)
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Format-agnostic MERGE emulation: rows of ``target`` whose key has an
+    update are replaced; new keys are inserted. (With Delta/Iceberg on the
+    classpath this becomes a real transactional MERGE INTO.)"""
+    untouched = target.join(updates.select(*keys), list(keys), "left_anti")
+    return untouched.unionByName(updates)
+
+
+def scd2_close_and_insert(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+    as_of: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: close current rows for changed keys
+    (set valid_to), append the new versions as open rows."""
+    as_of_lit = F.lit(as_of).cast("timestamp") if as_of else F.current_timestamp()
+    changed = dim.join(updates.select(*keys), list(keys), "left_semi").withColumn(
+        end_col, F.when(F.col(end_col).isNull(), as_of_lit).otherwise(F.col(end_col))
+    )
+    unchanged = dim.join(updates.select(*keys), list(keys), "left_anti")
+    opened = updates.withColumn(effective_col, as_of_lit).withColumn(
+        end_col, F.lit(None).cast("timestamp")
+    )
+    return unchanged.unionByName(changed).unionByName(opened)

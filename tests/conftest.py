@@ -7,7 +7,7 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.taxi_fixture import make_trips_pdf  # noqa: E402
+from nyc_taxi_pyspark_spark.datagen import make_trips_pdf  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 

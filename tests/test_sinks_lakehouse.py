@@ -1,0 +1,86 @@
+"""foreachBatch exactly-once sink, lakehouse stubs, CSV timestamp parsing."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nyc_taxi_pyspark_spark.schemas import TESTDATA_SCHEMAS
+from nyc_taxi_pyspark_spark.sources.io import load_table, read_csv
+from nyc_taxi_pyspark_spark.sources.lakehouse import (
+    format_available,
+    merge_upsert,
+    read_table,
+    scd2_close_and_insert,
+)
+from nyc_taxi_pyspark_spark.streaming.sinks import write_stream_exactly_once
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_foreach_batch_sink_writes_epochs(spark):
+    src = tempfile.mkdtemp(prefix="fb_src_")
+    out = tempfile.mkdtemp(prefix="fb_out_")
+    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
+    ev = load_table(spark, SF, "events").limit(100)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(TESTDATA_SCHEMAS["events"]).parquet(src)
+    q = write_stream_exactly_once(stream.select("event_id", "value"), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out}/epoch=0")
+    assert back.count() == 100
+
+
+def test_lakehouse_stub_errors_are_actionable(spark):
+    for fmt in ("delta", "iceberg", "hudi"):
+        assert format_available(spark, fmt) is False
+        with pytest.raises(NotImplementedError, match=fmt):
+            read_table(spark, fmt, "/nonexistent")
+    with pytest.raises(ValueError):
+        read_table(spark, "parquet2", "/x")
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    out = {(r.k, r.v) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_versioning(spark):
+    dim = spark.createDataFrame(
+        [(1, "x", "2020-01-01 00:00:00", None)],
+        "k int, v string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "v",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    updates = spark.createDataFrame([(1, "y")], "k int, v string")
+    out = scd2_close_and_insert(dim, updates, ["k"], as_of="2021-06-01 00:00:00")
+    rows = sorted(out.collect(), key=lambda r: (r.k, str(r.valid_from)))
+    assert len(rows) == 2
+    closed, opened = rows
+    assert closed.v == "x" and closed.valid_to is not None
+    assert opened.v == "y" and opened.valid_to is None
+
+
+def test_csv_timestamp_format_parsing(spark):
+    """F1 — to_timestamp via timestampFormat on CSV read (the reference's
+    session-level option, spark_jobs/01_ingest.py:28)."""
+    d = tempfile.mkdtemp(prefix="csv_ts_")
+    with open(f"{d}/t.csv", "w") as f:
+        f.write("id,ts\n1,2015-01-31 23:59:58\n2,2015-02-01 00:00:02\n")
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("ts", T.TimestampType())]
+    )
+    df = read_csv(spark, d, schema=schema)
+    rows = {r.id: r.ts.isoformat() for r in df.collect()}
+    assert rows == {1: "2015-01-31T23:59:58", 2: "2015-02-01T00:00:02"}
