@@ -36,8 +36,12 @@ HEADLINE = [
     # text / similarity north star
     "text_minhash_signature",
     "text_near_dup_pairs",
+    "text_ngram_jaccard_pairs",
     "embed_cosine_topk",
     "embed_ann_topk",
+    "embed_ann_multiprobe",
+    "grouping_sets_sums",
+    "taxi_kpi_by_payment",
 ]
 
 
