@@ -21,6 +21,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     udfs_mm,
     sql_entry,
     taxi_domain,
+    functions_ext,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,150 @@
+"""Extended scalar-function queries (SURVEY.md §2.8's noted gaps: string /
+array / date function families, plus unpivot and further analytics). All
+row-level or integer-exact ⇒ directly oracle-checkable."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.functions.exact import oracle_dsum
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT doc_id,
+           upper(source) AS source_upper,
+           substr(text, 1, 12) AS head12,
+           length(trim(text)) AS len_trimmed,
+           regexp_replace(text, ' ', '_', 'g') [1:20] AS snake20,
+           CAST(contains(text, 'join') AS INTEGER) AS mentions_join,
+           concat(lang, ':', source) AS lang_source
+    FROM documents
+    """,
+)
+def string_functions(spark, sf_dir):
+    """String surface: upper/substr/trim/regexp_replace/contains/concat."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("source").alias("source_upper"),
+        F.substring("text", 1, 12).alias("head12"),
+        F.length(F.trim(F.col("text"))).alias("len_trimmed"),
+        F.substring(F.regexp_replace("text", " ", "_"), 1, 20).alias("snake20"),
+        F.col("text").contains("join").cast("int").alias("mentions_join"),
+        F.concat_ws(":", "lang", "source").alias("lang_source"),
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3_sorted,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER)
+             AS has_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
+             AS first3_csv
+    FROM documents
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array surface: split/array_distinct/sort_array/slice/contains/join."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.array_sort(F.array_distinct(F.split("text", " ")))
+    return d.select(
+        "doc_id",
+        F.slice(words, 1, 3).alias("first3_sorted"),
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.array_contains(F.split("text", " "), "spark").cast("int").alias("has_spark"),
+        F.array_join(F.slice(words, 1, 3), ",").alias("first3_csv"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(year(o_orderdate) * 4 + ((month(o_orderdate) - 1) // 3) AS INTEGER)
+             AS quarter_index,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS days_since_epoch_start
+    FROM orders
+    """,
+)
+def date_functions(spark, sf_dir):
+    """Date surface: add/trunc/last_day/quarter arithmetic/datediff."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.last_day(d).alias("month_end"),
+        (F.year(d) * 4 + ((F.month(d) - 1) / 3).cast("int")).alias("quarter_index"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle=f"""
+    SELECT l_returnflag, measure, value FROM (
+        SELECT l_returnflag,
+               {oracle_dsum('l_quantity', 2)} AS qty,
+               {oracle_dsum('l_extendedprice', 2)} AS price,
+               {oracle_dsum('l_tax', 2)} AS tax
+        FROM lineitem GROUP BY l_returnflag
+    ) UNPIVOT (value FOR measure IN (qty, price, tax))
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Unpivot (melt) — the inverse of the pivot query, via stack()."""
+    from nyc_taxi_pyspark_spark.functions.exact import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity", 2).alias("qty"),
+        dsum("l_extendedprice", 2).alias("price"),
+        dsum("l_tax", 2).alias("tax"),
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(3, 'qty', qty, 'price', price, 'tax', tax) AS (measure, value)",
+    )
+
+
+@query(
+    "window_ntile_pctrank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER w AS INTEGER) AS acctbal_quartile,
+           ROUND(PERCENT_RANK() OVER w * 1e6) / 1e6 AS pct_rank,
+           FIRST_VALUE(c_custkey) OVER w AS richest_custkey
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_ntile_pctrank(spark, sf_dir):
+    """ntile / percent_rank / first_value analytics (§2.5 width).
+    percent_rank = (rank-1)/(n-1): an exact small-integer ratio, quantized
+    at 1e-6 identically on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    pct = F.round(F.percent_rank().over(w) * 1e6) / 1e6
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("acctbal_quartile"),
+        pct.alias("pct_rank"),
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+    )

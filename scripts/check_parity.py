@@ -30,10 +30,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
     import datetime
 
+    import numpy as np
+
     def cell(v):
+        if isinstance(v, np.ndarray):
+            v = list(v)
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(cell(x) for x in v) + "]"
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
-        if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
+        if pd.isna(v):
             return "NULL"
         if isinstance(v, float):
             return repr(v)

@@ -98,3 +98,14 @@ def test_engine_sql_and_summary(spark):
     assert n == 6000
     summ = eng.summary("nation")
     assert summ["n_rows"][0] == 25
+
+
+def test_observe_single_pass_accounting(spark, trips):
+    from nyc_taxi_pyspark_spark.operators.observe import clean_with_accounting
+    from nyc_taxi_pyspark_spark.operators.transforms import taxi_cleaning_rules
+
+    keys = ["tpep_pickup_datetime", "tpep_dropoff_datetime", "fare_amount"]
+    cleaned, m = clean_with_accounting(trips, taxi_cleaning_rules(), keys)
+    assert m["raw"] == trips.count()
+    assert m["raw"] > m["after_rules"] >= m["after_dedup"] > 0
+    assert m["after_dedup"] == cleaned.count()
