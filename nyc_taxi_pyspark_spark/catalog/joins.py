@@ -218,3 +218,78 @@ def join_asof(spark, sf_dir):
             "secs_since_error"
         ),
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join — nations keep their row with 0 suppliers."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+          FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+          FROM supplier GROUP BY 1) s
+      ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join of two aggregates — nations with customers XOR
+    suppliers survive on either side."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    joined = c.alias("c").join(
+        s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+        F.coalesce(F.col("c.n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("s.n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, s.status, COUNT(*) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) s
+    GROUP BY 1, 2
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cross join (small×small only — the engine's big-data cross-product
+    answer is LSH bucketing, see embed_near_dup_pairs)."""
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+    return r.crossJoin(s).groupBy("r_name", "status").agg(F.count("*").alias("n"))
