@@ -21,7 +21,7 @@ from nyc_taxi_pyspark_spark.sources.io import load_table
            length(trim(text)) AS len_trimmed,
            regexp_replace(text, ' ', '_', 'g') [1:20] AS snake20,
            CAST(contains(text, 'join') AS INTEGER) AS mentions_join,
-           concat(lang, ':', source) AS lang_source
+           lang || ':' || source AS lang_source
     FROM documents
     """,
 )
@@ -35,7 +35,9 @@ def string_functions(spark, sf_dir):
         F.length(F.trim(F.col("text"))).alias("len_trimmed"),
         F.substring(F.regexp_replace("text", " ", "_"), 1, 20).alias("snake20"),
         F.col("text").contains("join").cast("int").alias("mentions_join"),
-        F.concat_ws(":", "lang", "source").alias("lang_source"),
+        # null-propagating concat (not concat_ws): matches DuckDB's
+        # concat(lang, ':', source) if either side were NULL.
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
     )
 
 

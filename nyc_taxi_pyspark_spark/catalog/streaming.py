@@ -53,8 +53,10 @@ def stream_sliding_window(spark, sf_dir):
     oracle=f"""
     WITH flagged AS (
         SELECT user_id, ts, value,
+               -- >= : Spark's session_window end is exclusive, so an event
+               -- exactly gap after the previous one starts a NEW session.
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                         > INTERVAL '30 minutes'
+                         >= INTERVAL '30 minutes'
                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events

@@ -138,7 +138,9 @@ def _near_dup_oracle() -> str:
     )
     return f"""
     WITH sets AS (
-        SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+        SELECT doc_id, sh
+        FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
+        WHERE len(sh) > 0
     ),
     sigs AS (
         SELECT doc_id, {hcols} FROM sets
@@ -308,7 +310,11 @@ def _ngram_oracle() -> str:
         " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
     )
     return f"""
-    WITH sets AS (SELECT doc_id, {_DUCK_CHAR_SH} AS sh FROM documents),
+    WITH sets AS (
+        SELECT doc_id, sh
+        FROM (SELECT doc_id, {_DUCK_CHAR_SH} AS sh FROM documents)
+        WHERE len(sh) > 0
+    ),
     sigs AS (SELECT doc_id, {hcols} FROM sets),
     bands AS (
         SELECT doc_id, b.band_idx, b.band_hash

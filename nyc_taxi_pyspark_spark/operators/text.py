@@ -171,9 +171,18 @@ def near_dup_pairs(
     """
     if shingles is None:
         shingles = word_shingles(tokens(text_col))
-    sets_df = docs.select(F.col(id_col), shingles.alias("shingles"))
+    # Docs with empty shingle sets have NULL minhash values; concat_ws in
+    # lsh_bands would collapse them all onto md5('') and emit every short-doc
+    # pair as a candidate (with a NaN 0/0 Jaccard that passes >= threshold
+    # under Spark's NaN-is-largest ordering). Exclude them up front — the
+    # oracle's NULL band hashes never join, so this is also the parity fix.
+    sets_df = docs.select(F.col(id_col), shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
     sig = with_minhash_signature(
-        docs.select(id_col, text_col), text_col, shingles=shingles
+        docs.select(id_col, text_col).filter(F.size(shingles) > 0),
+        text_col,
+        shingles=shingles,
     )
     pairs = lsh_candidate_pairs(
         lsh_bands(sig, id_col, n_bands, rows_per_band), id_col
@@ -191,7 +200,9 @@ def near_dup_pairs(
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        # union_size >= 1 after the empty-shingle filter, so jaccard is never
+        # NaN here; the guard keeps the predicate NaN-safe regardless.
+        .filter(~F.isnan("jaccard") & (F.col("jaccard") >= threshold))
     )
 
 

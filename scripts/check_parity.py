@@ -13,8 +13,11 @@ visible). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
@@ -71,6 +74,34 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         problems.append(
             f"values differ at sorted row {i}:\n  spark : {srows[i][:300]}\n  oracle: {orows[i][:300]}"
         )
+        # Tolerance report: per float column, compare the value-sorted column
+        # vectors and report max-abs diff — distinguishes float drift (tiny
+        # max-abs on every row) from structural mismatches (huge or n/a).
+        if len(spark_df) == len(oracle_df):
+            import numpy as np
+
+            for col in sorted(spark_df.columns):
+                s, o = spark_df[col], oracle_df[col]
+                if not (
+                    np.issubdtype(s.dtype, np.floating)
+                    or np.issubdtype(o.dtype, np.floating)
+                ):
+                    continue
+                sv = np.sort(s.astype(float).fillna(np.nan).to_numpy())
+                ov = np.sort(o.astype(float).fillna(np.nan).to_numpy())
+                with np.errstate(invalid="ignore"):
+                    d = np.abs(sv - ov)
+                if np.isnan(d).any() and not (
+                    np.isnan(sv).sum() == np.isnan(ov).sum()
+                ):
+                    problems.append(f"float col {col}: NULL/NaN count differs")
+                    continue
+                mx = np.nanmax(d) if d.size and not np.isnan(d).all() else 0.0
+                if mx > 0:
+                    problems.append(
+                        f"float col {col}: max-abs diff {mx:.3e} over "
+                        f"value-sorted columns ({int((d > 0).sum())} rows differ)"
+                    )
     return problems
 
 
