@@ -349,4 +349,5 @@ def text_ngram_jaccard_pairs(spark, sf_dir):
         shingles=char_shingles(),
         n_bands=2,
         rows_per_band=4,
+        nonempty=F.length("text") >= 8,
     )

@@ -50,6 +50,37 @@ def hyperplane_signs(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[int]
     ]
 
 
+def dsum_py(terms: list[float]) -> float:
+    """Python twin of :func:`_dsum_terms` — bit-identical by construction:
+    float64 products, ``math.floor(t * 1e14)`` (same IEEE ops as Spark's
+    FLOOR on double), exact int accumulation, double divide at the end."""
+    import math
+
+    return float(sum(math.floor(t * _SCALE) for t in terms)) / _SCALE
+
+
+def l2_norm_py(vals: list[float]) -> float:
+    """Python twin of :func:`l2_norm` (driver-side query-parameter path)."""
+    import math
+
+    return math.sqrt(dsum_py([x * x for x in vals]))
+
+
+def lsh_bucket_py(
+    vals: list[float], planes: list[list[int]] | None = None
+) -> str:
+    """Python twin of :func:`lsh_bucket` — used to turn a query vector's
+    bucket into a plan-time literal (at scale: static partition pruning)."""
+    import math
+
+    planes = planes or hyperplane_signs()
+    bits = []
+    for p in planes:
+        acc = sum(math.floor((x * s) * _SCALE) for x, s in zip(vals, p))
+        bits.append("1" if acc > 0 else "0")
+    return "".join(bits)
+
+
 def _dsum_terms(terms: Column) -> Column:
     """Order-independent sum of an array of doubles via integer folding
     (micro-quantized at 1e-14; see _SCALE note above)."""
@@ -97,12 +128,21 @@ def lsh_bucket(vec: Column, planes: list[list[int]] | None = None) -> Column:
     return F.concat(*bits)
 
 
+def cosine_sim_expr(vec_col: str, query_vec: Column, query_norm: Column | None) -> Column:
+    """Cosine vs the query vector; ``query_norm`` (precomputed once on the
+    broadcast side) avoids re-deriving the same 64-term norm fold per corpus
+    row — identical bits, one-third less per-row work."""
+    qn = query_norm if query_norm is not None else l2_norm(query_vec)
+    return dot(F.col(vec_col), query_vec) / (l2_norm(F.col(vec_col)) * qn)
+
+
 def cosine_topk(
     corpus: DataFrame,
     query_vec: Column,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_norm: Column | None = None,
 ) -> DataFrame:
     """Brute-force exact top-k by cosine vs one query vector.
 
@@ -110,7 +150,7 @@ def cosine_topk(
     DataFrame (broadcast — each partition scans once); ordering carries the
     id as tie-breaker for determinism.
     """
-    sim = cosine(F.col(vec_col), query_vec).alias("cosine_sim")
+    sim = cosine_sim_expr(vec_col, query_vec, query_norm).alias("cosine_sim")
     return (
         corpus.select(F.col(id_col), sim)
         .orderBy(F.desc("cosine_sim"), id_col)
@@ -125,6 +165,7 @@ def ann_topk_lsh(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_norm: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact scan to the query's LSH bucket.
 
@@ -132,7 +173,7 @@ def ann_topk_lsh(
     disk, so the filter becomes partition pruning — the scan touches
     1/2^n_planes of the corpus."""
     bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col)))
-    sim = cosine(F.col(vec_col), query_vec).alias("cosine_sim")
+    sim = cosine_sim_expr(vec_col, query_vec, query_norm).alias("cosine_sim")
     return (
         bucketed.filter(F.col("bucket") == query_bucket)
         .select(F.col(id_col), sim)
@@ -145,19 +186,29 @@ def bucket_join_candidates(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """All-pairs candidate generation by LSH bucket equi-join (a < b) — the
-    scalable alternative to crossJoin for near-dup embedding search."""
+    scalable alternative to crossJoin for near-dup embedding search.
+
+    Each side carries its precomputed L2 norm (``nrm_a``/``nrm_b``): norms
+    are computed once per vector before the join instead of once per
+    candidate pair after it — same bits, O(n) instead of O(candidates)
+    norm folds."""
     b = corpus.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col)).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
     left = b.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
         F.col("bucket"),
+        F.col("nrm").alias("nrm_a"),
     )
     right = b.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
         F.col("bucket"),
+        F.col("nrm").alias("nrm_b"),
     )
     return left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
 
@@ -183,13 +234,14 @@ def ann_topk_multiprobe(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_norm: Column | None = None,
 ) -> DataFrame:
     """Multi-probe ANN: scan the query's bucket plus all Hamming-1 neighbor
     buckets (9 of 256 here) — the standard recall/cost dial for hyperplane
     LSH. At scale with `bucket` as a partition column this is a 9-partition
     IN-list prune instead of a full scan."""
     bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col)))
-    sim = cosine(F.col(vec_col), query_vec).alias("cosine_sim")
+    sim = cosine_sim_expr(vec_col, query_vec, query_norm).alias("cosine_sim")
     return (
         bucketed.filter(hamming_leq1(F.col("bucket"), query_bucket))
         .select(F.col(id_col), sim)

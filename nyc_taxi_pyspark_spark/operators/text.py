@@ -158,6 +158,7 @@ def near_dup_pairs(
     shingles: Column | None = None,
     n_bands: int = N_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
+    nonempty: Column | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pipeline: signature scan → band join →
     exact Jaccard verification on candidates only.
@@ -171,18 +172,23 @@ def near_dup_pairs(
     """
     if shingles is None:
         shingles = word_shingles(tokens(text_col))
+        if nonempty is None:
+            nonempty = F.size(tokens(text_col)) >= SHINGLE_K
     # Docs with empty shingle sets have NULL minhash values; concat_ws in
     # lsh_bands would collapse them all onto md5('') and emit every short-doc
     # pair as a candidate (with a NaN 0/0 Jaccard that passes >= threshold
     # under Spark's NaN-is-largest ordering). Exclude them up front — the
     # oracle's NULL band hashes never join, so this is also the parity fix.
-    sets_df = docs.select(F.col(id_col), shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
-    )
+    # ``nonempty`` must be a CHEAP predicate equivalent to size(shingles)>0:
+    # filtering on the shingle expression itself would recompute the full
+    # shingle pipeline per use (predicate pushdown substitutes the alias),
+    # which tripled this query's wall clock when tried.
+    if nonempty is None:
+        nonempty = F.size(shingles) > 0
+    docs = docs.filter(nonempty)
+    sets_df = docs.select(F.col(id_col), shingles.alias("shingles"))
     sig = with_minhash_signature(
-        docs.select(id_col, text_col).filter(F.size(shingles) > 0),
-        text_col,
-        shingles=shingles,
+        docs.select(id_col, text_col), text_col, shingles=shingles
     )
     pairs = lsh_candidate_pairs(
         lsh_bands(sig, id_col, n_bands, rows_per_band), id_col

@@ -103,11 +103,19 @@ def parallelize_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
     Small single-file parquet inputs (one row group) arrive as ONE partition,
     which serializes every downstream computation regardless of cluster
     width. On a real multi-file 100 TB table the scan is already wide and
-    this is a no-op — the check is on actual scan partitioning, so the extra
-    shuffle is only paid when it buys parallelism that doesn't exist.
+    this is a no-op. The width check is ``df.inputFiles()`` — driver-side
+    file-listing metadata, no job and no ``.rdd`` plan materialization (the
+    previous ``.rdd.getNumPartitions()`` probe materialized the RDD lineage
+    on every catalog query). A large single file that Spark would already
+    split by row group still gets repartitioned under this heuristic; that
+    trade only affects single-file inputs, which at 100 TB don't exist.
     """
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plans (e.g. in-memory): leave as-is
+        return df
+    if n_files and n_files < max(2, target // 2):
         return df.repartition(target)
     return df
 
