@@ -12,9 +12,39 @@ from pyspark.sql import functions as F
 from nyc_taxi_pyspark_spark.ml.pipelines import score_with_threshold
 
 
-def sample_for_scoring(df: DataFrame, n: int, seed: int = 7) -> DataFrame:
+def sample_for_scoring(
+    df: DataFrame,
+    n: int,
+    seed: int = 7,
+    population: int | None = None,
+) -> DataFrame:
+    """Deterministic n-row sample for scoring, without a global sort.
+
+    Default path: seeded Bernoulli ``sample()`` (a narrow, per-partition
+    scan — no shuffle, no global sort) oversampled ~20% above the target
+    fraction, then ``limit(n)``. Deterministic for a fixed (seed, input,
+    partitioning); at 100 TB it reads the table once and keeps nothing in
+    memory. ``population`` sizes the fraction without a count job when the
+    caller already knows the table size; otherwise one count scan is paid —
+    still linear, still no sort.
+
+    ``sample_for_scoring_compat`` keeps the reference's exact
+    ``orderBy(rand(seed)).limit(n)`` idiom (app5.py:355-367), whose global
+    sort of the full table is a scale-killer — kept only for row-level
+    parity with the reference UI.
+    """
+    total = population if population is not None else df.count()
+    if total <= n:
+        return df.cache()
+    fraction = min(1.0, 1.2 * n / total)
+    return df.sample(fraction=fraction, seed=seed).limit(n).cache()
+
+
+def sample_for_scoring_compat(df: DataFrame, n: int, seed: int = 7) -> DataFrame:
     """The reference's sampling idiom (app5.py:355-367): random order by
-    seeded rand, limit, cache for reuse across score + export actions."""
+    seeded rand, limit, cache. Exact-n and stable across partitionings, but
+    the global sort makes it unusable at scale — prefer
+    :func:`sample_for_scoring`."""
     return df.orderBy(F.rand(seed)).limit(n).cache()
 
 

@@ -96,3 +96,33 @@ def test_scoring_surface(spark, trips):
     s1 = {r.VendorID for r in sample_for_scoring(trips.select("VendorID"), 20).collect()}
     s2 = {r.VendorID for r in sample_for_scoring(trips.select("VendorID"), 20).collect()}
     assert s1 == s2
+
+
+def test_sampling_paths_scale_and_compat(spark, trips):
+    from nyc_taxi_pyspark_spark.plans.explain import formatted_plan
+    from nyc_taxi_pyspark_spark.serve.scoring import (
+        sample_for_scoring,
+        sample_for_scoring_compat,
+    )
+
+    src = trips.select("VendorID", "trip_distance")
+    n_src = src.count()
+
+    # default path: no global Sort anywhere in the plan (the compat idiom's
+    # orderBy(rand) global sort is the 100 TB scale-killer)
+    s = sample_for_scoring(src, 20, population=n_src)
+    plan = formatted_plan(s)
+    assert "Sort" not in plan
+    rows = s.collect()
+    assert 0 < len(rows) <= 20
+    # deterministic for fixed seed + input
+    again = sample_for_scoring(src, 20, population=n_src).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    # n >= population degenerates to the full table
+    assert sample_for_scoring(src, n_src + 10, population=n_src).count() == n_src
+
+    # compat path: exact n, deterministic, reference idiom
+    c1 = sample_for_scoring_compat(src, 20)
+    assert c1.count() == 20
+    c2 = sample_for_scoring_compat(src, 20)
+    assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
