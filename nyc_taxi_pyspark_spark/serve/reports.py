@@ -29,9 +29,12 @@ def export_reports(
 
 
 def list_reports(out_dir: str) -> list[str]:
-    """V4 — artifact directory browsing."""
+    """V4 — artifact directory browsing: single-file-CSV report dirs plus
+    image artifacts (the reference UI lists both, app5.py:311-344)."""
     if not os.path.isdir(out_dir):
         return []
     return sorted(
-        d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d))
+        d
+        for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d)) or d.endswith(".png")
     )
