@@ -221,11 +221,46 @@ def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Exact dedup via fingerprint group: keeps min(id) per distinct text —
-    deterministic survivor, single hash-aggregate shuffle."""
+    deterministic survivor, single hash-aggregate shuffle.
+
+    This min-id/groupBy form is the recommended 100 TB dedup when only the
+    survivor *id* is needed (narrowest shuffle: fp + id). When whole
+    surviving rows are needed, use
+    :func:`~nyc_taxi_pyspark_spark.operators.transforms.dedup_deterministic`
+    (window ``row_number`` — one shuffle, no self-join, deterministic
+    survivor). For EXTREME skew on one fingerprint (an empty/boilerplate
+    document duplicated billions of times, overwhelming even AQE's skew
+    split), use :func:`exact_dedup_salted`."""
     return (
         docs.withColumn("fp", fingerprint(text_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup_salted(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Exact dedup under extreme fingerprint skew: two-phase salted
+    aggregation (min/count per (fp, salt), then min/sum per fp).
+
+    The hot fingerprint's shuffle partition is split ``n_salt`` ways; both
+    aggregates are algebraic so the result is bit-identical to
+    :func:`exact_dedup`. Composes `operators.skew.salted_aggregate` with the
+    dedup fingerprint — the documented answer to "one boilerplate doc
+    repeated 10^9 times" at 100 TB."""
+    from nyc_taxi_pyspark_spark.operators.skew import salted_aggregate
+
+    with_fp = docs.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+    return salted_aggregate(
+        with_fp,
+        keys=["fp"],
+        measures={id_col: F.min(id_col), "n_copies": F.count("*")},
+        finals={id_col: F.min(id_col), "n_copies": F.sum("n_copies")},
+        n_salt=n_salt,
     )
 
 

@@ -121,3 +121,27 @@ def test_lsh_bucket_matches_python_reference(spark):
         for p in planes
     )
     assert got == want
+
+
+def test_salted_exact_dedup_matches_plain_on_hot_key(spark):
+    """Extreme-skew dedup: one fingerprint holds ~90% of rows. The salted
+    two-phase form must return bit-identical results to the single-shuffle
+    form, and its plan must contain the extra partial aggregate level."""
+    from nyc_taxi_pyspark_spark.operators.text import exact_dedup, exact_dedup_salted
+
+    hot = [(i, "the same boilerplate document") for i in range(9000)]
+    cold = [(10_000 + i, f"unique document number {i}") for i in range(1000)]
+    docs = spark.createDataFrame(hot + cold, "doc_id bigint, text string")
+
+    plain = {(r.fp, r.doc_id, r.n_copies) for r in exact_dedup(docs).collect()}
+    salted = {
+        (r.fp, r.doc_id, r.n_copies) for r in exact_dedup_salted(docs).collect()
+    }
+    assert plain == salted
+    assert len(salted) == 1001  # 1 hot fp + 1000 unique
+    hot_row = [t for t in salted if t[2] == 9000]
+    assert hot_row and hot_row[0][1] == 0  # min-id survivor
+
+    # the salted plan aggregates twice: (fp, salt) partials then fp finals
+    plan = exact_dedup_salted(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") >= 2
