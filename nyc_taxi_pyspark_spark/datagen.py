@@ -10,6 +10,8 @@ exact duplicates on the dedup keys, and ~40% zero tips (drives label_tip).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -88,3 +90,29 @@ def make_trips_pdf(n: int = 2000, seed: int = 42) -> pd.DataFrame:
     # exact duplicates on the dedup natural key: copy 20 rows verbatim
     dups = pdf.iloc[:20].copy()
     return pd.concat([pdf, dups], ignore_index=True)
+
+
+def write_trips_parquet(path: str, n: int = 5000, seed: int = 42) -> str:
+    """Materialize the deterministic trips table as a µs-timestamp parquet.
+
+    Both engines (Spark catalog queries and DuckDB oracle SQL) read this
+    one file, so the taxi-domain pipeline is oracle-checkable end-to-end:
+    the generator is seeded, the write is idempotent, and timestamps are
+    coerced to microseconds (pandas ns timestamps would otherwise produce
+    TIMESTAMP(NANOS) parquet that Spark's vectorized reader rejects).
+    Nullable int columns are written as Int32 so Spark sees IntegerType.
+    """
+    if os.path.exists(path):
+        return path
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = make_trips_pdf(n=n, seed=seed)
+    for col in ("VendorID", "passenger_count", "payment_type", "RateCodeID"):
+        pdf[col] = pdf[col].astype("Int32")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(
+        table, path, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    return path

@@ -85,6 +85,23 @@ def dsum_decimal(col: Column | str, scale: int = 4) -> Column:
     return F.sum(_c(col).cast(f"decimal(18,{scale})")).cast("double")
 
 
+def present_round(col: Column | str, digits: int = 2) -> Column:
+    """Engine-portable presentation rounding: ``FLOOR(x·10^d + 0.5)/10^d``.
+
+    ``ROUND`` diverges between engines on boundary-adjacent doubles (Java
+    HALF_UP on the shortest decimal repr vs DuckDB's binary-value rounding);
+    floor of the identical IEEE double has no rounding mode to disagree on.
+    """
+    s = float(10**digits)
+    return F.floor(_c(col) * F.lit(s) + F.lit(0.5)).cast("double") / F.lit(s)
+
+
+def oracle_present_round(expr: str, digits: int = 2) -> str:
+    """DuckDB SQL text twin of :func:`present_round`."""
+    s = float(10**digits)
+    return f"(CAST(FLOOR(({expr}) * {s} + 0.5) AS DOUBLE) / {s})"
+
+
 def oracle_dsum(expr: str, scale: int = 4) -> str:
     """DuckDB SQL text twin of :func:`dsum` for oracle queries."""
     s = float(10**scale)

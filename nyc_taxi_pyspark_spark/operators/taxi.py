@@ -23,6 +23,7 @@ from nyc_taxi_pyspark_spark.functions.scalar import (
     tip_rate_of_fare,
     tip_rate_of_total,
 )
+from nyc_taxi_pyspark_spark.functions.exact import davg, present_round
 from nyc_taxi_pyspark_spark.operators.transforms import apply_rules, taxi_cleaning_rules
 from nyc_taxi_pyspark_spark.schemas import PAYMENT_LOOKUP_ROWS, PAYMENT_LOOKUP_SCHEMA
 
@@ -80,7 +81,10 @@ def kpi_by_payment(trips: DataFrame, lookup: DataFrame) -> DataFrame:
         .groupBy(F.coalesce("payment_label", F.lit("Unknown")).alias("payment_label"))
         .agg(
             F.count("*").alias("trips"),
-            F.round(F.avg("total_amount"), 2).alias("avg_total"),
+            # exact int-cents average + portable presentation rounding (ROUND
+            # on a double average diverges between engines on half-cent
+            # boundaries — see functions/exact.py)
+            present_round(davg("total_amount", 2), 2).alias("avg_total"),
         )
         .orderBy(F.desc("trips"), "payment_label")
     )
@@ -92,7 +96,7 @@ def kpi_heatmap(trips: DataFrame) -> DataFrame:
         trips.groupBy("pickup_dow", "pickup_hour")
         .agg(
             F.count("*").alias("trips"),
-            F.round(F.avg("total_amount"), 2).alias("avg_total"),
+            present_round(davg("total_amount", 2), 2).alias("avg_total"),
         )
         .orderBy("pickup_dow", "pickup_hour")
     )
@@ -104,8 +108,8 @@ def kpi_distance_buckets(trips: DataFrame) -> DataFrame:
         trips.groupBy("distance_bucket")
         .agg(
             F.count("*").alias("trips"),
-            F.round(F.avg("fare_amount"), 2).alias("avg_fare"),
-            F.round(F.avg("tip_amount"), 2).alias("avg_tip"),
+            present_round(davg("fare_amount", 2), 2).alias("avg_fare"),
+            present_round(davg("tip_amount", 2), 2).alias("avg_tip"),
         )
         .orderBy(F.desc("trips"), "distance_bucket")
     )
