@@ -22,6 +22,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     sql_entry,
     taxi_domain,
     functions_ext,
+    sources_ext,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

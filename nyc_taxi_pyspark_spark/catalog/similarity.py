@@ -384,3 +384,135 @@ def embed_ann_multiprobe(spark, sf_dir):
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------------------------ IVF cells
+
+from nyc_taxi_pyspark_spark.operators.similarity import (  # noqa: E402
+    N_CENTROIDS,
+    ivf_assign,
+    ivf_cell_py,
+)
+
+_CENTROID_CACHE: dict[str, list] = {}
+
+
+def _centroids(spark, sf_dir):
+    """Training-free deterministic centroids: the vectors with ids
+    1..N_CENTROIDS, fetched once per table and inlined as literals (same
+    parameter discipline as the query vector). The DuckDB oracle derives
+    the identical centroids from the table itself."""
+    cs = _CENTROID_CACHE.get(sf_dir)
+    if cs is None:
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id").between(1, N_CENTROIDS))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cs = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in rows)
+        _CENTROID_CACHE[sf_dir] = cs
+    return cs
+
+
+_IVF_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _ivf(spark, sf_dir):
+    """Corpus with its IVF cell id, persisted once per (session, table) —
+    at scale `cell` is the write-time partition column an IVF index is."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _IVF_CACHE.get(key)
+    if df is None:
+        b = _bucketed(spark, sf_dir)
+        df = b.select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            ivf_assign(F.col("embedding"), _centroids(spark, sf_dir)).alias("cell"),
+        ).persist()
+        _IVF_CACHE[key] = df
+    return df
+
+
+def _duck_ivf_cells() -> str:
+    diff = f"({_DUCK_X} - CAST(c.ce[i] AS DOUBLE))"
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS cid, embedding AS ce FROM embeddings
+        WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+    ),
+    dists AS (
+        SELECT e.vec_id, c.cid, {_duck_acc(f'{diff} * {diff}')} AS d
+        FROM embeddings e, cents c, generate_series(1, {DIM}) AS g(i)
+        GROUP BY e.vec_id, c.cid
+    ),
+    cells AS (
+        SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    """
+
+
+@query(
+    "embed_ivf_cells",
+    oracle=_duck_ivf_cells()
+    + """
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(vec_id) AS min_vec_id
+    FROM cells GROUP BY cell ORDER BY cell
+    """,
+)
+def embed_ivf_cells(spark, sf_dir):
+    """IVF cell histogram — the coarse-quantizer partition layout (the
+    counterpart of embed_lsh_buckets for centroid-based indexes)."""
+    return (
+        _ivf(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("cell")
+    )
+
+
+@query(
+    "embed_ivf_topk",
+    oracle=_duck_ivf_cells()
+    + f"""
+    , q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qc AS (SELECT cell AS qcell FROM cells WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id,
+               {_duck_acc(f'{_DUCK_X} * CAST(q.qe[i] AS DOUBLE)')}
+                 / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                    * SQRT({_duck_acc('CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)')}))
+                 AS cosine_sim
+        FROM embeddings e, q, generate_series(1, {DIM}) AS g(i)
+        WHERE e.vec_id IN (SELECT c.vec_id FROM cells c, qc WHERE c.cell = qc.qcell)
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, cosine_sim FROM sims
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embed_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k: exact cosine restricted to the query's nearest-centroid
+    cell (single-probe). At scale: partition-prune on the literal cell id,
+    scan ~1/K of the corpus."""
+    vals = _query_vec_literal(spark, sf_dir)
+    qvec = F.array(*[F.lit(x).cast("double") for x in vals])
+    qcell = ivf_cell_py(vals, _centroids(spark, sf_dir))
+    qnorm = F.lit(l2_norm_py(vals))
+    c = _ivf(spark, sf_dir)
+    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+        "cosine_sim"
+    )
+    return (
+        c.filter(F.col("cell") == F.lit(qcell))
+        .select("vec_id", sim)
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )

@@ -12,16 +12,19 @@ from pyspark.sql import functions as F
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import oracle_davg
 from nyc_taxi_pyspark_spark.operators.text import (
+    BPE_PATTERN,
     LANG_PROFILES,
     N_BANDS,
     N_HASHES,
     ROWS_PER_BAND,
     STOPWORDS,
+    bpe_tokens,
     distinct_tokens,
     exact_dedup,
     near_dup_pairs,
     predict_lang,
     quality_features,
+    rolling_fingerprint,
     simhash16,
     tokens,
     with_minhash_signature,
@@ -350,4 +353,55 @@ def text_ngram_jaccard_pairs(spark, sf_dir):
         n_bands=2,
         rows_per_band=4,
         nonempty=F.length("text") >= 8,
+    )
+
+
+_DUCK_BPE = "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')"
+
+
+@query(
+    "text_bpe_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_DUCK_BPE}) AS INTEGER) AS n_bpe_tokens,
+           CAST(len({_DUCK_WORDS}) AS INTEGER) AS n_ws_tokens,
+           CAST(len(list_distinct({_DUCK_BPE})) AS INTEGER) AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-style pre-token counting next to whitespace counting — the
+    token-budget basis for an LLM-data pipeline (punctuation-aware)."""
+    d = _docs(spark, sf_dir)
+    bpe = bpe_tokens()
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(tokens()).alias("n_ws_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_distinct_bpe"),
+    )
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) > 0 THEN
+             list_reduce(list_transform(split(text, ''), c -> ord(c)::BIGINT),
+                         (acc, x) -> (acc * 131 + x) % 2147483647)
+           ELSE NULL END AS roll_fp,
+           md5(text) AS md5_fp
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rabin–Karp polynomial fingerprint beside the md5 fingerprint —
+    integer arithmetic end-to-end, the basis for content-defined chunking."""
+    d = _docs(spark, sf_dir)
+    from nyc_taxi_pyspark_spark.operators.text import fingerprint
+
+    return d.select(
+        "doc_id",
+        rolling_fingerprint().alias("roll_fp"),
+        fingerprint().alias("md5_fp"),
     )

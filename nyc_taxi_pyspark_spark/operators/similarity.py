@@ -248,3 +248,50 @@ def ann_topk_multiprobe(
         .orderBy(F.desc("cosine_sim"), id_col)
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ IVF cells
+
+N_CENTROIDS = 8
+
+
+def sq_dist(vec: Column, lit_vals: list[float]) -> Column:
+    """Micro-quantized squared L2 distance to a literal centroid — the same
+    int64-fold portability contract as dot()/l2_norm()."""
+    cent = F.array(*[F.lit(v).cast("double") for v in lit_vals])
+    return _dsum_terms(
+        F.zip_with(
+            vec,
+            cent,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+    )
+
+
+def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id: argmin over squared distances with
+    deterministic ties (smallest centroid id) via lexicographic struct min.
+
+    IVF is the partition-pruning counterpart of hyperplane LSH: at scale
+    `cell` is a write-time partition column and a query probes 1 (or
+    n_probe) cells. Centroid choice here is training-free (fixed corpus
+    ids) so every engine — and the DuckDB oracle — derives identical cells;
+    swapping in MLlib KMeans centroids changes recall, not the plan shape.
+    """
+    structs = [
+        F.struct(sq_dist(vec, vals).alias("d"), F.lit(cid).alias("cid"))
+        for cid, vals in centroids
+    ]
+    return F.array_min(F.array(*structs))["cid"]
+
+
+def sq_dist_py(vals: list[float], cent: list[float]) -> float:
+    """Python twin of :func:`sq_dist` (bit-identical IEEE ops)."""
+    import math
+
+    return dsum_py([(x - y) * (x - y) for x, y in zip(vals, cent)])
+
+
+def ivf_cell_py(vals: list[float], centroids: list[tuple[int, list[float]]]) -> int:
+    """Python twin of :func:`ivf_assign` for driver-side query parameters."""
+    return min((sq_dist_py(vals, c), cid) for cid, c in centroids)[1]

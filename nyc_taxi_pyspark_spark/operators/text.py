@@ -217,6 +217,45 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.col(text_col))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the GPT-2-style split shape reduced to a portable character-class regex
+# (identical semantics in Java regex and RE2, so DuckDB can twin it).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text_col: str = "text") -> Column:
+    """BPE-style pre-tokens via regexp_extract_all — the token-count basis
+    an LLM-data pipeline budgets with (vs whitespace tokens, which undercount
+    punctuation-heavy text)."""
+    return F.regexp_extract_all(text_col, F.lit(BPE_PATTERN), 0)
+
+
+ROLL_BASE = 131
+ROLL_MOD = 2_147_483_647  # 2^31 - 1: keeps acc*131+255 far inside int64
+
+
+def rolling_fingerprint(text_col: str = "text") -> Column:
+    """Rabin–Karp rolling-hash fingerprint of the full document.
+
+    Polynomial hash over character codes, folded left-to-right with the
+    first code as the seed: ``h = fold(codes[2:], codes[1],
+    (acc, c) -> (acc*131 + c) mod (2^31-1))``. Pure integer arithmetic ⇒
+    engine-portable (DuckDB twin: ``list_reduce`` with the same lambda —
+    its reduce seeds with the first element, hence the seed convention).
+    Unlike md5 it supports incremental/windowed extension, the property
+    content-defined chunking builds on. NULL for empty text."""
+    t = F.col(text_col)
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("bigint"))
+    return F.when(
+        F.length(t) > 0,
+        F.aggregate(
+            F.slice(codes, 2, F.greatest(F.length(t) - 1, F.lit(0))),
+            F.element_at(codes, 1),
+            lambda acc, x: (acc * F.lit(ROLL_BASE) + x) % F.lit(ROLL_MOD),
+        ),
+    ).otherwise(F.lit(None).cast("bigint"))
+
+
 def exact_dedup(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -157,6 +157,28 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """JSON-Lines scan — the interchange format LLM-data pipelines live on.
+
+    Explicit schema by default (schema inference on JSON costs a full extra
+    scan, same 100 TB argument as CSV); Spark's json reader handles a file,
+    a directory of part files, or a glob."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-Lines sink (one JSON object per line, partitioned part files —
+    the standard corpus-exchange layout)."""
+    df.write.mode(mode).json(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
