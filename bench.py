@@ -2,9 +2,10 @@
 """Benchmark harness (driver contract + BASELINE.md protocol).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS], one warm-up + 3 timed runs per query (median),
-materializing each plan fully through the noop sink (no collect cost, no
-pruned work). Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS], one warm-up + 5 timed runs per query (median —
+5 rather than 3 so a single JVM GC/JIT blip cannot shift the median of an
+otherwise-stable query), materializing each plan fully through the noop
+sink (no collect cost, no pruned work). Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 """
 
@@ -40,6 +41,7 @@ HEADLINE = [
     "embed_cosine_topk",
     "embed_ann_topk",
     "embed_ann_multiprobe",
+    "embed_ivf_topk",
     "grouping_sets_sums",
     "taxi_kpi_by_payment",
 ]
@@ -63,7 +65,7 @@ def main() -> None:
         fn = QUERIES[name]
         materialize(fn(spark, sf_dir))  # warm-up (JIT, file listing, broadcast)
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
