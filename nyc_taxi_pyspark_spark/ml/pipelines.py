@@ -225,3 +225,53 @@ def score_with_threshold(
     return pred.withColumn("proba1", proba1).withColumn(
         "pred_at_threshold", (F.col("proba1") >= threshold).cast("int")
     )
+
+
+def cross_validate_classification(
+    cfg: FeatureConfig,
+    label: str,
+    train: DataFrame,
+    reg_params: list[float] | None = None,
+    elastic_params: list[float] | None = None,
+    num_folds: int = 3,
+    seed: int = 42,
+):
+    """Hyperparameter search: seeded k-fold cross-validation over the
+    logistic-regression grid (M-ext; the reference hand-picks
+    regParam=0.1/maxIter=50 — 04b_cls_tip_lr_PIPE2.py:66 — this closes the
+    search loop it leaves open).
+
+    Scale note: CrossValidator fits folds×grid models; `parallelism` lets
+    independent fits share the cluster, and each fit is the same shuffle
+    plan as a single train — no per-row Python anywhere.
+
+    Returns (best_model, best_params, avg_metrics) where avg_metrics aligns
+    with the param grid order.
+    """
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    reg_params = reg_params or [0.01, 0.1]
+    elastic_params = elastic_params or [0.0, 0.5]
+    pipe = classification_lr(cfg, label)
+    lr = pipe.getStages()[-1]
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, reg_params)
+        .addGrid(lr.elasticNetParam, elastic_params)
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=BinaryClassificationEvaluator(labelCol=label),
+        numFolds=num_folds,
+        seed=seed,
+        parallelism=2,
+    )
+    model = cv.fit(train)
+    best_lr = model.bestModel.stages[-1]
+    best = {
+        "regParam": best_lr.getRegParam(),
+        "elasticNetParam": best_lr.getElasticNetParam(),
+    }
+    return model.bestModel, best, list(model.avgMetrics)

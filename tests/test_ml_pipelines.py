@@ -101,3 +101,30 @@ def test_split_deterministic(featured):
     t2, _ = train_test_split(featured, "total_amount")
     assert t1.count() == t2.count()
     assert t1.exceptAll(t2).count() == 0
+
+
+def test_cross_validation_grid_search(spark, trips):
+    from nyc_taxi_pyspark_spark.ml.pipelines import (
+        FeatureConfig,
+        cross_validate_classification,
+        train_test_split,
+    )
+    from nyc_taxi_pyspark_spark.operators.taxi import clean_trips, engineer_features
+
+    feat = engineer_features(clean_trips(trips)).na.fill({"payment_type": 5})
+    cfg = FeatureConfig(
+        numeric_cols=["trip_distance", "pickup_hour"],
+        categorical_cols=["payment_type"],
+    )
+    train, _ = train_test_split(feat, "label_tip")
+    best_model, best, avg_metrics = cross_validate_classification(
+        cfg, "label_tip", train, num_folds=2
+    )
+    # grid is 2x2; the chosen point must come from it and metrics be sane AUCs
+    assert best["regParam"] in (0.01, 0.1)
+    assert best["elasticNetParam"] in (0.0, 0.5)
+    assert len(avg_metrics) == 4
+    assert all(0.5 <= m <= 1.0 for m in avg_metrics)
+    # deterministic under the fixed seed: rerun picks the same point
+    _, best2, _ = cross_validate_classification(cfg, "label_tip", train, num_folds=2)
+    assert best2 == best
