@@ -58,3 +58,74 @@ def test_stream_session_window_runs(spark, events_dir):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in streamed.collect()}
     assert b == s
+
+
+def test_watermark_drops_late_data(spark):
+    """Late-data semantics (§2.9): in append mode, an event arriving after
+    the window's state has been evicted (watermark passed the window end at
+    least one batch earlier) is DROPPED — the closed window's aggregate does
+    not change. Micro-batches are forced with maxFilesPerTrigger=1. Note the
+    one-batch lag: batch N runs with the watermark computed at the end of
+    batch N-1, and state eviction happens at batch end — so the late event
+    must arrive two batches after the watermark-advancing event (Spark only
+    guarantees dropping data later than the watermark, it may still accept
+    data while the window state lives)."""
+    import time as _time
+
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="late_events_")
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf, TESTDATA_SCHEMAS["events"])
+        sdf.coalesce(1).write.mode("append").parquet(d)
+
+    base = "2024-01-01 "
+    # batch 0: the 10:00 window's on-time events + a 13:00 event that will
+    # advance the watermark to 12:50 at batch end
+    write_batch(
+        [
+            (1, base + "10:00:00", 1, "click", 1.0, "{}"),
+            (2, base + "10:15:00", 1, "click", 1.0, "{}"),
+            (3, base + "10:30:00", 2, "click", 1.0, "{}"),
+            (4, base + "13:00:00", 2, "click", 1.0, "{}"),
+        ]
+    )
+    _time.sleep(1.2)  # order file mtimes so triggers run in write order
+    # batch 1 runs with watermark 12:50 > 11:00: the 10:00 window is
+    # finalized (emitted with 3) and its state evicted at batch end
+    write_batch([(5, base + "13:30:00", 2, "click", 1.0, "{}")])
+    _time.sleep(1.2)
+    # batch 2: a 10:45 straggler, now strictly later than the watermark and
+    # with no live state — deterministically dropped
+    write_batch([(6, base + "10:45:00", 1, "click", 1.0, "{}")])
+
+    from nyc_taxi_pyspark_spark.streaming.windows import tumbling_counts
+
+    stream = (
+        spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = tumbling_counts(with_watermark(stream, "10 minutes"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(
+        "SELECT * FROM late_test WHERE window_start = TIMESTAMP '2024-01-01 10:00:00'"
+    ).collect()
+    # the 10:00 window was finalized by batch 1's watermark with 3 events;
+    # the late 10:45 event from batch 2 was dropped, not re-emitted
+    assert len(rows) == 1
+    assert rows[0].n_events == 3
