@@ -150,3 +150,33 @@ def window_ntile_pctrank(spark, sf_dir):
         pct.alias("pct_rank"),
         F.first("c_custkey").over(w).alias("richest_custkey"),
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT doc_id,
+           map_keys(map(['lang','source'], [lang, source])) AS meta_keys,
+           map_values(map(['lang','source'], [lang, source])) AS meta_values,
+           map(['lang','source'], [lang, source])['lang'][1] AS lang_val,
+           CAST(cardinality(map(['lang','source'], [lang, source])) AS INTEGER)
+             AS n_entries
+    FROM documents
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Map surface (§2.8 type-family width): create_map / map_keys /
+    map_values / element_at / size. The raw map column stays out of the
+    output (engines canonicalize maps differently); keys/values arrays and
+    scalar lookups are engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("meta_keys"),
+        F.map_values(m).alias("meta_values"),
+        F.element_at(m, "lang").alias("lang_val"),
+        F.size(m).alias("n_entries"),
+    )
