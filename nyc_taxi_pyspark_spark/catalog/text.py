@@ -26,6 +26,7 @@ from nyc_taxi_pyspark_spark.operators.text import (
     quality_features,
     rolling_fingerprint,
     simhash16,
+    simhash_near_dup_pairs,
     tokens,
     with_minhash_signature,
 )
@@ -197,6 +198,45 @@ def text_simhash(spark, sf_dir):
     """16-bit SimHash per document (integer arithmetic end-to-end)."""
     d = _docs(spark, sf_dir)
     return d.select("doc_id", simhash16(distinct_tokens()).alias("simhash"))
+
+
+def _simhash32_oracle_expr(salt: str) -> str:
+    src = f"md5('{salt}' || w)" if salt else "md5(w)"
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(dw,
+             w -> CASE WHEN (strpos('0123456789abcdef', {src}[{b + 1}:{b + 1}]) - 1) % 2 = 1
+                       THEN 1 ELSE -1 END)) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"""
+        for b in range(32)
+    )
+    return f"CAST({bit_terms} AS BIGINT)"
+
+
+def _simhash_pairs_oracle() -> str:
+    """Brute-force all-pairs twin of the banded Spark plan — valid because
+    pigeonhole banding at radius 3 over 4 bands is exact, so the banded
+    result must equal the full O(n²) scan."""
+    return f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {_simhash32_oracle_expr("")} AS lo,
+               {_simhash32_oracle_expr("b|")} AS hi
+        FROM (SELECT doc_id, {_DUCK_DWORDS} AS dw FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+                AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """
+
+
+@query("text_simhash_pairs", oracle=_simhash_pairs_oracle())
+def text_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 64-bit signature (two salted 32-bit
+    halves), 4×16-bit band join, Hamming ≤ 3 — exact for the radius by
+    pigeonhole, so the banded plan must reproduce the oracle's O(n²)
+    scan."""
+    return simhash_near_dup_pairs(_docs(spark, sf_dir))
 
 
 def _quality_oracle() -> str:

@@ -366,6 +366,116 @@ def simhash16(words: Column) -> Column:
     return out
 
 
+def simhash32(words: Column, salt: str = "") -> Column:
+    """32-bit SimHash over a distinct-word array as a BIGINT.
+
+    Bit b is set iff the sum over words of ±1 (sign = parity of hex digit
+    b+1 of md5(salt || word)) is positive — same scheme as
+    :func:`simhash16` widened to all 32 md5 hex digits, and computed in
+    TWO array passes instead of 32: one md5 per word (the hex string), then
+    one fold with a 32-lane sign accumulator (zip_with elementwise add).
+    Integer arithmetic end-to-end ⇒ engine-portable; a ``salt`` yields an
+    independent half, so two calls give a portable 64-bit signature.
+    """
+    hexes = F.transform(words, lambda w: F.md5(F.concat(F.lit(salt), w)))
+    signs = lambda h: F.transform(  # noqa: E731 — expression builder
+        F.sequence(F.lit(1), F.lit(32)),
+        lambda i: F.when(
+            (F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1) % 2
+            == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1)),
+    )
+    acc = F.aggregate(
+        hexes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(acc, signs(h), lambda a, b: a + b),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    return F.aggregate(
+        F.zip_with(
+            acc, powers, lambda a, p: F.when(a > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_N_BANDS = 4
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate pairs by 64-bit SimHash Hamming distance ≤ r.
+
+    Pipeline: two salted :func:`simhash32` halves per doc (one narrow scan)
+    → split into ``max_hamming + 1`` bands of 16 bits → band equi-join →
+    Hamming verification via bit_count(xor). By pigeonhole, a pair within
+    Hamming r agrees exactly on ≥1 of r+1 bands, so banding is EXACT for
+    the radius (unlike MinHash-LSH's probabilistic recall): output ≡
+    brute-force all-pairs, which is what the DuckDB oracle runs. Shuffles
+    only on (band_idx, band_val); candidates are bounded by true 16-bit
+    band collisions, never O(n²). SimHash is weaker than MinHash on
+    template-heavy corpora (shared boilerplate vocabulary dominates every
+    hyperplane sign) — both are offered; compare with `text_near_dup_pairs`.
+    """
+    if max_hamming > SIMHASH_N_BANDS - 1:
+        raise ValueError(
+            f"exact banding holds only for radius <= {SIMHASH_N_BANDS - 1}; "
+            "widen the signature or add bands for a larger radius"
+        )
+    d = docs.select(F.col(id_col), distinct_tokens(text_col).alias("__dw"))
+    sigs = d.select(
+        F.col(id_col),
+        simhash32(F.col("__dw"), "").alias("lo"),
+        simhash32(F.col("__dw"), "b|").alias("hi"),
+    )
+    mask = F.lit((1 << 16) - 1).cast("long")
+    bands = sigs.select(
+        F.col(id_col),
+        "lo",
+        "hi",
+        F.posexplode(
+            F.array(
+                F.col("lo").bitwiseAND(mask),
+                F.shiftright("lo", 16),
+                F.col("hi").bitwiseAND(mask),
+                F.shiftright("hi", 16),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.lo").alias("lo_a"),
+            F.col("a.hi").alias("hi_a"),
+            F.col("b.lo").alias("lo_b"),
+            F.col("b.hi").alias("hi_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: token counts, distinct ratio, mean token
     length, stopword ratio, and a composite score. All integer-count based

@@ -145,3 +145,54 @@ def test_salted_exact_dedup_matches_plain_on_hot_key(spark):
     # the salted plan aggregates twice: (fp, salt) partials then fp finals
     plan = exact_dedup_salted(docs)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") >= 2
+
+
+def test_simhash_pairs_exact_banding(spark):
+    """Banded Hamming-pair extraction must equal brute force (pigeonhole:
+    radius 3, 4 bands), find the planted near-identical pair, and reject
+    a radius the band count cannot certify."""
+    import itertools
+
+    import pytest
+
+    from nyc_taxi_pyspark_spark.operators.text import (
+        simhash32,
+        simhash_near_dup_pairs,
+    )
+
+    texts = [
+        (1, "spark query engine with hash join and sort merge"),
+        (2, "spark query engine with hash join and sort spill"),
+        (3, "unrelated gardening tips for tomato plants in spring"),
+        (4, "completely different corpus about marine biology and reefs"),
+        # same token SET as doc 1 (reordered + repeated words): simhash is
+        # set-based, so the pair must land at Hamming 0
+        (5, "merge sort and join hash with engine query spark spark"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(df).collect()
+    }
+
+    dw = F.array_distinct(tokens())
+    sigs = {
+        r.doc_id: (r.lo, r.hi)
+        for r in df.select(
+            "doc_id",
+            simhash32(dw, "").alias("lo"),
+            simhash32(dw, "b|").alias("hi"),
+        ).collect()
+    }
+    brute = {}
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+            sigs[a][1] ^ sigs[b][1]
+        ).count("1")
+        if h <= 3:
+            brute[(a, b)] = h
+    assert got == brute
+    assert (1, 5) in got  # one-word suffix: near-identical token sets
+
+    with pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=7)
