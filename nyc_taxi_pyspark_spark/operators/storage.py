@@ -32,6 +32,37 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: str | list[str],
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-cluster on write: ``repartitionByRange`` + in-partition sort.
+
+    Every output file — and every parquet row group inside it — then covers
+    a narrow, disjoint slice of the cluster key, so the footer min/max
+    statistics let a later selective scan skip whole files and row groups
+    instead of reading and filtering them. This is the write-time half of
+    predicate pushdown: pushdown decides WHAT can be skipped, clustering
+    decides HOW MUCH actually is. At 100 TB, clustering the fact table on
+    its dominant filter column (event date, typically) turns a full scan
+    into a touch of the few files whose range matches; the same layout is
+    what lakehouse OPTIMIZE/ZORDER approximates for one dimension.
+
+    The range repartition samples key quantiles (one extra Spark job) —
+    a write-time cost paid once, amortized over every later read.
+    """
+    cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+    out = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: str | list[str], how: str = "inner"
 ) -> DataFrame:

@@ -55,6 +55,11 @@ def get_spark(
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         # Arrow for the pandas/Pandas-UDF boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # columns carry NO parquet min/max statistics, which silently
+        # disables file/row-group pruning on time predicates — the dominant
+        # filter dimension of a 100 TB event table.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Quieter, faster local runs.
         .config("spark.ui.enabled", "false")
         .config(

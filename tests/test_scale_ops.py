@@ -117,3 +117,50 @@ def test_stateful_running_totals_across_batches(spark):
     got_rows = {tuple(r) for r in out.collect()}
     want_rows = {tuple(r) for r in want.collect()}
     assert got_rows == want_rows
+
+
+def test_clustered_write_prunes_row_groups(spark):
+    """Range-clustered layout: each file/row group covers a disjoint key
+    slice, so a point predicate's min/max-qualified row groups are a small
+    fraction of the total — the stats a 100 TB scan skips by."""
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.operators.storage import write_clustered
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/orders_by_date"
+        write_clustered(orders, path, "o_orderdate", n_files=8)
+
+        import glob
+
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        assert len(files) >= 4  # range repartition produced real spread
+
+        ranges = []
+        probe = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index("o_orderdate")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                assert st.has_min_max  # sorted write must emit stats
+                ranges.append((st.min, st.max))
+                probe = probe or st.min
+        # disjointness: row-group ranges may touch at file boundaries but
+        # not properly overlap
+        ranges.sort()
+        overlaps = sum(
+            1 for (a, b) in zip(ranges, ranges[1:]) if a[1] > b[0]
+        )
+        assert overlaps == 0
+        # a point predicate qualifies at most 2 of the >=4 row groups
+        hit = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+        assert hit <= 2
+
+        # and the clustered copy is the same table
+        clustered = spark.read.parquet(path)
+        assert clustered.count() == orders.count()
+        a = clustered.agg(dsum(F.col("o_totalprice")).alias("s")).collect()
+        b = orders.agg(dsum(F.col("o_totalprice")).alias("s")).collect()
+        assert a == b
