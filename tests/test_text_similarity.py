@@ -175,20 +175,24 @@ def test_simhash_pairs_exact_banding(spark):
         for r in simhash_near_dup_pairs(df).collect()
     }
 
+    from nyc_taxi_pyspark_spark.operators.text import SIMHASH_SALTS
+
     dw = F.array_distinct(tokens())
     sigs = {
-        r.doc_id: (r.lo, r.hi)
+        r.doc_id: [r[f"s{i}"] for i in range(len(SIMHASH_SALTS))]
         for r in df.select(
             "doc_id",
-            simhash32(dw, "").alias("lo"),
-            simhash32(dw, "b|").alias("hi"),
+            *[
+                simhash32(dw, s).alias(f"s{i}")
+                for i, s in enumerate(SIMHASH_SALTS)
+            ],
         ).collect()
     }
     brute = {}
     for a, b in itertools.combinations(sorted(sigs), 2):
-        h = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
-            sigs[a][1] ^ sigs[b][1]
-        ).count("1")
+        h = sum(
+            bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b])
+        )
         if h <= 3:
             brute[(a, b)] = h
     assert got == brute
