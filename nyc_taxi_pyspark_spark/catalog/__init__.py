@@ -23,6 +23,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     taxi_domain,
     functions_ext,
     sources_ext,
+    events,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

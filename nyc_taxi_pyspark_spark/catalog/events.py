@@ -1,0 +1,137 @@
+"""Event-sequence analytics over ``events`` (north-star extension).
+
+The reference's event surface stops at per-trip aggregates; a production
+event stream additionally needs ORDER-dependent analytics — funnels and
+cohort retention — whose Spark form is "one shuffle on user_id, then
+window passes over the per-user timeline". Both queries here follow that
+shape, which is the scale story: at 100 TB the only wide exchange is the
+hash partition on user_id (AQE-coalesced), every window pass reuses the
+same sort, and the final re-aggregations are tiny.
+
+Timestamps come through ``sources.io.load_table`` (events.parquet is
+TIMESTAMP_NANOS; load_table truncates ns→µs exactly as DuckDB does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH fv AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS first_view
+        FROM events
+    ),
+    fc AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > first_view
+                           THEN ts END)
+                    OVER (PARTITION BY user_id) AS first_click
+        FROM fv
+    ),
+    fp AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > first_click
+                           THEN ts END)
+                    OVER (PARTITION BY user_id) AS first_purchase
+        FROM fc
+    )
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT CASE WHEN first_view IS NOT NULL
+                                    THEN user_id END) AS BIGINT) AS n_viewed,
+           CAST(COUNT(DISTINCT CASE WHEN first_click IS NOT NULL
+                                    THEN user_id END) AS BIGINT) AS n_clicked,
+           CAST(COUNT(DISTINCT CASE WHEN first_purchase IS NOT NULL
+                                    THEN user_id END) AS BIGINT) AS n_purchased
+    FROM fp
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase.
+
+    Each stage is "first event of the stage type STRICTLY AFTER the
+    previous stage's first event", so a click that precedes every view
+    does not convert. Three stacked unbounded windows over the same
+    user_id partition — one exchange, one sort, three passes — then a
+    single global distinct-count roll-up. No self-joins: the per-user
+    timeline is scanned in place, which is the form that survives a
+    1000-executor shuffle (cf. reference KPI scripts, which have no
+    sequence-dependent analytics at all).
+    """
+    w = Window.partitionBy("user_id")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("first_view", fv)
+    fc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("first_click", fc)
+    fp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("first_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("first_purchase", fp)
+    return staged.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("first_view").isNotNull(), F.col("user_id"))
+        ).alias("n_viewed"),
+        F.countDistinct(
+            F.when(F.col("first_click").isNotNull(), F.col("user_id"))
+        ).alias("n_clicked"),
+        F.countDistinct(
+            F.when(F.col("first_purchase").isNotNull(), F.col("user_id"))
+        ).alias("n_purchased"),
+    )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, ts,
+               MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+        FROM events
+    )
+    SELECT CAST(first_ts AS DATE) AS cohort_date,
+           CAST(date_diff('day', CAST(first_ts AS DATE), CAST(ts AS DATE))
+                AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM firsts
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention: users grouped by the calendar date of their first
+    event, counted per day-offset they return on.
+
+    Shape: one window pass on the user_id partition to stamp the cohort,
+    then a distinct-count keyed by (cohort_date, day_offset). At scale the
+    distinct-count's exchange is the small one (cohort × offset keys), and
+    the user-level dedup happens map-side within the already-partitioned
+    window output.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn("first_ts", F.min("ts").over(w))
+    return (
+        staged.select(
+            F.to_date("first_ts").alias("cohort_date"),
+            F.datediff(F.to_date("ts"), F.to_date("first_ts")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -295,3 +295,69 @@ def sq_dist_py(vals: list[float], cent: list[float]) -> float:
 def ivf_cell_py(vals: list[float], centroids: list[tuple[int, list[float]]]) -> int:
     """Python twin of :func:`ivf_assign` for driver-side query parameters."""
     return min((sq_dist_py(vals, c), cid) for cid, c in centroids)[1]
+
+
+# ------------------------------------------------------- int8 scalar quant
+
+Q_LEVELS = 127
+
+
+def int8_quantize(vec: Column) -> Column:
+    """Symmetric per-vector int8 scalar quantization: q_i = round-half-up of
+    x_i · 127 / max|x| (0-vector ⇒ all zeros).
+
+    The rounding is ``FLOOR(t + 0.5)`` — floor of identical IEEE doubles is
+    bit-identical on every engine, while ROUND()'s half-handling is not (see
+    functions/exact.py). Quantized vectors make the whole similarity kernel
+    INTEGER arithmetic: dot and norms are exact int64 sums in any order, and
+    the per-vector scale cancels out of cosine entirely, so the quantized
+    cosine needs no float accumulation discipline at all. At 100 TB this is
+    also the storage play: 64 bytes/vector instead of 256/512, 4-8× more
+    vectors per scan byte and per shuffle byte.
+    """
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.when(
+        maxabs > 0,
+        F.transform(
+            vec,
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(Q_LEVELS)) / maxabs + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.transform(vec, lambda x: F.lit(0).cast("bigint")))
+
+
+def int8_quantize_py(vals: list[float]) -> list[int]:
+    """Python twin of :func:`int8_quantize` (bit-identical IEEE ops) for
+    driver-side query parameters."""
+    import math
+
+    m = max(abs(float(x)) for x in vals) if vals else 0.0
+    if m <= 0:
+        return [0] * len(vals)
+    return [math.floor(float(x) * float(Q_LEVELS) / m + 0.5) for x in vals]
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two integer arrays — associative, so
+    order-independent with no quantization discipline needed."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_cosine(qvec_col: Column, query_q: list[int]) -> Column:
+    """Quantized cosine vs a literal quantized query vector.
+
+    cos = Σqa·qb / (√Σqa² · √Σqb²): the per-vector scales cancel, so this
+    is pure integer arithmetic up to two final sqrt/divide ops on exact
+    integers — deterministic IEEE on every engine."""
+    import math
+
+    qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in query_q])
+    qn = math.sqrt(sum(v * v for v in query_q))
+    return int_dot(qvec_col, qlit).cast("double") / (
+        F.sqrt(int_dot(qvec_col, qvec_col).cast("double")) * F.lit(qn)
+    )

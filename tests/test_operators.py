@@ -109,3 +109,30 @@ def test_observe_single_pass_accounting(spark, trips):
     assert m["raw"] == trips.count()
     assert m["raw"] > m["after_rules"] >= m["after_dedup"] > 0
     assert m["after_dedup"] == cleaned.count()
+
+
+def test_funnel_stage_order_is_strict(spark):
+    """A click BEFORE the user's first view must not count as converted."""
+    import datetime as dt
+
+    from nyc_taxi_pyspark_spark.catalog.events import events_funnel
+    from nyc_taxi_pyspark_spark.catalog import events as ev_mod
+    from unittest import mock
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view -> click -> purchase (fully converted)
+        (1, t0, "view"),
+        (1, t0 + dt.timedelta(minutes=1), "click"),
+        (1, t0 + dt.timedelta(minutes=2), "purchase"),
+        # user 2: click before the only view — must NOT convert past view
+        (2, t0, "click"),
+        (2, t0 + dt.timedelta(minutes=1), "view"),
+        (2, t0 + dt.timedelta(minutes=2), "purchase"),
+        # user 3: never views
+        (3, t0, "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    with mock.patch.object(ev_mod, "load_table", lambda *_a, **_k: df):
+        out = events_funnel(spark, "unused").collect()[0]
+    assert (out.n_users, out.n_viewed, out.n_clicked, out.n_purchased) == (3, 2, 1, 1)
