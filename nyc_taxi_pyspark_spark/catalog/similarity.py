@@ -516,3 +516,72 @@ def embed_ivf_topk(spark, sf_dir):
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(10)
     )
+
+
+# ------------------------------------------------------ int8-quantized ANN
+
+from nyc_taxi_pyspark_spark.operators.similarity import (  # noqa: E402
+    Q_LEVELS,
+    int8_cosine,
+    int8_quantize,
+    int8_quantize_py,
+)
+
+_DUCK_Q = (
+    f"CASE WHEN m > 0 THEN list_transform(embedding, "
+    f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(Q_LEVELS)} / m + 0.5) AS BIGINT)) "
+    f"ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END"
+)
+
+
+@query(
+    "embed_ann_int8",
+    oracle=f"""
+    WITH sigs AS (
+        SELECT vec_id, {_DUCK_Q} AS qv
+        FROM (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings
+        )
+    ),
+    q AS (SELECT qv AS qq FROM sigs WHERE vec_id = 0),
+    qn AS (
+        SELECT SQRT(CAST(CAST(SUM(q.qq[i] * q.qq[i]) AS BIGINT) AS DOUBLE)) AS n
+        FROM q, generate_series(1, {DIM}) AS g(i)
+    ),
+    sims AS (
+        SELECT s.vec_id,
+               CAST(CAST(SUM(s.qv[i] * q.qq[i]) AS BIGINT) AS DOUBLE)
+                 / (SQRT(CAST(CAST(SUM(s.qv[i] * s.qv[i]) AS BIGINT) AS DOUBLE))
+                    * (SELECT n FROM qn)) AS cosine_q8
+        FROM sigs s, q, generate_series(1, {DIM}) AS g(i)
+        GROUP BY s.vec_id
+    )
+    SELECT vec_id, cosine_q8 FROM sims
+    ORDER BY cosine_q8 DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embed_ann_int8(spark, sf_dir):
+    """Int8 scalar-quantized similarity top-k: per-vector symmetric
+    quantization (scale cancels out of cosine), then an EXACT-INTEGER
+    scoring kernel — Σqa·qb and Σq² are int64 sums, so the score needs no
+    float-accumulation discipline and the scan is pure codegen arithmetic.
+
+    The 100 TB story is bandwidth: int8 vectors are 4-8× smaller than
+    float32/64, so a full-corpus quantized scan (or a bucket-pruned one —
+    compose with the LSH/IVF layouts) moves 4-8× less data for a score
+    whose top-k candidates are then exactly rerankable. The corpus
+    quantization is a write-time materialized column, same storage contract
+    as the bucket/norm layout (`_bucketed`)."""
+    e = _emb(spark, sf_dir)
+    qv = int8_quantize_py(_query_vec_literal(spark, sf_dir))
+    sim = int8_cosine(F.col("qv"), qv).alias("cosine_q8")
+    return (
+        e.select("vec_id", int8_quantize(F.col("embedding")).alias("qv"))
+        .select("vec_id", sim)
+        .orderBy(F.desc("cosine_q8"), "vec_id")
+        .limit(10)
+    )

@@ -200,3 +200,48 @@ def test_simhash_pairs_exact_banding(spark):
 
     with pytest.raises(ValueError):
         simhash_near_dup_pairs(df, max_hamming=7)
+
+
+def test_int8_cosine_tracks_exact(spark):
+    """Quantized cosine must agree with exact float cosine to the int8
+    quantization error bound, and rank a near-duplicate vector first."""
+    from nyc_taxi_pyspark_spark.operators.similarity import (
+        int8_cosine,
+        int8_quantize,
+        int8_quantize_py,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16).tolist()
+    near = [x + 0.001 for x in base]
+    far = rng.normal(size=16).tolist()
+    df = spark.createDataFrame(
+        [(1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    qq = int8_quantize_py(base)
+    out = (
+        df.select(
+            "vec_id",
+            int8_cosine(int8_quantize(F.col("embedding")), qq).alias("c8"),
+        )
+        .orderBy(F.desc("c8"))
+        .collect()
+    )
+    assert [r.vec_id for r in out] == [1, 2]
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    exact = {1: cos(base, near), 2: cos(base, far)}
+    for r in out:
+        assert abs(r.c8 - exact[r.vec_id]) < 0.02
+
+
+def test_int8_quantize_zero_vector_is_zero(spark):
+    from nyc_taxi_pyspark_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame([(1, [0.0] * 4)], "vec_id long, embedding array<double>")
+    row = df.select(int8_quantize(F.col("embedding")).alias("q")).head()
+    assert list(row.q) == [0, 0, 0, 0]
