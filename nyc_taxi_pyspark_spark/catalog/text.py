@@ -470,3 +470,48 @@ def text_rolling_fingerprint(spark, sf_dir):
         rolling_fingerprint().alias("roll_fp"),
         fingerprint().alias("md5_fp"),
     )
+
+
+def _dup_clusters_oracle() -> str:
+    """Recursive-CTE twin of min-label propagation: the cluster id is the
+    MIN over every id reachable in the pair graph — exactly the operator's
+    fixpoint, computed by brute-force transitive closure (fine at oracle
+    scale; the Spark side is the one that has to scale)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_near_dup_oracle()})
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS t FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id,
+           CAST(id = MIN(r) AS INTEGER) AS is_canonical
+    FROM reach GROUP BY id
+    """
+
+
+@query("text_dup_clusters", oracle=_dup_clusters_oracle())
+def text_dup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment — the step a dedup pipeline needs AFTER
+    pair extraction: transitive closure of the MinHash-LSH pairs, cluster id
+    = min doc_id of the component (deterministic canonical survivor; every
+    non-canonical member is the drop set). Pair graph from
+    ``near_dup_pairs``; components via ``connected_components`` (join +
+    min-agg rounds, diameter-bounded)."""
+    from nyc_taxi_pyspark_spark.operators.text import connected_components
+
+    pairs = near_dup_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
+    )

@@ -574,3 +574,71 @@ def predict_lang(words: Column) -> Column:
             best_later = F.greatest(best_later, c)
         expr = F.when(scores[lang] >= best_later, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation: every node's label converges to the smallest id reachable
+    from it, which is the deterministic cluster id (and the canonical
+    survivor) regardless of iteration order or partitioning.
+
+    Shape per iteration: one equi-join of the undirected edge list against
+    the current labels + a min-aggregate — both shuffle on the node id, so
+    AQE reuses one exchange layout throughout. Iterations needed = graph
+    diameter; near-dup clusters are short chains (pairs/triples), so this
+    converges in 2-3 rounds. For adversarial long-chain graphs at 100 TB,
+    swap the body for the alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds with the same join-aggregate shape; the fixpoint (and
+    so the result) is identical. Convergence is detected via the label sum:
+    labels only ever decrease, so an unchanged sum IS the fixpoint — one
+    scalar action per round, no change-count join.
+
+    Returns (id, label) — label = min id of the component.
+    """
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
+        .distinct()
+        .persist()
+    )
+    cur = (
+        und.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    prev_sum = cur.agg(F.sum("label")).head()[0]
+    if prev_sum is None:  # no edges at all
+        und.unpersist()
+        return cur
+    for _ in range(max_iter):
+        nbr = (
+            und.join(cur.select(F.col("id").alias("t"), "label"), "t")
+            .groupBy("s")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("s", "id")
+        )
+        nxt = (
+            cur.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = nxt.agg(F.sum("label")).head()[0]
+        cur.unpersist()
+        cur = nxt
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    und.unpersist()
+    return cur

@@ -245,3 +245,22 @@ def test_int8_quantize_zero_vector_is_zero(spark):
     df = spark.createDataFrame([(1, [0.0] * 4)], "vec_id long, embedding array<double>")
     row = df.select(int8_quantize(F.col("embedding")).alias("q")).head()
     assert list(row.q) == [0, 0, 0, 0]
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c chain must land in ONE cluster labeled min(a,b,c); the
+    disjoint pair keeps its own min label."""
+    from nyc_taxi_pyspark_spark.operators.text import connected_components
+
+    edges = spark.createDataFrame(
+        [(20, 30), (30, 10), (50, 40)], "doc_a long, doc_b long"
+    )
+    out = {r.id: r.label for r in connected_components(edges).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_connected_components_empty_edges(spark):
+    from nyc_taxi_pyspark_spark.operators.text import connected_components
+
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(edges).count() == 0
