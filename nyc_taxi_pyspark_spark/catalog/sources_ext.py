@@ -53,3 +53,45 @@ def jsonl_roundtrip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+_ZART = os.path.join(os.path.dirname(_ART), "zorder")
+
+
+@query(
+    "zorder_pruned_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents,
+           MIN(l_orderkey) AS min_orderkey
+    FROM lineitem
+    WHERE l_partkey <= 200 AND l_suppkey <= 20
+    """,
+)
+def zorder_pruned_scan(spark, sf_dir):
+    """lineitem → Z-order clustered copy (interleaved l_partkey/l_suppkey
+    bits) → selective scan on BOTH dimensions → aggregate. The oracle
+    aggregates the ORIGINAL table, so the hash only matches if the Z-curve
+    rewrite is lossless; the pruning property itself (row-group min/max
+    disjointness per dimension) is asserted in tests/test_scale_ops.py. At
+    100 TB the same layout makes either predicate a footer-stats skip
+    instead of a full scan."""
+    import os as _os
+
+    from nyc_taxi_pyspark_spark.operators.storage import write_zorder
+
+    out = _os.path.join(_ZART, _os.path.basename(sf_dir.rstrip("/")), "lineitem")
+    li = load_table(spark, sf_dir, "lineitem")
+    write_zorder(li, out, ["l_partkey", "l_suppkey"], n_files=8)
+    back = spark.read.parquet(out)
+    return (
+        back.filter((F.col("l_partkey") <= 200) & (F.col("l_suppkey") <= 20))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+            F.min("l_orderkey").alias("min_orderkey"),
+        )
+    )

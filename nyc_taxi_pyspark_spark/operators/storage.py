@@ -69,3 +69,74 @@ def bucketed_join(
     """Join two same-bucketed tables: no Exchange on either side (verified
     by tests via plan inspection)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def zorder_key(qcols: list, bits: int = 16):
+    """Morton (Z-curve) interleave of pre-quantized non-negative int
+    columns: bit b of column j lands at position b·n_cols + j. Pure
+    shift/mask expressions — whole-stage codegen, no UDF. n_cols·bits must
+    stay < 63 (int64)."""
+    from pyspark.sql import functions as F
+
+    c = len(qcols)
+    if c * bits > 62:
+        raise ValueError(f"{c} cols x {bits} bits exceeds int64")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for j, q in enumerate(qcols):
+            z = z + F.shiftleft(
+                F.shiftright(q, b).bitwiseAND(F.lit(1)), b * c + j
+            )
+    return z
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-column cluster on write via Z-curve interleaving — the layout
+    lakehouse OPTIMIZE ZORDER BY produces.
+
+    Range-clustering (``write_clustered``) gives one column perfect
+    file-level locality and the others none; interleaving the quantized
+    bits of k columns gives EVERY listed column ~1/2^(bits_used/k) range
+    locality per row group, so min/max stats prune selective predicates on
+    any of them. That trade is what a 100 TB fact table filtered sometimes
+    by key A and sometimes by key B needs: neither scan degenerates to
+    full-table.
+
+    Columns are linearly quantized to [0, 2^bits) from their observed
+    min/max (one tiny agg job at write time). Linear quantization assumes
+    roughly uniform keys; for heavy skew substitute rank-based bucket ids —
+    the interleave and write path are unchanged.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).head()
+    qcols = []
+    for i, cname in enumerate(cols):
+        mn, mx = stats[f"mn{i}"], stats[f"mx{i}"]
+        if mn is None or mx is None or mx <= mn:
+            qcols.append(F.lit(0).cast("bigint"))
+            continue
+        scale = float(2**bits - 1) / float(mx - mn)
+        qcols.append(
+            F.floor((F.col(cname) - F.lit(mn)).cast("double") * F.lit(scale)).cast(
+                "bigint"
+            )
+        )
+    z = zorder_key(qcols, bits)
+    out = df.withColumn("__z", z)
+    out = (
+        out.repartitionByRange(n_files, "__z")
+        if n_files
+        else out.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

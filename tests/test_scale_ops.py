@@ -164,3 +164,49 @@ def test_clustered_write_prunes_row_groups(spark):
         a = clustered.agg(dsum(F.col("o_totalprice")).alias("s")).collect()
         b = orders.agg(dsum(F.col("o_totalprice")).alias("s")).collect()
         assert a == b
+
+
+def test_zorder_write_prunes_both_dimensions(spark):
+    """Z-curve layout: a narrow range predicate on EITHER interleaved
+    column qualifies only a minority of row groups — the property
+    single-column range clustering cannot give the second column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.operators.storage import write_zorder
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/li_z"
+        write_zorder(li, path, ["l_partkey", "l_suppkey"], n_files=8)
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        assert len(files) >= 4
+
+        def qualified_fraction(col, lo, hi):
+            total = hit = 0
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.names.index(col)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    assert st.has_min_max
+                    total += 1
+                    if st.min <= hi and st.max >= lo:
+                        hit += 1
+            return hit / total
+
+        # ~1/16 of each key domain; both dims must prune (<60% qualified)
+        pmin, pmax = li.agg(F.min("l_partkey"), F.max("l_partkey")).head()
+        smin, smax = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).head()
+        pspan = (pmax - pmin) // 16 or 1
+        sspan = (smax - smin) // 16 or 1
+        assert qualified_fraction("l_partkey", pmin, pmin + pspan) < 0.6
+        assert qualified_fraction("l_suppkey", smin, smin + sspan) < 0.6
+
+        # the z-ordered copy is still the same table
+        back = spark.read.parquet(path)
+        assert back.count() == li.count()
+        a = back.agg(dsum(F.col("l_extendedprice"), 2).alias("s")).collect()
+        b = li.agg(dsum(F.col("l_extendedprice"), 2).alias("s")).collect()
+        assert a == b
