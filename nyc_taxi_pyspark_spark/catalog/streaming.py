@@ -77,3 +77,20 @@ def stream_session_window(spark, sf_dir):
     """Session windows (30-minute gap) per user — Spark's native stateful
     session operator; the oracle is the classic gaps-and-islands SQL."""
     return session_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS bucket_start
+    FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Exact dedup as a stream: distinct (user, event-type, hour-bucket)
+    keys — the watermarked ``dropDuplicates`` form whose state stays
+    bounded; tests prove the streamed run equals this batch twin."""
+    from nyc_taxi_pyspark_spark.streaming.windows import dedup_keys
+
+    return dedup_keys(load_table(spark, sf_dir, "events"))

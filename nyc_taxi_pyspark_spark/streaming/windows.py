@@ -70,3 +70,26 @@ def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     max(event time) − delay is finalized and dropped — bounded state at
     100 TB/day ingest rates."""
     return events.withWatermark("ts", delay)
+
+
+def dedup_keys(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Streaming-compatible exact dedup on a semantic key: one row per
+    (key…, event-time bucket).
+
+    Batch: compiles to a hash-distinct. Streaming: ``dropDuplicates`` over
+    the same columns keeps per-key state; with the watermark attached
+    (``with_watermark``) state for buckets older than the late bound is
+    evicted, so memory stays bounded by (keys × buckets in flight) — the
+    shape a 100 TB/day ingest dedup needs. Only the key columns are
+    emitted: keep-first payload semantics depend on arrival order, which no
+    cross-engine (or cross-run) contract can hash-match."""
+    b = F.window("ts", bucket).alias("w")
+    return (
+        events.select(*keys, b)
+        .dropDuplicates([*keys, "w"])
+        .select(*keys, F.col("w.start").alias("bucket_start"))
+    )

@@ -129,3 +129,19 @@ def test_watermark_drops_late_data(spark):
     # the late 10:45 event from batch 2 was dropped, not re-emitted
     assert len(rows) == 1
     assert rows[0].n_events == 3
+
+
+def test_stream_dedup_equals_batch(spark, events_dir):
+    from nyc_taxi_pyspark_spark.streaming.windows import dedup_keys
+
+    batch = dedup_keys(load_table(spark, SF_DIR, "events"))
+    streamed = run_stream_once(
+        spark,
+        events_dir,
+        TESTDATA_SCHEMAS["events"],
+        lambda s: dedup_keys(with_watermark(s)),
+        output_mode="append",
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
+    assert b == s and len(b) > 0
