@@ -107,3 +107,29 @@ def multimodal_features(spark, sf_dir):
     operators.multimodal.decode_stub — the oracle reproduces it from md5."""
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return extract_features(documents_as_media(docs))
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    SELECT media_id,
+           CAST(i - 1 AS INTEGER) AS frame_idx,
+           CAST((i - 1) * 40 AS BIGINT) AS ts_offset_ms,
+           md5(text || '|' || CAST(i - 1 AS VARCHAR)) AS frame_checksum
+    FROM (
+        SELECT doc_id AS media_id, text,
+               unnest(generate_series(1, 1 + octet_length(encode(text)) % 4)) AS i
+        FROM documents
+    )
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling as a row-expanding mapInPandas: each binary blob emits
+    1-4 deterministic pseudo-frames (stub decoder discipline) with
+    per-frame checksums the oracle re-derives from the same bytes. The
+    plumbing under test is the 1:N Arrow batch expansion and the
+    no-shuffle frame partitioning."""
+    from nyc_taxi_pyspark_spark.operators.multimodal import sample_frames
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return sample_frames(documents_as_media(docs))

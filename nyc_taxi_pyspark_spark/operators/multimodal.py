@@ -105,3 +105,53 @@ def extract_features(media: DataFrame, batch_fake_decode: bool = True) -> DataFr
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_offset_ms", T.LongType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, fps_ms: int = 40) -> DataFrame:
+    """Frame sampling: one binary blob in, N frame rows out — the
+    row-EXPANDING mapInPandas shape (decode → per-frame emit) that video
+    pipelines need, vs extract_features' 1:1 shape.
+
+    Partitioning: frames inherit the content row's partition — no shuffle;
+    a downstream per-frame stage (e.g. an embedding UDF) sees Arrow batches
+    of frames without a repartition. Frame count and checksums are derived
+    deterministically from the content bytes (stub decoder discipline, see
+    module docstring): n_frames = 1 + n_bytes % 4, frame i's checksum =
+    md5(content || '|' || i) — reproducible by any engine for the oracle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            sums: list[str] = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = 1 + len(content) % 4
+                for i in range(n):
+                    mids.append(mid)
+                    idxs.append(i)
+                    offs.append(i * fps_ms)
+                    sums.append(
+                        hashlib.md5(content + b"|" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_offset_ms": pd.Series(offs, dtype="int64"),
+                    "frame_checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
