@@ -515,3 +515,169 @@ def text_dup_clusters(spark, sf_dir):
         F.col("label").alias("cluster_id"),
         (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
     )
+
+
+@query(
+    "text_tficf_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(w) AS token, len(w) AS doc_len
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tfc,
+               CAST(MIN(doc_len) AS BIGINT) AS dl
+        FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+        FROM toks GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents)
+    SELECT tf.doc_id, tf.token,
+           tf.tfc AS tf_count, df.dfc AS doc_freq,
+           CAST(tf.tfc * n.nn AS DOUBLE) / CAST(tf.dl * df.dfc AS DOUBLE)
+             AS tficf
+    FROM tf JOIN df USING (token), n
+    ORDER BY tficf DESC, doc_id, token
+    LIMIT 30
+    """,
+)
+def text_tficf_topk(spark, sf_dir):
+    """TF-IDF-style term salience, top-30 (doc, token) pairs.
+
+    The score is the RATIONAL form tf·N / (doc_len·df) — term frequency
+    times inverse collection frequency — rather than the usual
+    tf·ln(N/df): the ranking for a fixed corpus is the same family, but
+    ln() is a libm call whose last ULP differs between JVM and DuckDB, so
+    a hash-checked score must stay in exact-int products with one final
+    double division. Plan: explode → (doc,token) count [shuffle 1] →
+    token doc-freq [shuffle 2, map-side combined] → broadcast-size join
+    back; N is a driver-side metadata count inlined as a literal (same
+    parameter discipline as the similarity query vector)."""
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()
+    toks = d.select(
+        "doc_id", F.explode(tokens()).alias("token"), F.size(tokens()).alias("doc_len")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count("*").alias("tf_count"), F.min("doc_len").cast("bigint").alias("dl")
+    )
+    df_ = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    score = (F.col("tf_count") * F.lit(n_docs)).cast("double") / (
+        F.col("dl") * F.col("doc_freq")
+    ).cast("double")
+    return (
+        tf.join(df_, "token")
+        .select("doc_id", "token", "tf_count", "doc_freq", score.alias("tficf"))
+        .orderBy(F.desc("tficf"), "doc_id", "token")
+        .limit(30)
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 \\t\\n]', ' ', 'g'), '[ \\t\\n]+', ' ', 'g'))
+             AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Corpus normalization (lowercase / punctuation→space / whitespace
+    collapse / trim) — the first stage of every LLM preprocessing pipeline;
+    pure codegen string expressions, no Python."""
+    from nyc_taxi_pyspark_spark.operators.text import normalize_text
+
+    return _docs(spark, sf_dir).select("doc_id", normalize_text().alias("norm_text"))
+
+
+@query(
+    "text_scrub_pii",
+    oracle=f"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+               '{{EMAIL}}', '<EMAIL>', 'g'), '{{URL}}', '<URL>', 'g'))
+             AS scrubbed_md5,
+           CAST(len(regexp_extract_all(text, '{{EMAIL}}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{{URL}}')) AS INTEGER) AS n_urls
+    FROM documents
+    """.replace("{EMAIL}", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+")
+       .replace("{URL}", "https?://[^ \\t\\n]+"),
+)
+def text_scrub_pii(spark, sf_dir):
+    """PII scrubbing: email and URL spans replaced by placeholder tokens
+    (patterns in the Java-regex ∩ RE2 common subset so both engines redact
+    identical spans); emits the scrubbed-content fingerprint plus match
+    counts on the original text."""
+    from nyc_taxi_pyspark_spark.operators.text import EMAIL_RE, URL_RE, scrub_pii
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(scrub_pii()).alias("scrubbed_md5"),
+        F.regexp_count("text", F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(URL_RE)).cast("int").alias("n_urls"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(MAX(c) AS BIGINT) AS max_token_count,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS repetition_ratio
+    FROM (
+        SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents)
+        GROUP BY doc_id, token
+    )
+    GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: the most frequent single token's
+    share of the document. High ratios flag boilerplate/spam for the
+    quality filter. Two map-side-combined shuffles (doc×token, then doc) —
+    the exact-count form; at 100 TB the same measure folds into the
+    existing per-doc aggregate pass."""
+    toks = _docs(spark, sf_dir).select("doc_id", F.explode(tokens()).alias("token"))
+    per = toks.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("max_token_count"),
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "repetition_ratio"
+        ),
+    )
+
+
+@query(
+    "text_split_assign",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END
+             AS split
+    FROM (
+        SELECT doc_id,
+               list_reduce(
+                   list_transform(
+                       split(md5(CAST(doc_id AS VARCHAR))[1:8], ''),
+                       c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                   (acc, x) -> (acc * 16 + x) % 10) AS b
+        FROM documents
+    )
+    """,
+)
+def text_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment from md5(doc_id) —
+    stable across runs, engines, partitionings, and corpus appends (a row's
+    split never depends on other rows), unlike randomSplit. The oracle
+    re-derives the same bucket via Horner-mod over the hex digits."""
+    from nyc_taxi_pyspark_spark.operators.text import split_assign
+
+    return _docs(spark, sf_dir).select("doc_id", split_assign().alias("split"))

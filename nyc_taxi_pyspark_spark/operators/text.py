@@ -642,3 +642,48 @@ def connected_components(
         prev_sum = cur_sum
     und.unpersist()
     return cur
+
+
+# --------------------------------------------------- LLM preprocessing ops
+
+# Patterns kept to the Java-regex ∩ RE2 common subset so Spark and the
+# DuckDB oracle replace identical spans (no \b, no lookaround).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+URL_RE = "https?://[^ \\t\\n]+"
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Standard LLM-corpus normalization: lowercase, strip punctuation to
+    spaces, collapse whitespace runs, trim. Pure string expressions —
+    whole-stage codegen, embarrassingly parallel."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 \\t\\n]", " ")
+    c = F.regexp_replace(c, "[ \\t\\n]+", " ")
+    return F.trim(c)
+
+
+def scrub_pii(text_col: str = "text") -> Column:
+    """Redact emails then URLs with fixed placeholder tokens — the
+    privacy-filter stage of a training-data pipeline. Order matters (an
+    email inside a URL query string is redacted first); both engines apply
+    the same order."""
+    c = F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(c, URL_RE, "<URL>")
+
+
+def split_assign(id_col: str = "doc_id", train_pct: int = 8, val_pct: int = 1) -> Column:
+    """Deterministic train/val/test assignment by content-free id hash:
+    bucket = first 8 hex digits of md5(id) mod 10. Hash-based (not random)
+    so the split is stable across runs, engines, partitionings, and
+    appends — the property a reproducible training pipeline needs. md5
+    rather than xxhash64 because the oracle engine must re-derive it."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
