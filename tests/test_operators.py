@@ -136,3 +136,22 @@ def test_funnel_stage_order_is_strict(spark):
     with mock.patch.object(ev_mod, "load_table", lambda *_a, **_k: df):
         out = events_funnel(spark, "unused").collect()[0]
     assert (out.n_users, out.n_viewed, out.n_clicked, out.n_purchased) == (3, 2, 1, 1)
+
+
+def test_sample_frames_expands_rows_deterministically(spark):
+    import hashlib
+
+    from nyc_taxi_pyspark_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [(1, "blob", bytearray(b"abcdefgh")), (2, "blob", bytearray(b"xyz"))],
+        "media_id long, kind string, content binary",
+    )
+    rows = sorted(
+        (r.media_id, r.frame_idx, r.ts_offset_ms, r.frame_checksum)
+        for r in sample_frames(media).collect()
+    )
+    # len 8 -> 1 frame; len 3 -> 4 frames
+    assert [(m, i) for m, i, _, _ in rows] == [(1, 0), (2, 0), (2, 1), (2, 2), (2, 3)]
+    assert rows[0][3] == hashlib.md5(b"abcdefgh|0").hexdigest()
+    assert all(o == i * 40 for _, i, o, _ in rows)

@@ -264,3 +264,25 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "doc_a long, doc_b long")
     assert connected_components(edges).count() == 0
+
+
+def test_split_assign_is_stable_and_partitions(spark):
+    """Hash-based split: same id → same split on any run/partitioning, and
+    all three splits appear at plausible rates."""
+    from nyc_taxi_pyspark_spark.operators.text import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.s for r in df.select("doc_id", split_assign().alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in df.repartition(13)
+        .select("doc_id", split_assign().alias("s"))
+        .collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
