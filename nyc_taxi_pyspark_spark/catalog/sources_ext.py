@@ -95,3 +95,43 @@ def zorder_pruned_scan(spark, sf_dir):
             F.min("l_orderkey").alias("min_orderkey"),
         )
     )
+
+
+_PART = os.path.join(os.path.dirname(_ART), "partitioned")
+
+
+@query(
+    "partitioned_pruned_scan",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders
+    WHERE year(o_orderdate) = 1995
+    """,
+)
+def partitioned_pruned_scan(spark, sf_dir):
+    """orders → Hive-partitioned layout on order year → scan of ONE
+    partition directory → aggregate. The oracle runs on the original
+    table, so the hash match proves the partitioned rewrite + pruned read
+    lossless for the selected slice; tests assert the plan shows the
+    predicate as PartitionFilters (directory pruning, zero data files
+    listed outside the year)."""
+    import os as _os
+
+    from nyc_taxi_pyspark_spark.operators.storage import write_partitioned
+
+    out = _os.path.join(_PART, _os.path.basename(sf_dir.rstrip("/")), "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    write_partitioned(
+        orders.withColumn("o_year", F.year("o_orderdate")), out, "o_year"
+    )
+    back = spark.read.parquet(out)
+    return back.filter(F.col("o_year") == 1995).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "total_cents"
+        ),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )

@@ -140,3 +140,45 @@ def write_zorder(
         else out.repartitionByRange("__z")
     )
     out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet layout (``partitionBy`` directories).
+
+    Partition columns become directory keys, so a filter on them is
+    PartitionFilters-level pruning: pruned directories are never even
+    listed, cheaper still than footer-stats skipping. The standard 100 TB
+    fact layout is partition on the coarse key (event date) + cluster
+    within partitions on the fine key (``write_clustered``/``write_zorder``).
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    out_path: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(rows/target) evenly-sized files. Returns the new file count.
+
+    Streaming ingest and over-parallel writes leave thousands of KB-sized
+    files; each costs a task + a footer read + object-store request, and at
+    100 TB the file count — not the byte count — becomes the scheduler
+    bottleneck. Compaction is the OPTIMIZE half of lakehouse maintenance
+    (``write_clustered``/``write_zorder`` are the ZORDER half); rewriting
+    through ``repartition`` (round-robin) sizes files evenly without
+    skew-sensitivity to the input layout.
+    """
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path or path + "_compacted")
+    return n_files
