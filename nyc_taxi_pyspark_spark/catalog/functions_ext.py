@@ -180,3 +180,63 @@ def map_functions(spark, sf_dir):
         F.element_at(m, "lang").alias("lang_val"),
         F.size(m).alias("n_entries"),
     )
+
+
+@query(
+    "lambda_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(w, x -> length(x) > 5)) AS INTEGER) AS n_long,
+           CAST(len(list_filter(w, x -> regexp_matches(x, '[0-9]'))) > 0
+                AS INTEGER) AS any_digit,
+           CAST(len(list_filter(w, x -> length(x) = 0)) = 0 AS INTEGER)
+             AS all_nonempty,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           list_transform(w, x -> CAST(length(x) AS INTEGER))[1:5] AS first5_lens
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def lambda_functions(spark, sf_dir):
+    """Higher-order array lambdas as a user surface: filter / exists /
+    forall / aggregate / transform — all JVM-side expressions (Catalyst
+    lambda variables), zero Python. The int64 aggregate fold is the same
+    order-independent discipline as the engine's exact sums. Lambda arity
+    is always written out in full: a defaulted second parameter silently
+    receives the array index."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(w, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.exists(w, lambda x: x.rlike("[0-9]")).cast("int").alias("any_digit"),
+        F.forall(w, lambda x: F.length(x) > 0).cast("int").alias("all_nonempty"),
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.slice(F.transform(w, lambda x: F.length(x)), 1, 5).alias("first5_lens"),
+    )
+
+
+@query(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
+           CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS INTEGER)
+             AS k_bucket
+    FROM events
+    """,
+)
+def json_struct_parse(spark, sf_dir):
+    """Schema-full JSON parsing: from_json into a typed struct (vs
+    sql_json_extract's path-string get_json_object) — the form that scales,
+    because the parsed struct is parsed ONCE and every downstream field
+    access is a struct projection, not a re-parse."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_value"),
+        (parsed.getField("k") % 10).alias("k_bucket"),
+    )
