@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): randomized inputs against
+brute-force Python references for the operators whose edge cases are
+hardest to enumerate by hand — graph clustering, as-of matching, and
+quantization. Example counts are kept small because every example pays a
+Spark job; the value is the randomized shape coverage, not volume."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+# The CC test pays several Spark jobs per example (iterative propagation);
+# cap it tighter so the whole module stays under ~2 minutes.
+_CC_SETTINGS = {**_SETTINGS, "max_examples": 6}
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: classic union-find, component label = min member id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for node in parent:
+        comp.setdefault(find(node), []).append(node)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_CC_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    from nyc_taxi_pyspark_spark.operators.text import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.id: r.label for r in connected_components(df).collect()}
+    assert got == _union_find_components(edges)
+
+
+@given(
+    lefts=st.lists(st.integers(0, 1000), min_size=1, max_size=12),
+    rights=st.lists(st.integers(0, 1000), min_size=0, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join == per-row max{right.ts <= left.ts} on one key."""
+    from nyc_taxi_pyspark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(lefts)], "event_id long, k long, t long"
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, t) for t in rights] or [(2, 0)], "k long, t long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"))
+    out = asof_join(left, right, by="k", left_ts="ts", right_ts="ts", value_cols=["ts"])
+    got = {
+        r.event_id: (r.asof_ts.timestamp() if r.asof_ts else None)
+        for r in out.collect()
+    }
+    want = {
+        i: (max((rt for rt in rights if rt <= t), default=None) if rights else None)
+        for i, t in enumerate(lefts)
+    }
+    want = {i: (float(v) if v is not None else None) for i, v in want.items()}
+    assert got == want
+
+
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=64), min_size=2, max_size=16
+    )
+)
+@settings(**_SETTINGS)
+def test_int8_quantize_invariants(spark, vec):
+    """Quantized values stay in [-127, 127], signs are preserved, and a
+    max-magnitude element maps to ±127 (unless the vector is all zeros)."""
+    from nyc_taxi_pyspark_spark.operators.similarity import (
+        int8_quantize,
+        int8_quantize_py,
+    )
+
+    df = spark.createDataFrame([(vec,)], "embedding array<double>")
+    q = list(df.select(int8_quantize(F.col("embedding")).alias("q")).head().q)
+    assert q == int8_quantize_py(vec)  # Spark == Python twin, bit-identical
+    assert all(-127 <= v <= 127 for v in q)
+    m = max(abs(x) for x in vec)
+    if m > 0:
+        for x, v in zip(vec, q):
+            if x > 0:
+                assert v >= 0
+            if x < 0:
+                assert v <= 0
+        assert 127 in [abs(v) for x, v in zip(vec, q) if abs(x) == m]
