@@ -108,7 +108,11 @@ def cmd_report(eng, args) -> int:
         payment_lookup,
     )
     from nyc_taxi_pyspark_spark.serve.plots import export_plot_reports
-    from nyc_taxi_pyspark_spark.serve.reports import export_reports, list_reports
+    from nyc_taxi_pyspark_spark.serve.reports import (
+        export_reports,
+        list_reports,
+        render_index_html,
+    )
 
     featured = _featured_trips(eng.spark, n=args.trips)
     export_reports(
@@ -120,6 +124,7 @@ def cmd_report(eng, args) -> int:
         args.out,
     )
     export_plot_reports(featured, args.out)
+    print(render_index_html(args.out))
     for name in list_reports(args.out):
         print(name)
     return 0

@@ -38,3 +38,46 @@ def list_reports(out_dir: str) -> list[str]:
         for d in os.listdir(out_dir)
         if os.path.isdir(os.path.join(out_dir, d)) or d.endswith(".png")
     )
+
+
+def render_index_html(out_dir: str, title: str = "KPI reports") -> str:
+    """Static report browser: one self-contained ``index.html`` listing
+    every CSV report (inline table preview, first 20 rows) and embedding
+    every PNG (base64) — the no-server form of the reference UI's report
+    browsing (app5.py:311-344). Returns the index path."""
+    import base64
+    import csv
+    import html
+
+    parts = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        f"<title>{html.escape(title)}</title>",
+        "<style>body{font-family:sans-serif;margin:2em}table{border-collapse:"
+        "collapse}td,th{border:1px solid #999;padding:2px 8px}img{max-width:"
+        "640px;display:block;margin:8px 0}</style></head><body>",
+        f"<h1>{html.escape(title)}</h1>",
+    ]
+    for name in list_reports(out_dir):
+        full = os.path.join(out_dir, name)
+        parts.append(f"<h2>{html.escape(name)}</h2>")
+        if name.endswith(".png"):
+            with open(full, "rb") as f:
+                b64 = base64.b64encode(f.read()).decode()
+            parts.append(f"<img src='data:image/png;base64,{b64}'>")
+            continue
+        csvs = [p for p in sorted(os.listdir(full)) if p.endswith(".csv")]
+        if not csvs:
+            continue
+        with open(os.path.join(full, csvs[0]), newline="") as f:
+            rows = list(csv.reader(f))[:21]
+        parts.append("<table>")
+        for i, row in enumerate(rows):
+            tag = "th" if i == 0 else "td"
+            cells = "".join(f"<{tag}>{html.escape(c)}</{tag}>" for c in row)
+            parts.append(f"<tr>{cells}</tr>")
+        parts.append("</table>")
+    parts.append("</body></html>")
+    index = os.path.join(out_dir, "index.html")
+    with open(index, "w") as f:
+        f.write("\n".join(parts))
+    return index

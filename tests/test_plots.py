@@ -86,3 +86,29 @@ def test_export_plot_reports_reference_shapes(spark, trips):
         # the artifact browser lists the PNGs
         listed = list_reports(d)
         assert {"trips_by_day.png", "heatmap_dow_hour.png"} <= set(listed)
+
+
+def test_render_index_html_embeds_reports(spark, trips, tmp_path):
+    from nyc_taxi_pyspark_spark.operators.taxi import (
+        clean_trips,
+        engineer_features,
+        kpi_by_payment,
+        payment_lookup,
+    )
+    from nyc_taxi_pyspark_spark.serve.plots import export_plot_reports
+    from nyc_taxi_pyspark_spark.serve.reports import (
+        export_reports,
+        render_index_html,
+    )
+
+    featured = engineer_features(clean_trips(trips))
+    out = str(tmp_path / "reports")
+    export_reports(
+        {"by_payment": kpi_by_payment(featured, payment_lookup(featured.sparkSession))},
+        out,
+    )
+    export_plot_reports(featured, out)
+    index = render_index_html(out)
+    html_text = open(index).read()
+    assert "by_payment" in html_text and "<table>" in html_text
+    assert "data:image/png;base64," in html_text  # PNGs embedded inline
