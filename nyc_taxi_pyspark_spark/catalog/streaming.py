@@ -4,6 +4,8 @@ form is what the DuckDB oracle checks)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import oracle_dsum
 from nyc_taxi_pyspark_spark.sources.io import load_table
@@ -94,3 +96,28 @@ def stream_dedup(spark, sf_dir):
     from nyc_taxi_pyspark_spark.streaming.windows import dedup_keys
 
     return dedup_keys(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           e.ts AS error_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts - INTERVAL '10 minutes'
+     AND e.ts <= c.ts
+    """,
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (clicks ⋈ errors within 10 minutes per
+    user) in its batch form; the streaming test runs the same transform
+    under two readStreams with watermarks, where the range predicate
+    bounds both sides' join state."""
+    from nyc_taxi_pyspark_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    errors = ev.filter(F.col("event_type") == "error")
+    return interval_join(clicks, errors)

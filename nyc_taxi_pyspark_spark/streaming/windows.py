@@ -93,3 +93,32 @@ def dedup_keys(
         .dropDuplicates([*keys, "w"])
         .select(*keys, F.col("w.start").alias("bucket_start"))
     )
+
+
+def interval_join(
+    clicks: DataFrame, errors: DataFrame, gap: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each click matched to every error by
+    the same user in the preceding ``gap``.
+
+    The time-range predicate is what makes this a STREAMING join: with
+    watermarks on both inputs it bounds how long either side's rows stay
+    in join state (errors older than click-watermark − gap are evicted),
+    so state is O(rate × gap), not unbounded. The identical transform runs
+    in batch (where it compiles to a plain range-predicated SortMergeJoin)
+    — which is what the DuckDB oracle checks.
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user_id"), F.col("ts").alias("error_ts")
+    )
+    return c.join(
+        e,
+        (c.user_id == e.e_user_id)
+        & (F.col("error_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("error_ts") <= F.col("click_ts")),
+    ).select("click_id", "user_id", "click_ts", "error_ts")

@@ -145,3 +145,40 @@ def test_stream_dedup_equals_batch(spark, events_dir):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_stream_interval_join_equals_batch(spark, events_dir):
+    """The interval join must produce identical pairs under readStream
+    (watermarks on BOTH sides bound the join state) and in batch."""
+    import uuid
+
+    from nyc_taxi_pyspark_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "error"),
+    )
+
+    def stream_side():
+        return spark.readStream.schema(TESTDATA_SCHEMAS["events"]).parquet(
+            events_dir
+        )
+
+    clicks = with_watermark(stream_side().filter(F.col("event_type") == "click"))
+    errors = with_watermark(stream_side().filter(F.col("event_type") == "error"))
+    name = f"ij_{uuid.uuid4().hex[:8]}"
+    q = (
+        interval_join(clicks, errors)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in spark.table(name).collect()}
+    assert b == s and len(b) > 0
