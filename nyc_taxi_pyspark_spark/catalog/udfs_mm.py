@@ -133,3 +133,32 @@ def multimodal_frames(spark, sf_dir):
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return sample_frames(documents_as_media(docs))
+
+
+@query(
+    "udtf_tokens",
+    oracle="""
+    SELECT doc_id, w AS token, CAST(i - 1 AS INTEGER) AS idx
+    FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(text, '\\s+')) AS w,
+               unnest(generate_series(1, len(string_split_regex(text, '\\s+'))))
+                 AS i
+        FROM documents
+    )
+    """,
+)
+def udtf_tokens(spark, sf_dir):
+    """Python UDTF via SQL LATERAL: per-document token rows with positions
+    (U4 table-function form). The oracle is DuckDB's parallel unnest; the
+    native Spark twin is posexplode(split(...)) — pytest proves UDTF ==
+    native."""
+    from nyc_taxi_pyspark_spark.functions.udfs import make_tokenize_udtf
+
+    spark.udtf.register("tokenize_udtf", make_tokenize_udtf())
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.token, t.idx "
+        "FROM udtf_docs d, LATERAL tokenize_udtf(d.text) t"
+    )

@@ -100,3 +100,26 @@ def add_running_index(df: DataFrame, order_col: str) -> Iterator:
     """U3's general form — mapInPandas per-partition batch transform.
     (See operators.multimodal for the production use of this shape.)"""
     raise NotImplementedError("template; see operators/multimodal.py")
+
+
+def make_tokenize_udtf():
+    """Python UDTF (table function): one text in, one row PER TOKEN out
+    with its position — the §2.10 U4 table-function surface (Spark 4's
+    ``@udtf``), completing the UDF family next to scalar/pandas/grouped
+    forms. Tokenization is ``re.split(r'\\s+', ...)`` to stay semantically
+    identical to the native `tokens()` expression and the DuckDB
+    ``string_split_regex`` twin. Like every Python UDF here this is the
+    demo path — the native twin (posexplode of split) is what belongs in a
+    100 TB plan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string, idx: int")
+    class Tokenize:
+        def eval(self, text: str):
+            import re
+
+            if text is not None:
+                for i, tok in enumerate(re.split(r"\s+", text)):
+                    yield tok, i
+
+    return Tokenize

@@ -126,3 +126,29 @@ def test_sampling_paths_scale_and_compat(spark, trips):
     assert c1.count() == 20
     c2 = sample_for_scoring_compat(src, 20)
     assert sorted(map(tuple, c1.collect())) == sorted(map(tuple, c2.collect()))
+
+
+def test_udtf_matches_native_posexplode(spark):
+    from nyc_taxi_pyspark_spark.functions.udfs import make_tokenize_udtf
+
+    spark.udtf.register("tok_t", make_tokenize_udtf())
+    df = spark.createDataFrame(
+        [(1, "a b  c"), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("tok_docs")
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT d.doc_id, t.token, t.idx FROM tok_docs d, "
+            "LATERAL tok_t(d.text) t"
+        ).collect()
+    }
+    native = {
+        tuple(r)
+        for r in df.select(
+            "doc_id", F.posexplode(F.split("text", r"\s+")).alias("idx", "token")
+        )
+        .select("doc_id", "token", "idx")
+        .collect()
+    }
+    assert got == native and (1, "c", 2) in got  # \s+ consumes the run
