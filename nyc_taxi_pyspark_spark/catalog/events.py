@@ -135,3 +135,71 @@ def events_retention(spark, sf_dir):
         .groupBy("cohort_date", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT time_bucket(INTERVAL '1 hour', MIN(ts)) AS lo,
+               time_bucket(INTERVAL '1 hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+        FROM bounds
+    ),
+    agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+                 AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT g.bucket,
+           COALESCE(a.n, 0) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           last_value(a.sum_value IGNORE NULLS)
+             OVER (ORDER BY g.bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS last_known_sum
+    FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Time-series gap filling + forward fill — an operator Spark has no
+    native form for: build the complete hourly grid with ``sequence()``
+    (explode of a generated range — rows from expressions, no driver
+    loop), left-join the real aggregates, zero-fill counts, and carry the
+    last observed value across empty buckets with last_value(ignorenulls).
+
+    Scale: the grid is O(hours in range) — tiny next to the events — and
+    the forward-fill window is a single global sort only because this
+    series is global; a per-key series partitions the window by the key,
+    which is the usual 100 TB shape."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_pyspark_spark.functions.exact import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n"), dsum("value", 2).alias("sum_value")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(agg, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("last_known_sum"),
+        )
+    )
