@@ -76,3 +76,37 @@ def test_null_scan_is_single_pass(spark):
     assert count_nodes(df, "Scan parquet") == 1
     # one exchange: the unavoidable single-partition merge of a global agg
     assert shuffle_count(df) == 1
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """Three stacked user_id windows must reuse a single Exchange+Sort;
+    total shuffles = 1 (windows) + 2 (countDistinct expand/final)."""
+    df = QUERIES["events_funnel"](spark, SF)
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert tree.count("Window") == 3
+    assert shuffle_count(df) == 3
+
+
+def test_int8_ann_is_scan_plus_topk(spark):
+    """Quantized top-k must stay scan + TakeOrdered — no join machinery,
+    one shuffle at most (the TakeOrdered merge)."""
+    df = QUERIES["embed_ann_int8"](spark, SF)
+    assert uses_take_ordered(df)
+    assert shuffle_count(df) <= 1
+
+
+def test_stream_dedup_single_shuffle(spark):
+    assert shuffle_count(QUERIES["stream_dedup"](spark, SF)) == 1
+
+
+def test_corpus_pipeline_bounded_shuffles(spark):
+    """Dedup agg + semi-join + final split agg — the composed pipeline must
+    not multiply exchanges beyond its three logical stages (AQE may add a
+    broadcast for the survivor side)."""
+    assert shuffle_count(QUERIES["corpus_pipeline"](spark, SF)) <= 4
+
+
+def test_tficf_no_cartesian_no_python(spark):
+    plan = formatted_plan(QUERIES["text_tficf_topk"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
