@@ -454,3 +454,21 @@ def grouping_sets_sums(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query("stratified_sample")
+def stratified_sample(spark, sf_dir):
+    """O5 width — stratified sampling (``sampleBy``): per-stratum Bernoulli
+    fractions, the tool for rebalancing skewed classes in a training-set
+    build (e.g. downsample the dominant event type). Sample membership
+    depends on partitioning ⇒ rows-only check, like ``sampled_agg``;
+    per-stratum rates and determinism under a fixed partitioning are
+    pytest-gated."""
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"view": 0.1, "click": 0.5, "purchase": 1.0, "error": 1.0,
+                 "signup": 0.2}
+    return (
+        ev.sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_sampled"), dsum("value", 2).alias("sum_value"))
+    )

@@ -286,3 +286,14 @@ def test_split_assign_is_stable_and_partitions(spark):
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
     assert abs(c["train"] / 2000 - 0.8) < 0.05
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from nyc_taxi_pyspark_spark.catalog.aggregates import stratified_sample
+
+    a = {r.event_type: r.n_sampled for r in stratified_sample(spark, "/root/testdata/sf0.01").collect()}
+    b = {r.event_type: r.n_sampled for r in stratified_sample(spark, "/root/testdata/sf0.01").collect()}
+    assert a == b  # same session+partitioning → identical sample
+    # full-fraction strata keep every row; fractional strata roughly track
+    assert a["purchase"] == 1981 and a["error"] == 2014
+    assert 100 < a["view"] < 300 and 700 < a["click"] < 1300
