@@ -766,3 +766,81 @@ def corpus_pipeline(spark, sf_dir):
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "text_bigram_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, w, len(w) AS n FROM
+        (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    ),
+    bigrams AS (
+        SELECT w[i] || ' ' || w[i + 1] AS bigram,
+               w[i] AS tok_a, w[i + 1] AS tok_b
+        FROM toks, unnest(generate_series(1, n - 1)) AS g(i)
+        WHERE n >= 2
+    ),
+    bg AS (SELECT bigram, tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_xy
+           FROM bigrams GROUP BY 1, 2, 3),
+    uni AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM
+        (SELECT unnest(w) AS t FROM toks) GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n FROM uni)
+    SELECT bg.bigram, bg.n_xy,
+           CAST(bg.n_xy * tot.n AS DOUBLE)
+             / CAST(ua.n_t * ub.n_t AS DOUBLE) AS lift
+    FROM bg JOIN uni ua ON bg.tok_a = ua.t
+            JOIN uni ub ON bg.tok_b = ub.t, tot
+    WHERE bg.n_xy >= 5
+    ORDER BY lift DESC, bigram
+    LIMIT 20
+    """,
+)
+def text_bigram_topk(spark, sf_dir):
+    """Collocation mining: adjacent-bigram counts scored by LIFT — the
+    exponentiated-PMI ratio P(xy)/(P(x)P(y)) = n_xy·N/(n_x·n_y) — kept
+    RATIONAL (exact-int products, one double division) because log/exp are
+    libm-divergent across engines (same discipline as text_tficf_topk).
+    Bigram extraction is zip_with over the token array against itself
+    shifted — row-level, no explode-join; then two map-side-combined
+    count shuffles and a broadcast-size join back. Phrase mining at 100 TB
+    is exactly this plan with the n_xy >= k support filter pushed into the
+    first aggregation."""
+    d = _docs(spark, sf_dir)
+    w = tokens()
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        d.filter(F.size(w) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+        .withColumn("tok_a", F.split("bigram", " ").getItem(0))
+        .withColumn("tok_b", F.split("bigram", " ").getItem(1))
+    )
+    uni = (
+        d.select(F.explode(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_t"))
+    )
+    n_total = int(
+        d.select(F.sum(F.size(w)).alias("n")).head()["n"]
+    )
+    ua = uni.select(F.col("t").alias("tok_a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("t").alias("tok_b"), F.col("n_t").alias("n_b"))
+    lift = (F.col("n_xy") * F.lit(n_total)).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    ).cast("double")
+    return (
+        bg.join(ua, "tok_a")
+        .join(ub, "tok_b")
+        .select("bigram", "n_xy", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(20)
+    )
