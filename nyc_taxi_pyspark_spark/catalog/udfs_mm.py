@@ -162,3 +162,39 @@ def udtf_tokens(spark, sf_dir):
         "SELECT d.doc_id, t.token, t.idx "
         "FROM udtf_docs d, LATERAL tokenize_udtf(d.text) t"
     )
+
+
+_DUCK_FAKE_W = (
+    "16 + ((strpos('0123456789abcdef', md5(text)[1:1]) - 1) * 16"
+    " + strpos('0123456789abcdef', md5(text)[2:2]) - 1) % 240"
+)
+_DUCK_FAKE_H = (
+    "16 + ((strpos('0123456789abcdef', md5(text)[3:3]) - 1) * 16"
+    " + strpos('0123456789abcdef', md5(text)[4:4]) - 1) % 240"
+)
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS fake_width,
+           CAST(h AS INTEGER) AS fake_height,
+           CAST(FLOOR(CAST(w AS DOUBLE) * (224.0 / greatest(w, h)) + 0.5)
+                AS INTEGER) AS out_width,
+           CAST(FLOOR(CAST(h AS DOUBLE) * (224.0 / greatest(w, h)) + 0.5)
+                AS INTEGER) AS out_height,
+           greatest(w, h) > 224 AS needs_resample
+    FROM (SELECT doc_id, {_DUCK_FAKE_W} AS w, {_DUCK_FAKE_H} AS h
+          FROM documents)
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Aspect-preserving resize PLAN over the decoded feature table:
+    target geometry as portable column arithmetic (the pixel resample is
+    the stubbed codec step, like decode). Proves the decode → plan →
+    (batched execute) pipeline split."""
+    from nyc_taxi_pyspark_spark.operators.multimodal import with_resize_plan
+
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    return with_resize_plan(extract_features(documents_as_media(docs)))

@@ -155,3 +155,29 @@ def sample_frames(media: DataFrame, fps_ms: int = 40) -> DataFrame:
             )
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def with_resize_plan(features: DataFrame, target: int = 224) -> DataFrame:
+    """Resize planning over extracted features: fit each media's (w, h)
+    into a target×target box preserving aspect ratio. The TARGET geometry
+    is pure column arithmetic (scale = target / max side, half-up floor
+    rounding — the engine-portable idiom); the pixel resample itself is
+    the stubbed codec step, exactly like decode. Keeping plan (cheap,
+    JVM-side, oracle-checkable) separate from execution (Python, batched)
+    is the production split: the plan can be pushed to a metadata-only
+    pass, and only the batches that actually change size enter the UDF."""
+    scale = F.lit(float(target)) / F.greatest("fake_width", "fake_height").cast(
+        "double"
+    )
+    return features.select(
+        "media_id",
+        "fake_width",
+        "fake_height",
+        F.floor(F.col("fake_width").cast("double") * scale + F.lit(0.5))
+        .cast("int")
+        .alias("out_width"),
+        F.floor(F.col("fake_height").cast("double") * scale + F.lit(0.5))
+        .cast("int")
+        .alias("out_height"),
+        (F.greatest("fake_width", "fake_height") > target).alias("needs_resample"),
+    )
