@@ -135,3 +135,41 @@ def partitioned_pruned_scan(spark, sf_dir):
         ),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+_ORC = os.path.join(os.path.dirname(_ART), "orc")
+
+
+@query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           MIN(o_orderdate) AS first_date
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orc_roundtrip(spark, sf_dir):
+    """orders → ORC sink → ORC scan → aggregate, oracled against the
+    ORIGINAL parquet — the hash match proves the ORC round trip lossless
+    (types, dates, strings). ORC is the second columnar format large
+    Hive-lineage estates feed in; Spark's native reader gives it the same
+    pushdown/pruning path as parquet."""
+    import os as _os
+
+    out = _os.path.join(_ORC, _os.path.basename(sf_dir.rstrip("/")), "orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_keys"),
+            F.min("o_orderdate").alias("first_date"),
+        )
+        .orderBy("o_orderpriority")
+    )
