@@ -161,3 +161,40 @@ def window_lead_share(spark, sf_dir):
         F.lead("c_acctbal").over(w).alias("next_acctbal"),
         share.alias("share_of_nation"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (ORDER BY date_diff('day', DATE '1992-01-01',
+                                         CAST(o_orderdate AS DATE))
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing7d_cents,
+           CAST(COUNT(*)
+                OVER (ORDER BY date_diff('day', DATE '1992-01-01',
+                                         CAST(o_orderdate AS DATE))
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing7d_orders
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, vs the moving-average query's ROWS frame):
+    trailing-7-day totals keyed on days-since-epoch. RANGE windows over an
+    int day index are the portable form — Spark's rangeBetween needs a
+    numeric ordering column, and the int key sidesteps both engines'
+    interval-frame quirks. The trailing sum is exact int cents (every row
+    with the same day gets the identical frame, so the value hash is
+    order-free)."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = Window.orderBy(days).rangeBetween(-6, 0)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(cents).over(w).alias("trailing7d_cents"),
+        F.count("*").over(w).alias("trailing7d_orders"),
+    )
