@@ -844,3 +844,67 @@ def text_bigram_topk(spark, sf_dir):
         .orderBy(F.desc("lift"), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "text_split_contamination",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS sh,
+               CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, text,
+                   list_reduce(
+                       list_transform(
+                           split(md5(CAST(doc_id AS VARCHAR))[1:8], ''),
+                           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                       (acc, x) -> (acc * 16 + x) % 10) AS b
+            FROM documents
+        )
+    ),
+    exploded AS (
+        SELECT doc_id, split, unnest(sh) AS s FROM assigned WHERE len(sh) > 0
+    )
+    SELECT b.doc_id AS test_doc, a.doc_id AS train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM exploded a JOIN exploded b ON a.s = b.s
+    WHERE a.split = 'train' AND b.split = 'test'
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def text_split_contamination(spark, sf_dir):
+    """Split-contamination detection: test-set documents sharing ≥3 word
+    trigrams with any train document — the leakage audit an LLM data
+    pipeline runs after splitting (a test doc that near-duplicates a train
+    doc inflates eval). Shape: shingle-explode each side, equi-join ON THE
+    SHINGLE (never doc×doc), count shared shingles per cross-split pair.
+    At 100 TB the same query runs on the MinHash band join's candidates
+    instead of raw shingles (the LSH prefilter bounds the shuffle); here
+    the exact form doubles as the oracle of that optimization. Shingle
+    arrays are already distinct, so COUNT(*) is the distinct overlap."""
+    from nyc_taxi_pyspark_spark.operators.text import (
+        split_assign,
+        tokens,
+        word_shingles,
+    )
+
+    d = _docs(spark, sf_dir)
+    sh = word_shingles(tokens())
+    exploded = (
+        d.filter(F.size(tokens()) >= 3)
+        .select("doc_id", split_assign().alias("split"), F.explode(sh).alias("s"))
+    )
+    a = exploded.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "s"
+    )
+    b = exploded.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "s"
+    )
+    return (
+        a.join(b, "s")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= 3)
+    )
