@@ -173,3 +173,137 @@ def orc_roundtrip(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "merge_upsert_agg",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey,
+               o_totalprice + 1000.0 AS o_totalprice,
+               'MERGED' AS o_orderpriority
+        FROM orders WHERE o_orderkey % 100 = 0
+        UNION ALL
+        SELECT 90000000 + r AS o_orderkey,
+               1111.5 + r AS o_totalprice,
+               'MERGED-NEW' AS o_orderpriority
+        FROM (SELECT unnest(generate_series(1, 5)) AS r)
+    ),
+    merged AS (
+        SELECT o.o_orderkey, o.o_totalprice, o.o_orderpriority
+        FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+        WHERE u.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM updates
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           MAX(o_orderkey) AS max_key
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+)
+def merge_upsert_agg(spark, sf_dir):
+    """MERGE INTO semantics, value-checked: an update batch (price bump +
+    priority rewrite for every 100th order, plus 5 brand-new keys) merged
+    into orders via the format-agnostic anti-join + union emulation
+    (`sources/lakehouse.merge_upsert`); the oracle replays the same merge
+    relationally. Updated rows replaced, untouched rows intact, inserts
+    present — the trifecta a transactional MERGE guarantees. With Delta or
+    Iceberg jars on the classpath the emulation swaps for native MERGE
+    INTO with the same observable result."""
+    from nyc_taxi_pyspark_spark.sources.lakehouse import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    existing = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            F.lit("MERGED").alias("o_orderpriority"),
+        )
+    )
+    new_rows = spark.range(1, 6).select(
+        (F.lit(90000000) + F.col("id")).alias("o_orderkey"),
+        (F.lit(1111.5) + F.col("id")).cast("double").alias("o_totalprice"),
+        F.lit("MERGED-NEW").alias("o_orderpriority"),
+    )
+    updates = existing.unionByName(new_rows)
+    merged = merge_upsert(orders, updates, ["o_orderkey"])
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "total_cents"
+        ),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@query(
+    "scd2_versions",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_nationkey,
+               TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM customer
+    ),
+    updates AS (
+        SELECT c_custkey, c_nationkey + 1 AS c_nationkey
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    merged AS (
+        SELECT d.c_custkey, d.c_nationkey, d.valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '2024-06-01 00:00:00'
+                    ELSE d.valid_to END AS valid_to
+        FROM dim d LEFT JOIN updates u ON d.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c_custkey, c_nationkey,
+               TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP)
+        FROM updates
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN valid_to IS NULL THEN 1 END) AS BIGINT)
+             AS n_open,
+           CAST(COUNT(CASE WHEN valid_to IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_closed,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_keys,
+           MAX(valid_from) AS latest_from
+    FROM merged
+    """,
+)
+def scd2_versions(spark, sf_dir):
+    """SCD type-2 history maintenance, value-checked with a pinned as-of
+    timestamp: changed keys get their current row CLOSED (valid_to
+    stamped) and a new OPEN version appended; unchanged keys keep a single
+    open row. The emulation (`sources/lakehouse.scd2_close_and_insert`) is
+    three joins + union — the relational core of what Delta's MERGE ...
+    WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT runs."""
+    from nyc_taxi_pyspark_spark.sources.lakehouse import scd2_close_and_insert
+
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey", (F.col("c_nationkey") + 1).alias("c_nationkey"))
+    )
+    out = scd2_close_and_insert(
+        dim, updates, ["c_custkey"], as_of="2024-06-01 00:00:00"
+    )
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
+        F.count(F.when(F.col("valid_to").isNotNull(), 1)).alias("n_closed"),
+        F.countDistinct("c_custkey").alias("n_keys"),
+        F.max("valid_from").alias("latest_from"),
+    )
