@@ -24,73 +24,42 @@ from nyc_taxi_pyspark_spark.catalog import ORACLES, QUERIES  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
-# CORRECTNESS_r01 recorded rows for exactly the first 50 registered queries,
-# leaving the text/similarity/streaming/taxi/udf/sql families with no driver
-# row. Emit the never-checked queries first (registration order within the
-# group), then the round-1-green ones ordered flagship-first, so a bounded
-# driver run always covers the families with the weakest evidence. All 87
-# queries run either way; only the dict order changes.
-_R01_CHECKED = [
-    # flagship + one representative per round-1-green family first
-    "pricing_summary",
-    "join_three_way",
-    "group_by_day",
-    "window_topn_per_group",
-    "dedup_keep_first",
-    "rollup_sums",
-    "having_topk",
-    "join_asof",
-    "grouping_sets_sums",
-    "set_union_distinct",
-    "heatmap_dow_hour",
-    "exact_quantiles",
-    "topk_orders",
-    # the rest of the round-1-green set (registration order)
-    "cast_projection",
-    "derived_columns",
-    "filter_battery",
-    "null_or_valid",
-    "membership_filter",
-    "case_buckets",
-    "dedup_distinct",
-    "null_fill",
-    "inline_lookup_table",
-    "global_scalar_agg",
-    "multi_measure_agg",
-    "null_scan",
-    "groupby_count_desc",
-    "group_by_hour",
-    "duplicate_groups",
-    "describe_stats",
-    "count_distinct",
-    "cube_sums",
-    "pivot_linestatus",
-    "approx_quantiles",
-    "approx_count_distinct",
-    "sampled_agg",
-    "join_lookup_enrich",
-    "join_inner_agg",
-    "join_left_missing",
-    "join_semi",
-    "join_anti",
-    "join_range_buckets",
-    "join_right_outer",
-    "join_full_outer",
-    "join_cross",
-    "window_lag_gap",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_rank_dense",
-    "window_lead_share",
-    "set_union_all_counts",
-]
+# The driver records correctness rows for ~50 queries/round. Order the
+# catalog so a bounded run always covers the weakest evidence first:
+#   1. queries with no driver row in ANY recorded round (registration order),
+#   2. checked queries, stalest round first (round-1-only before round-2, ...),
+#      registration order within a round.
+# The checked sets are read from the CORRECTNESS_r*.json artifacts committed
+# at the repo root, so this ordering auto-adapts as rounds accumulate. All
+# registered queries are emitted either way; only the dict order changes.
+
+
+def _checked_rounds() -> list[set]:
+    import glob
+    import json
+
+    rounds = []
+    for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rounds.append(set(json.load(fh)))
+        except Exception:
+            continue
+    return rounds
 
 
 def _ordered(mapping: dict) -> dict:
-    checked = set(_R01_CHECKED)
-    head = [n for n in QUERIES if n not in checked]
-    tail = [n for n in _R01_CHECKED if n in QUERIES]
-    return {n: mapping[n] for n in head + tail if n in mapping}
+    rounds = _checked_rounds()
+    last_round = {}  # query -> latest round index in which it was checked
+    for i, names in enumerate(rounds):
+        for n in names:
+            last_round[n] = i
+    order = sorted(
+        range(len(QUERIES)),
+        key=lambda i: (last_round.get(list(QUERIES)[i], -1), i),
+    )
+    names = list(QUERIES)
+    return {names[i]: mapping[names[i]] for i in order if names[i] in mapping}
 
 
 def entry(spark: SparkSession) -> DataFrame:
