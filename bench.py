@@ -2,11 +2,18 @@
 """Benchmark harness (driver contract + BASELINE.md protocol).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS], one warm-up + 5 timed runs per query (median —
+local[$SPARK_GRAFT_CPUS], one cold run + 5 timed runs per query (median —
 5 rather than 3 so a single JVM GC/JIT blip cannot shift the median of an
 otherwise-stable query), materializing each plan fully through the noop
 sink (no collect cost, no pruned work). Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "queries_cold": {...}, "sf": ...}
+
+Cold/warm split (BASELINE.md §5): `queries` (warm medians, gating the 2×
+rule) exclude one-time layout builds; `queries_cold` is each query's FIRST
+run in the process — for queries that build a session-persisted layout
+(text_*_pairs, embed_ann_*) it includes that build, so amortized numbers
+are never presented as if they were end-to-end.
 """
 
 from __future__ import annotations
@@ -62,16 +69,23 @@ def main() -> None:
     spark = get_spark("bench")
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        materialize(fn(spark, sf_dir))  # warm-up (JIT, file listing, broadcast)
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))  # cold: JIT, file listing, layout builds
+        cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(5):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
-        print(f"  {name}: {timings[name]}s (runs: {[round(r, 3) for r in runs]})", file=sys.stderr)
+        print(
+            f"  {name}: {timings[name]}s cold={cold[name]}s "
+            f"(runs: {[round(r, 3) for r in runs]})",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -81,6 +95,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.operators.similarity import (
     DIM,
@@ -27,7 +28,7 @@ def _emb(spark, sf_dir):
     return parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
 
 
-_BUCKETED_CACHE: dict[tuple[str, str], object] = {}
+_BUCKETED_CACHE = SessionLayoutCache()
 
 
 def _bucketed(spark, sf_dir):
@@ -43,19 +44,17 @@ def _bucketed(spark, sf_dir):
     saving is identical: the big bucket/norm expression tree is planned and
     computed once per session, and every ANN/near-dup query plans a small
     filter+fold instead."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _BUCKETED_CACHE.get(key)
-    if df is None:
-        e = _emb(spark, sf_dir)
-        df = e.select(
+    return _BUCKETED_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: _emb(spark, sf_dir).select(
             "vec_id",
             "label",
             "embedding",
             lsh_bucket(F.col("embedding")).alias("bucket"),
             l2_norm(F.col("embedding")).alias("nrm"),
-        ).persist()
-        _BUCKETED_CACHE[key] = df
-    return df
+        ),
+    )
 
 
 def _query_vec_literal(spark, sf_dir, vec_id: int = 0) -> F.Column:
@@ -415,24 +414,22 @@ def _centroids(spark, sf_dir):
     return cs
 
 
-_IVF_CACHE: dict[tuple[str, str], object] = {}
+_IVF_CACHE = SessionLayoutCache()
 
 
 def _ivf(spark, sf_dir):
     """Corpus with its IVF cell id, persisted once per (session, table) —
     at scale `cell` is the write-time partition column an IVF index is."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _IVF_CACHE.get(key)
-    if df is None:
-        b = _bucketed(spark, sf_dir)
-        df = b.select(
+    return _IVF_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: _bucketed(spark, sf_dir).select(
             "vec_id",
             "embedding",
             "nrm",
             ivf_assign(F.col("embedding"), _centroids(spark, sf_dir)).alias("cell"),
-        ).persist()
-        _IVF_CACHE[key] = df
-    return df
+        ),
+    )
 
 
 def _duck_ivf_cells() -> str:

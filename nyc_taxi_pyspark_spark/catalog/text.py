@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import oracle_davg
 from nyc_taxi_pyspark_spark.operators.text import (
@@ -19,9 +20,12 @@ from nyc_taxi_pyspark_spark.operators.text import (
     ROWS_PER_BAND,
     STOPWORDS,
     bpe_tokens,
+    char_shingles,
     distinct_tokens,
     exact_dedup,
+    minhash_layout,
     near_dup_pairs,
+    near_dup_pairs_from_layout,
     predict_lang,
     quality_features,
     rolling_fingerprint,
@@ -174,7 +178,7 @@ def _near_dup_oracle() -> str:
     """
 
 
-_PAIR_CACHE: dict[tuple[str, str], object] = {}
+_PAIR_CACHE = SessionLayoutCache()
 
 
 def _near_dup_pairs_cached(spark, sf_dir):
@@ -183,12 +187,9 @@ def _near_dup_pairs_cached(spark, sf_dir):
     tiny pair set, so a full catalog run pays the signature scan + band
     join once — the same materialized-layout discipline as
     ``_simhash_sigs`` / similarity's ``_bucketed``."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIR_CACHE.get(key)
-    if df is None:
-        df = near_dup_pairs(_docs(spark, sf_dir)).persist()
-        _PAIR_CACHE[key] = df
-    return df
+    return _PAIR_CACHE.get_or_build(
+        spark, sf_dir, lambda: near_dup_pairs(_docs(spark, sf_dir))
+    )
 
 
 @query("text_near_dup_pairs", oracle=_near_dup_oracle())
@@ -255,7 +256,7 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-_SIMHASH_SIG_CACHE: dict[tuple[str, str], object] = {}
+_SIMHASH_SIG_CACHE = SessionLayoutCache()
 
 
 def _simhash_sigs(spark, sf_dir):
@@ -263,12 +264,9 @@ def _simhash_sigs(spark, sf_dir):
     locally a persist() of the derived columns; at 100 TB the signature is
     written next to the documents at ingest (same storage contract as the
     similarity engine's ``_bucketed`` layout)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _SIMHASH_SIG_CACHE.get(key)
-    if df is None:
-        df = simhash_signature(_docs(spark, sf_dir)).persist()
-        _SIMHASH_SIG_CACHE[key] = df
-    return df
+    return _SIMHASH_SIG_CACHE.get_or_build(
+        spark, sf_dir, lambda: simhash_signature(_docs(spark, sf_dir))
+    )
 
 
 @query("text_simhash_pairs", oracle=_simhash_pairs_oracle())
@@ -421,20 +419,38 @@ def _ngram_oracle() -> str:
     """
 
 
+_NGRAM_LAYOUT_CACHE = SessionLayoutCache()
+
+
+def _ngram_layout(spark, sf_dir):
+    """Char-8-gram (shingles, h0..h7) signature layout, persisted once per
+    (session, table) — the same discipline as ``_simhash_sigs``. Without it
+    the shingle+signature pipeline replans on BOTH sides of the band
+    self-join and both verification joins (the round-2 bench regression:
+    1.49→1.95 s); with it one signature scan feeds all four consumers."""
+    return _NGRAM_LAYOUT_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: minhash_layout(
+            _docs(spark, sf_dir),
+            shingles=char_shingles(),
+            nonempty=F.length("text") >= 8,
+        ),
+    )
+
+
 @query("text_ngram_jaccard_pairs", oracle=_ngram_oracle())
 def text_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram-Jaccard near-dup variant: character 8-gram shingles, tighter
     LSH banding (2×4, threshold ≈ 0.84), exact Jaccard ≥ 0.8 verification.
-    Word-order robust and language agnostic, vs the word-trigram pipeline."""
-    from nyc_taxi_pyspark_spark.operators.text import char_shingles
-
-    return near_dup_pairs(
-        _docs(spark, sf_dir),
+    Word-order robust and language agnostic, vs the word-trigram pipeline.
+    Signatures come from the persisted layout; the query itself is one
+    band join + one verification join."""
+    return near_dup_pairs_from_layout(
+        _ngram_layout(spark, sf_dir),
         threshold=0.8,
-        shingles=char_shingles(),
         n_bands=2,
         rows_per_band=4,
-        nonempty=F.length("text") >= 8,
     )
 
 

@@ -95,10 +95,13 @@ def with_minhash_signature(
     text_col: str = "text",
     n_hashes: int = N_HASHES,
     shingles: Column | None = None,
+    keep_shingles_as: str | None = None,
 ) -> DataFrame:
     """Append h0..h{n-1} MinHash columns — a single narrow projection.
     ``shingles`` defaults to word trigrams; pass :func:`char_shingles` for
-    the n-gram-Jaccard variant.
+    the n-gram-Jaccard variant. ``keep_shingles_as`` additionally emits the
+    shingle array under that name (the exact-Jaccard verification input),
+    so a persisted layout computes shingles ONCE for both uses.
 
     All n lanes fold in ONE ``aggregate`` pass over the shingle array (an
     n-element running-minimum accumulator) instead of n separate
@@ -121,11 +124,13 @@ def with_minhash_signature(
             ]
         ),
     )
+    extra = [F.col("__sh").alias(keep_shingles_as)] if keep_shingles_as else []
     return (
         df.withColumn("__sh", sh)
         .withColumn("__mh", fold)
         .select(
             *df.columns,
+            *extra,
             *[
                 F.nullif(
                     F.element_at(F.col("__mh"), i + 1), F.lit(_MINHASH_TOP)
@@ -133,6 +138,90 @@ def with_minhash_signature(
                 for i in range(n_hashes)
             ],
         )
+    )
+
+
+def minhash_layout(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_HASHES,
+    shingles: Column | None = None,
+    nonempty: Column | None = None,
+) -> DataFrame:
+    """(id, shingles, h0..h{n-1}) — the materialized near-dup layout.
+
+    One pass over the corpus computes the shingle array AND the MinHash
+    signature; persisting the result means the LSH band self-join reads the
+    8 hash columns twice and the exact-Jaccard verification reads the
+    shingle arrays for the (bounded) candidate set — the expensive
+    shingle+signature pipeline never replans. Locally this is a
+    ``persist()``; at 100 TB the h-columns are written next to the table at
+    ingest (8 short hex strings/doc) and the shingle arrays are recomputed
+    for candidates only, trading ~270 strings/doc of storage for an
+    O(candidates) recompute — the layout API is the same either way.
+
+    Docs with empty shingle sets are excluded up front: their NULL minhash
+    values would collapse onto md5('') in ``lsh_bands`` and emit every
+    short-doc pair as a candidate (with a NaN 0/0 Jaccard that passes
+    ``>= threshold`` under Spark's NaN-is-largest ordering). ``nonempty``
+    must be a CHEAP predicate equivalent to size(shingles)>0: filtering on
+    the shingle expression itself would recompute the full shingle pipeline
+    per use (predicate pushdown substitutes the alias), which tripled this
+    query's wall clock before the layout existed.
+    """
+    if shingles is None:
+        shingles = word_shingles(tokens(text_col))
+        if nonempty is None:
+            nonempty = F.size(tokens(text_col)) >= SHINGLE_K
+    if nonempty is None:
+        nonempty = F.size(shingles) > 0
+    return with_minhash_signature(
+        docs.filter(nonempty).select(id_col, text_col),
+        text_col,
+        n_hashes=n_hashes,
+        shingles=shingles,
+        keep_shingles_as="shingles",
+    ).drop(text_col)
+
+
+def near_dup_pairs_from_layout(
+    layout: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """MinHash-LSH pair extraction over a precomputed :func:`minhash_layout`:
+    band join -> exact Jaccard verification on candidates only.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard >= threshold. The band
+    self-join touches only the id + hash columns; the verification joins the
+    (small, broadcast) candidate-pair set back to the layout's shingle
+    arrays and intersects them row-wise, so its cost is O(candidates),
+    never O(n²) — and with the layout persisted, zero recomputation.
+    """
+    pairs = lsh_candidate_pairs(
+        lsh_bands(layout, id_col, n_bands, rows_per_band), id_col
+    )
+    sa = layout.select(
+        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = layout.select(
+        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union_size = F.size("sh_a") + F.size("sh_b") - shared
+    jaccard = shared.cast("double") / union_size.cast("double")
+    return (
+        # pairs is the small side: Spark broadcasts it and streams the
+        # layout scans; only candidate rows reach the jaccard projection.
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        # union_size >= 1 after the empty-shingle filter in minhash_layout,
+        # so jaccard is never NaN; the guard keeps the predicate NaN-safe.
+        .filter(~F.isnan("jaccard") & (F.col("jaccard") >= threshold))
     )
 
 
@@ -205,45 +294,25 @@ def near_dup_pairs(
     banding parameters select the variant (word-trigram default; char
     k-grams with tighter bands for n-gram-Jaccard dedup).
     """
-    if shingles is None:
-        shingles = word_shingles(tokens(text_col))
-        if nonempty is None:
-            nonempty = F.size(tokens(text_col)) >= SHINGLE_K
     # Docs with empty shingle sets have NULL minhash values; concat_ws in
     # lsh_bands would collapse them all onto md5('') and emit every short-doc
     # pair as a candidate (with a NaN 0/0 Jaccard that passes >= threshold
-    # under Spark's NaN-is-largest ordering). Exclude them up front — the
-    # oracle's NULL band hashes never join, so this is also the parity fix.
-    # ``nonempty`` must be a CHEAP predicate equivalent to size(shingles)>0:
-    # filtering on the shingle expression itself would recompute the full
-    # shingle pipeline per use (predicate pushdown substitutes the alias),
-    # which tripled this query's wall clock when tried.
-    if nonempty is None:
-        nonempty = F.size(shingles) > 0
-    docs = docs.filter(nonempty)
-    sets_df = docs.select(F.col(id_col), shingles.alias("shingles"))
-    sig = with_minhash_signature(
-        docs.select(id_col, text_col), text_col, shingles=shingles
+    # under Spark's NaN-is-largest ordering). minhash_layout excludes them
+    # up front — the oracle's NULL band hashes never join, so this is also
+    # the parity fix. ``nonempty`` must be a CHEAP predicate equivalent to
+    # size(shingles)>0: filtering on the shingle expression itself would
+    # recompute the full shingle pipeline per use (predicate pushdown
+    # substitutes the alias), which tripled this query's wall clock.
+    layout = minhash_layout(
+        docs,
+        id_col,
+        text_col,
+        n_hashes=n_bands * rows_per_band,
+        shingles=shingles,
+        nonempty=nonempty,
     )
-    pairs = lsh_candidate_pairs(
-        lsh_bands(sig, id_col, n_bands, rows_per_band), id_col
-    )
-    sa = sets_df.select(
-        F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    sb = sets_df.select(
-        F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
-    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union_size = F.size("sh_a") + F.size("sh_b") - shared
-    jaccard = shared.cast("double") / union_size.cast("double")
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        # union_size >= 1 after the empty-shingle filter, so jaccard is never
-        # NaN here; the guard keeps the predicate NaN-safe regardless.
-        .filter(~F.isnan("jaccard") & (F.col("jaccard") >= threshold))
+    return near_dup_pairs_from_layout(
+        layout, id_col, threshold, n_bands, rows_per_band
     )
 
 
