@@ -582,3 +582,34 @@ def embed_ann_int8(spark, sf_dir):
         .orderBy(F.desc("cosine_q8"), "vec_id")
         .limit(10)
     )
+
+
+@query("embed_ann_recall")
+def embed_ann_recall(spark, sf_dir):
+    """Recall@10 of the multiprobe LSH ANN path against brute-force cosine
+    ground truth over a 20-query panel (rows-only by design: recall is a
+    quality metric of the approximation itself, so a SQL oracle would just
+    re-state the implementation). Both sides rank with the production
+    tie-break; see :func:`operators.similarity.ann_recall_at_k` for the
+    batch join shape. Pytest pins mean recall ≥ 0.9 (COVERAGE.md records
+    the measured value)."""
+    return ann_recall_at_k(_bucketed(spark, sf_dir), n_queries=20, k=10)
+
+
+from nyc_taxi_pyspark_spark.operators.similarity import ann_recall_at_k  # noqa: E402
+
+
+@query("embed_ann_near_recall")
+def embed_ann_near_recall(spark, sf_dir):
+    """Recall of 12-table multiprobe LSH on the near-neighbor contract:
+    fraction of relevant pairs (cosine ≥ 0.5 — the planted near-dup
+    population) retrieved. Rows-only by design (a quality metric of the
+    approximation). Pytest pins recall ≥ 0.9; COVERAGE.md records the
+    measured values (1.0 at sf0.01, 0.93 at sf0.1 — the pairs sit at
+    cosine ≈ 0.51, the hardest radius for hyperplane LSH, which is exactly
+    why the T-tables dial exists). See
+    :func:`operators.similarity.ann_near_recall` for both join shapes."""
+    return ann_near_recall(_bucketed(spark, sf_dir), n_tables=12)
+
+
+from nyc_taxi_pyspark_spark.operators.similarity import ann_near_recall  # noqa: E402

@@ -250,6 +250,206 @@ def ann_topk_multiprobe(
     )
 
 
+def probe_buckets(bucket: Column, n_bits: int = N_PLANES) -> Column:
+    """Array of the bucket itself plus its ``n_bits`` Hamming-1 neighbors —
+    the multiprobe set, as a row-level expression over the bit-string."""
+    def flip(j: int) -> Column:
+        bit = F.substring(bucket, j + 1, 1)
+        return F.concat(
+            F.substring(bucket, 1, j),
+            F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+            F.substring(bucket, j + 2, n_bits - j - 1),
+        )
+
+    return F.array(bucket, *[flip(j) for j in range(n_bits)])
+
+
+def ann_recall_at_k(
+    bucketed: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch recall@k of multiprobe hyperplane-LSH ANN against brute-force
+    cosine ground truth, over the first ``n_queries`` corpus vectors used
+    as queries.
+
+    Shape (both sides are one pass over the corpus):
+      - exact: corpus × broadcast(queries) — a deliberate, bounded
+        O(n_queries · n) nested-loop that IS the ground-truth definition;
+        at 100 TB this is the recurring eval job you run on a sample, with
+        the query panel always broadcast-sized.
+      - ANN: each query explodes into its 9 multiprobe buckets
+        (:func:`probe_buckets`) and equi-joins the corpus on ``bucket`` —
+        the same partition-prune shape the production ANN path uses, so the
+        measured recall is the production recall.
+    Both sides rank with the same deterministic tie-break (sim desc, id
+    asc), then recall = |ANN∩exact| / k per query.
+
+    Returns ONE row: (n_queries, k, mean_recall_at_k, min_recall_at_k).
+    """
+    from pyspark.sql import Window
+
+    queries = F.broadcast(
+        bucketed.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    sim = (
+        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("sim")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    exact = (
+        bucketed.join(queries, how="cross")
+        .select("q_id", id_col, sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col)
+    )
+    probes = queries.select(
+        "q_id",
+        "q_vec",
+        "q_nrm",
+        F.explode(probe_buckets(F.col("q_bucket"))).alias("bucket"),
+    )
+    ann = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .select("q_id", id_col, sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col)
+    )
+    # LEFT join (not semi): every query keeps its k exact rows, so a query
+    # with zero ANN overlap contributes recall 0 instead of vanishing.
+    per_query = (
+        exact.join(ann.withColumn("hit", F.lit(1)), ["q_id", id_col], "left")
+        .groupBy("q_id")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k)).alias("recall"))
+    )
+    return per_query.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.round(F.avg("recall"), 4).alias("mean_recall_at_k"),
+        F.round(F.min("recall"), 4).alias("min_recall_at_k"),
+    )
+
+
+def hyperplane_signs_salted(
+    salt: str, n_planes: int = N_PLANES, dim: int = DIM
+) -> list[list[int]]:
+    """Independent hyperplane table: sign[j][i] = md5('<salt>|<j>|<i>')
+    parity. Each salt is a fresh deterministic table — the L-tables recall
+    dial classic LSH uses when one table's collision probability is too low
+    for near-threshold neighbors."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{salt}|{j}|{i}".encode()).hexdigest()[0], 16) % 2
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def multi_table_buckets(vec: Column, n_tables: int) -> Column:
+    """Array of ``n_tables`` independent LSH bucket strings for one vector
+    (tables salted 0..n_tables-1). At 100 TB these are write-time columns —
+    the classic T-fold memory/recall trade of multi-table LSH."""
+    return F.array(
+        *[
+            lsh_bucket(vec, hyperplane_signs_salted(str(t)))
+            for t in range(n_tables)
+        ]
+    )
+
+
+def ann_near_recall(
+    corpus: DataFrame,
+    n_tables: int = 12,
+    rel_threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall of multi-table multiprobe LSH on its actual contract — the
+    (r, c)-near-neighbor guarantee: of all ordered pairs with cosine ≥
+    ``rel_threshold``, what fraction does the index retrieve?
+
+    (Recall against unrestricted exact top-k is reported separately by
+    ``embed_ann_recall`` and is information-theoretically capped for this
+    corpus: ~90% of every top-10 is ~0.35-cosine noise spread uniformly
+    over buckets, which no sublinear index can find. LSH's guarantee — and
+    a dedup/retrieval pipeline's need — is the near pairs, measured here.)
+
+    Shapes, both scan-shaped and shuffle-light:
+      - ground truth: corpus × broadcast(corpus-as-queries) exact cosine —
+        the bounded eval job (at 100 TB: a sampled query panel, identical
+        plan);
+      - index: every vector posexplodes into its ``n_tables`` (table,
+        bucket) entries — the T-fold write-time layout — and the query side
+        explodes into T × (1 + n_bits) Hamming-1 probes; candidates are the
+        (table, bucket) equi-join, distinct on the pair.
+
+    Returns ONE row: (n_queries, n_relevant_pairs, n_tables, recall) where
+    recall is pair-level (micro) recall.
+    """
+    base = corpus.select(id_col, vec_col, "nrm")
+    queries = F.broadcast(
+        base.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    sim = (
+        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("sim")
+    ground = (
+        base.join(queries, how="cross")
+        .select("q_id", id_col, sim)
+        .filter((F.col("sim") >= rel_threshold) & (F.col("q_id") != F.col(id_col)))
+    )
+    tables = base.select(
+        id_col,
+        F.posexplode(multi_table_buckets(F.col(vec_col), n_tables)).alias(
+            "tbl", "bucket"
+        ),
+    )
+    probe_struct = F.flatten(
+        F.transform(
+            multi_table_buckets(F.col(vec_col), n_tables),
+            lambda b, t: F.transform(
+                probe_buckets(b), lambda p: F.struct(t.alias("tbl"), p.alias("bucket"))
+            ),
+        )
+    )
+    qprobes = F.broadcast(
+        base.select(
+            F.col(id_col).alias("q_id"), F.explode(probe_struct).alias("pr")
+        ).select("q_id", F.col("pr.tbl").alias("tbl"), F.col("pr.bucket").alias("bucket"))
+    )
+    candidates = (
+        tables.join(qprobes, ["tbl", "bucket"])
+        .select("q_id", id_col)
+        .filter(F.col("q_id") != F.col(id_col))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = ground.join(candidates, ["q_id", id_col], "left")
+    return scored.agg(
+        F.count_distinct("q_id").cast("long").alias("n_queries"),
+        F.count("*").cast("long").alias("n_relevant_pairs"),
+        F.lit(n_tables).cast("long").alias("n_tables"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 4
+        ).alias("recall"),
+    )
+
+
 # ------------------------------------------------------------------ IVF cells
 
 N_CENTROIDS = 8

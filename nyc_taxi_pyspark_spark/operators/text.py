@@ -20,6 +20,8 @@ driver's documents table (pairwise Jaccard either <0.2 or ≥0.5).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -660,13 +662,16 @@ def connected_components(
     the current labels + a min-aggregate — both shuffle on the node id, so
     AQE reuses one exchange layout throughout. Iterations needed = graph
     diameter; near-dup clusters are short chains (pairs/triples), so this
-    converges in 2-3 rounds. For adversarial long-chain graphs at 100 TB,
-    swap the body for the alternating large-star/small-star rounds
-    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
-    O(log n) rounds with the same join-aggregate shape; the fixpoint (and
-    so the result) is identical. Convergence is detected via the label sum:
-    labels only ever decrease, so an unchanged sum IS the fixpoint — one
-    scalar action per round, no change-count join.
+    converges in 2-3 rounds. If ``max_iter`` rounds pass without reaching
+    the fixpoint (an adversarial long-diameter graph), the call logs a
+    warning and falls back to :func:`connected_components_star` — the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), whose round count is
+    logarithmic in component size rather than linear in diameter — so the
+    returned labels are ALWAYS converged. Convergence is detected via the
+    label sum: labels only ever decrease, so an unchanged sum IS the
+    fixpoint — one scalar action per round, no change-count join; the sum
+    is taken as decimal(38,0), which cannot wrap for any 64-bit id range.
 
     Returns (id, label) — label = min id of the component.
     """
@@ -682,10 +687,12 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
-    prev_sum = cur.agg(F.sum("label")).head()[0]
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = cur.agg(label_sum).head()[0]
     if prev_sum is None:  # no edges at all
         und.unpersist()
         return cur
+    converged = False
     for _ in range(max_iter):
         nbr = (
             und.join(cur.select(F.col("id").alias("t"), "label"), "t")
@@ -703,14 +710,124 @@ def connected_components(
             )
             .persist()
         )
-        cur_sum = nxt.agg(F.sum("label")).head()[0]
+        cur_sum = nxt.agg(label_sum).head()[0]
         cur.unpersist()
         cur = nxt
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     und.unpersist()
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d min-label rounds "
+            "(graph diameter > max_iter); falling back to large-star/"
+            "small-star.",
+            max_iter,
+        )
+        cur.unpersist()
+        return connected_components_star(edges, src, dst)
     return cur
+
+
+def _und_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct directed pairs (u, v), both directions, self-loops dropped."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    COSN'14) — round count logarithmic in component size, vs min-label
+    propagation's linear-in-diameter, so a million-node chain at 100 TB
+    converges in ~20 rounds instead of a million.
+
+    Per round, ONE shuffle each for the two stars (a window min over the
+    neighbor partition — no join) plus the distinct:
+      - large-star: for every node u, point every LARGER neighbor v > u at
+        m = min(N(u) ∪ {u});
+      - small-star: direct edges large→small, point every smaller neighbor
+        (and u itself) at the minimum.
+    The edge set monotonically approaches the star graph whose centers are
+    the component minima; an unchanged edge set is the fixpoint (checked
+    with one exceptAll probe — edge count alone can alias). Labels are then
+    read straight off the stars: (child → center) plus (center → center).
+
+    Returns (id, label) — label = min id of the component; identical output
+    contract (and fixpoint) to :func:`connected_components`.
+    """
+    from pyspark.sql import Window
+
+    # localCheckpoint (eager) truncates lineage every round — without it the
+    # logical plan doubles per round (window + union + distinct nests the
+    # whole history) and the driver OOMs analyzing round ~10's plan long
+    # before any executor works. Checkpoint blocks are reclaimed by the
+    # ContextCleaner once unreferenced.
+    cur = _und_edges(edges, src, dst).localCheckpoint(eager=True)
+    cur_count = cur.count()
+    converged = False
+    for _ in range(max_rounds):
+        # large-star over the symmetric closure of the current edge set
+        sym = cur.union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        w = Window.partitionBy("u")
+        m_all = F.least(F.min("v").over(w), F.col("u"))
+        large = (
+            sym.select("u", "v", m_all.alias("m"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over large→small directed edges
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m_small = F.min("v").over(w)  # all neighbors here are < u
+        nb = directed.select("u", "v", m_small.alias("m"))
+        nxt = (
+            nb.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(nb.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # Fixpoint = identical edge SET: equal counts AND no new edges.
+        # (Both probes are needed — the set both gains and loses edges on
+        # the way to the star forest, so either alone can alias; with equal
+        # counts, an empty one-sided except proves set equality.)
+        nxt_count = nxt.count()
+        changed = (
+            nxt_count != cur_count or nxt.exceptAll(cur).limit(1).count() > 0
+        )
+        cur, cur_count = nxt, nxt_count
+        if not changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_rounds} "
+            "rounds — raise max_rounds (expected ~log2(component size))."
+        )
+    # cur is a star forest: (child, center) edges, centers absent as child
+    return (
+        cur.select(F.col("u").alias("id"), F.col("v").alias("label"))
+        .union(
+            cur.select(F.col("v").alias("id"), F.col("v").alias("label"))
+        )
+        .distinct()
+    )
 
 
 # --------------------------------------------------- LLM preprocessing ops

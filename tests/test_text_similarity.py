@@ -297,3 +297,20 @@ def test_stratified_sample_rates_and_determinism(spark):
     # full-fraction strata keep every row; fractional strata roughly track
     assert a["purchase"] == 1981 and a["error"] == 2014
     assert 100 < a["view"] < 300 and 700 < a["click"] < 1300
+
+
+def test_ann_recall_queries(spark):
+    """embed_ann_recall runs and reports the honest top-k recall shape;
+    embed_ann_near_recall pins the near-neighbor (sim >= 0.5) contract the
+    multi-table index is built for: recall >= 0.9 with full coverage of the
+    planted pairs at sf0.01."""
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    row = QUERIES["embed_ann_recall"](spark, "/root/testdata/sf0.01").head()
+    assert row.n_queries == 20 and row.k == 10
+    assert 0.0 < row.mean_recall_at_k <= 1.0
+    assert row.min_recall_at_k >= 0.1  # the query itself is always retrieved
+
+    near = QUERIES["embed_ann_near_recall"](spark, "/root/testdata/sf0.01").head()
+    assert near.n_tables == 12 and near.n_relevant_pairs >= 2
+    assert near.recall >= 0.9
