@@ -18,7 +18,7 @@ import os
 from pyspark.sql import functions as F
 
 from nyc_taxi_pyspark_spark.catalog.registry import query
-from nyc_taxi_pyspark_spark.datagen import write_trips_parquet
+from nyc_taxi_pyspark_spark.datagen import DATAGEN_VERSION, write_trips_parquet
 from nyc_taxi_pyspark_spark.functions.exact import (
     oracle_davg,
     oracle_present_round,
@@ -33,15 +33,29 @@ from nyc_taxi_pyspark_spark.operators.taxi import (
 )
 from nyc_taxi_pyspark_spark.schemas import PAYMENT_LOOKUP_ROWS
 
+_TRIPS_SEED, _TRIPS_N = 42, 5000
+
+# Filename keyed on (seed, n, generator version): a datagen change yields a
+# NEW artifact path instead of silently pinning the stale file behind the
+# writer's exists() early-return.
 _TRIPS_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".artifacts",
-    "taxi_trips_seed42.parquet",
+    f"taxi_trips_seed{_TRIPS_SEED}_n{_TRIPS_N}_v{DATAGEN_VERSION}.parquet",
 )
 
-# Written at import time (pandas/pyarrow only — no Spark needed) so the
-# oracle side can never observe a missing file regardless of run order.
-write_trips_parquet(_TRIPS_PATH)
+
+def _ensure_trips() -> str:
+    return write_trips_parquet(_TRIPS_PATH, n=_TRIPS_N, seed=_TRIPS_SEED)
+
+
+# Best-effort eager write (pandas/pyarrow only — no Spark needed) so an
+# oracle-before-Spark run order still finds the file; on a read-only
+# checkout this no-ops and `_featured` generates lazily at first query.
+try:
+    _ensure_trips()
+except OSError:
+    pass
 
 
 def _featured(spark):
@@ -51,7 +65,7 @@ def _featured(spark):
     # carries naive (NTZ) timestamps; under UTC the LTZ read preserves the
     # wall time, matching DuckDB's naive TIMESTAMP reading bit-for-bit.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    trips = spark.read.schema(TRIPS_SCHEMA).parquet(_TRIPS_PATH)
+    trips = spark.read.schema(TRIPS_SCHEMA).parquet(_ensure_trips())
     return engineer_features(clean_trips(trips))
 
 

@@ -15,6 +15,11 @@ import os
 import numpy as np
 import pandas as pd
 
+# Bump whenever make_trips_pdf's output changes for the same (n, seed):
+# consumers key the materialized-parquet filename on (seed, n, version), so
+# a generator change regenerates instead of silently pinning a stale file.
+DATAGEN_VERSION = 1
+
 
 def make_trips_pdf(n: int = 2000, seed: int = 42) -> pd.DataFrame:
     rng = np.random.default_rng(seed)

@@ -166,8 +166,12 @@ def compact_files(
     target_rows_per_file: int,
     out_path: str | None = None,
 ) -> int:
-    """Small-file compaction: rewrite a parquet directory into
+    """Small-file compaction: write the parquet directory's rows to a NEW
+    directory (``out_path``, default ``path + "_compacted"``) as
     ceil(rows/target) evenly-sized files. Returns the new file count.
+    The output must differ from the input: overwriting the directory a
+    lazy plan is still reading would clobber the input mid-scan — a real
+    lakehouse OPTIMIZE stages new files and commits a metadata swap.
 
     Streaming ingest and over-parallel writes leave thousands of KB-sized
     files; each costs a task + a footer read + object-store request, and at
@@ -177,8 +181,16 @@ def compact_files(
     through ``repartition`` (round-robin) sizes files evenly without
     skew-sensitivity to the input layout.
     """
+    import os
+
+    dest = out_path or path + "_compacted"
+    if os.path.abspath(dest) == os.path.abspath(path):
+        raise ValueError(
+            "compact_files: out_path must differ from path — mode('overwrite') "
+            "on the directory being lazily re-read clobbers the input mid-scan"
+        )
     df = spark.read.parquet(path)
     n = df.count()
     n_files = max(1, -(-n // target_rows_per_file))
-    df.repartition(n_files).write.mode("overwrite").parquet(out_path or path + "_compacted")
+    df.repartition(n_files).write.mode("overwrite").parquet(dest)
     return n_files

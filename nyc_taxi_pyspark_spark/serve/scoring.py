@@ -18,7 +18,7 @@ def sample_for_scoring(
     seed: int = 7,
     population: int | None = None,
 ) -> DataFrame:
-    """Deterministic n-row sample for scoring, without a global sort.
+    """Deterministic UP-TO-n-row sample for scoring, without a global sort.
 
     Default path: seeded Bernoulli ``sample()`` (a narrow, per-partition
     scan — no shuffle, no global sort) oversampled ~20% above the target
@@ -27,6 +27,13 @@ def sample_for_scoring(
     memory. ``population`` sizes the fraction without a count job when the
     caller already knows the table size; otherwise one count scan is paid —
     still linear, still no sort.
+
+    Bernoulli sampling can undershoot: the result has AT MOST n rows (the
+    1.2× cushion makes a short batch ~P(Binomial(total, 1.2n/total) < n),
+    vanishing for large n, and the cushion disappears entirely once the
+    fraction caps at 1.0 — where the result is simply every row). Callers
+    that need exact-n must use :func:`sample_for_scoring_compat`, whose
+    global sort buys exactness.
 
     ``sample_for_scoring_compat`` keeps the reference's exact
     ``orderBy(rand(seed)).limit(n)`` idiom (app5.py:355-367), whose global
