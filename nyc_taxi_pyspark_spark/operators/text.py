@@ -675,17 +675,20 @@ def connected_components(
 
     Returns (id, label) — label = min id of the component.
     """
+    # Eager localCheckpoint (not persist): each round's frame must TRUNCATE
+    # lineage, or the logical plan nests the whole iteration history and the
+    # driver OOMs analyzing round ~20's plan even on tiny graphs.
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cur = (
         und.select(F.col("s").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = cur.agg(label_sum).head()[0]
@@ -708,16 +711,14 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = nxt.agg(label_sum).head()[0]
-        cur.unpersist()
         cur = nxt
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
-    und.unpersist()
     if not converged:
         logging.getLogger(__name__).warning(
             "connected_components: no fixpoint after %d min-label rounds "
@@ -725,7 +726,6 @@ def connected_components(
             "small-star.",
             max_iter,
         )
-        cur.unpersist()
         return connected_components_star(edges, src, dst)
     return cur
 
