@@ -613,3 +613,113 @@ def embed_ann_near_recall(spark, sf_dir):
 
 
 from nyc_taxi_pyspark_spark.operators.similarity import ann_near_recall  # noqa: E402
+
+
+def _semantic_dedup_oracle() -> str:
+    """Twin of the full semantic-dedup pipeline: single-table Hamming-≤1
+    candidates (brute-force bucket compare at oracle scale; the Spark side
+    is the banded probe join that has to scale), exact quantized cosine
+    ≥ 0.5, recursive-CTE min-label closure, survivor = min id."""
+    acc_ab = _duck_acc(
+        "CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)"
+    )
+    acc_aa = _duck_acc(
+        "CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)"
+    )
+    acc_bb = _duck_acc(
+        "CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + _duck_bucket_cte().strip().removeprefix("WITH")
+        + f"""
+    , cands AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.vec_id < b.vec_id AND {_duck_hamming_leq1("a.bucket", "b.bucket")}
+    ),
+    sims AS (
+        SELECT c.id_a, c.id_b,
+               {acc_ab} / (SQRT({acc_aa}) * SQRT({acc_bb})) AS cosine_sim
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b,
+        generate_series(1, {DIM}) AS g(i)
+        GROUP BY c.id_a, c.id_b
+        HAVING cosine_sim >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS s, id_b AS t FROM sims
+        UNION
+        SELECT id_b AS s, id_a AS t FROM sims
+    ),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id
+    ),
+    clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           CAST(COALESCE(c.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+           CAST(COALESCE(c.cluster_id, e.vec_id) = e.vec_id AS INTEGER) AS kept
+    FROM embeddings e LEFT JOIN clusters c ON c.id = e.vec_id
+    """
+    )
+
+
+@query("embed_semantic_dedup", oracle=_semantic_dedup_oracle())
+def embed_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication over the embedding corpus:
+    multiprobe LSH candidates (Hamming-≤1 banded equi-join — never n²) →
+    exact cosine ≥ 0.5 pairs → connected components → keep the min-id
+    survivor per semantic cluster. Returns every corpus row with its
+    cluster id and kept flag — the drop set is ``kept = 0``.
+
+    At 100 TB: candidates come off the write-time bucket layout, the pair
+    set is bounded by true collisions, and the cluster step inherits
+    ``connected_components``' guarantees (min-label rounds with an O(log n)
+    large-star fallback)."""
+    from nyc_taxi_pyspark_spark.operators.text import connected_components
+
+    b = _bucketed(spark, sf_dir)
+    left = b.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+        F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
+    )
+    right = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+        "bucket",
+    )
+    sim = (
+        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    ).alias("cosine_sim")
+    pairs = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim)
+        .filter(F.col("cosine_sim") >= 0.5)
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return (
+        b.select("vec_id")
+        .join(cc.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+            (
+                F.coalesce(F.col("label"), F.col("vec_id")) == F.col("vec_id")
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+from nyc_taxi_pyspark_spark.operators.similarity import probe_buckets  # noqa: E402

@@ -413,24 +413,23 @@ def ann_near_recall(
         .select("q_id", id_col, sim)
         .filter((F.col("sim") >= rel_threshold) & (F.col("q_id") != F.col(id_col)))
     )
+    # Materialized once (localCheckpoint): this IS the write-time T-table
+    # layout, and both the index side and the probe side read it — without
+    # materialization the 12×8×64-literal projection executes twice.
     tables = base.select(
         id_col,
         F.posexplode(multi_table_buckets(F.col(vec_col), n_tables)).alias(
             "tbl", "bucket"
         ),
-    )
-    probe_struct = F.flatten(
-        F.transform(
-            multi_table_buckets(F.col(vec_col), n_tables),
-            lambda b, t: F.transform(
-                probe_buckets(b), lambda p: F.struct(t.alias("tbl"), p.alias("bucket"))
-            ),
-        )
-    )
+    ).localCheckpoint(eager=True)
+    # Probes derive from the exploded (tbl, bucket) layout — cheap string
+    # flips — the probe expansion never needs the vectors.
     qprobes = F.broadcast(
-        base.select(
-            F.col(id_col).alias("q_id"), F.explode(probe_struct).alias("pr")
-        ).select("q_id", F.col("pr.tbl").alias("tbl"), F.col("pr.bucket").alias("bucket"))
+        tables.select(
+            F.col(id_col).alias("q_id"),
+            "tbl",
+            F.explode(probe_buckets(F.col("bucket"))).alias("bucket"),
+        )
     )
     candidates = (
         tables.join(qprobes, ["tbl", "bucket"])
