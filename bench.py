@@ -52,6 +52,7 @@ HEADLINE = [
     "embed_ivf_topk",
     "grouping_sets_sums",
     "taxi_kpi_by_payment",
+    "text_unigram_rarity",
 ]
 
 

@@ -924,3 +924,60 @@ def text_split_contamination(spark, sf_dir):
         .agg(F.count("*").alias("n_shared_shingles"))
         .filter(F.col("n_shared_shingles") >= 3)
     )
+
+
+@query(
+    "text_unigram_rarity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM toks)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.cnt) AS BIGINT) AS sum_token_count,
+           CAST(SUM(v.cnt) AS BIGINT)
+             / CAST(COUNT(*) * tot.total_tokens AS DOUBLE) AS mean_token_prob
+    FROM toks t JOIN vocab v USING (token), tot
+    GROUP BY t.doc_id, tot.total_tokens
+    """,
+)
+def text_unigram_rarity(spark, sf_dir):
+    """Unigram-LM rarity score per document — the perplexity-filtering
+    family (CCNet-style: score docs under a corpus LM, drop the tails) in
+    an engine-portable RATIONAL form: mean token probability
+    Σ count(t) / (n_tokens · total_tokens) instead of geometric-mean
+    perplexity, because exp/ln are libm calls whose last ULP differs
+    between JVM and DuckDB (same discipline as ``text_tficf_topk``).
+    Rare-vocabulary docs score low, boilerplate scores high; the quantity
+    is exact-int sums with ONE final double division (both operands <
+    2^53 — at a corpus past ~9e15 token-pairs, rescale counts first).
+
+    Plan: explode → vocab count [shuffle 1, map-side combined] → join
+    tokens back to vocab [shuffle 2] → per-doc agg [shuffle 3]; the 1-row
+    total is a broadcast crossJoin, not a driver collect."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens()).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = toks.agg(F.count("*").cast("bigint").alias("total_tokens"))
+    return (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("sum_token_count"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_token_count",
+            (
+                F.col("sum_token_count")
+                / (F.col("n_tokens") * F.col("total_tokens")).cast("double")
+            ).alias("mean_token_prob"),
+        )
+    )
