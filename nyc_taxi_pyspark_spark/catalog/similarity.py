@@ -723,3 +723,19 @@ def embed_semantic_dedup(spark, sf_dir):
 
 
 from nyc_taxi_pyspark_spark.operators.similarity import probe_buckets  # noqa: E402
+
+
+@query("embed_ivf_recall")
+def embed_ivf_recall(spark, sf_dir):
+    """Measured recall/cost curve of the IVF n_probe dial: recall@10 vs
+    brute-force cosine over a 20-query panel, one row per n_probe in
+    (1, 2, 4, 8). Rows-only by design (quality metric of the
+    approximation). n_probe = 8 probes every cell — the exhaustive anchor
+    pytest pins to recall 1.0; the curve between is the honest partition-
+    prune trade. See :func:`operators.similarity.ivf_recall_at_k`."""
+    return ivf_recall_at_k(
+        _ivf(spark, sf_dir), _centroids(spark, sf_dir), n_probes=(1, 2, 4, 8)
+    )
+
+
+from nyc_taxi_pyspark_spark.operators.similarity import ivf_recall_at_k  # noqa: E402

@@ -484,6 +484,94 @@ def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     return F.array_min(F.array(*structs))["cid"]
 
 
+def ivf_cells_ranked(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """All cell ids ordered by ascending squared distance (ties by cell id)
+    — the multiprobe order for IVF: ``slice(ranked, 1, n_probe)`` is the
+    probe set, and probing all cells degenerates to the exhaustive scan."""
+    structs = [
+        F.struct(sq_dist(vec, vals).alias("d"), F.lit(cid).alias("cid"))
+        for cid, vals in centroids
+    ]
+    return F.transform(
+        F.array_sort(F.array(*structs)), lambda s: s["cid"]
+    )
+
+
+def ivf_recall_at_k(
+    ivf: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probes: tuple[int, ...] = (1, 2, 4, 8),
+    n_queries: int = 20,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of IVF cell-pruned ANN vs brute-force cosine, one row per
+    ``n_probe`` — the measured recall/cost curve of the n_probe dial.
+
+    ``ivf`` is the (id, embedding, nrm, cell) layout. The exact side is the
+    same bounded corpus × broadcast(queries) job as
+    :func:`ann_recall_at_k`; the IVF side explodes each query's
+    ``n_probe`` nearest cells (:func:`ivf_cells_ranked`) and equi-joins the
+    corpus on ``cell`` — the partition-prune shape, so the measured recall
+    is the production recall. Probing all cells must (and does — see the
+    pytest pin) reach recall 1.0, anchoring the curve.
+    """
+    from pyspark.sql import Window
+
+    base = ivf.select(id_col, vec_col, "nrm", "cell")
+    queries = F.broadcast(
+        base.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+            ivf_cells_ranked(F.col(vec_col), centroids).alias("cells_ranked"),
+        )
+    )
+    sim = (
+        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("sim")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    exact = (
+        base.join(queries.drop("cells_ranked"), how="cross")
+        .select("q_id", id_col, sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col)
+        .localCheckpoint(eager=True)  # shared by every n_probe row
+    )
+    out = None
+    for n_probe in n_probes:
+        probes = queries.select(
+            "q_id",
+            "q_vec",
+            "q_nrm",
+            F.explode(F.slice("cells_ranked", 1, n_probe)).alias("cell"),
+        )
+        ann = (
+            base.join(F.broadcast(probes), "cell")
+            .select("q_id", id_col, sim)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("q_id", id_col)
+        )
+        row = (
+            exact.join(ann.withColumn("hit", F.lit(1)), ["q_id", id_col], "left")
+            .groupBy("q_id")
+            .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k)).alias("recall"))
+            .agg(
+                F.lit(n_probe).cast("long").alias("n_probe"),
+                F.count("*").cast("long").alias("n_queries"),
+                F.round(F.avg("recall"), 4).alias("mean_recall_at_k"),
+                F.round(F.min("recall"), 4).alias("min_recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def sq_dist_py(vals: list[float], cent: list[float]) -> float:
     """Python twin of :func:`sq_dist` (bit-identical IEEE ops)."""
     import math

@@ -314,3 +314,20 @@ def test_ann_recall_queries(spark):
     near = QUERIES["embed_ann_near_recall"](spark, "/root/testdata/sf0.01").head()
     assert near.n_tables == 12 and near.n_relevant_pairs >= 2
     assert near.recall >= 0.9
+
+
+def test_ivf_recall_curve(spark):
+    """The n_probe dial must be monotone and anchor at recall 1.0 when all
+    cells are probed (exhaustive scan) — this anchors the whole recall
+    harness: any join/ranking bug would break exactness at n_probe=8."""
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    rows = sorted(
+        QUERIES["embed_ivf_recall"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.n_probe,
+    )
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8]
+    recalls = [r.mean_recall_at_k for r in rows]
+    assert recalls == sorted(recalls)  # more probes never hurt
+    assert rows[-1].mean_recall_at_k == 1.0 and rows[-1].min_recall_at_k == 1.0
+    assert all(r.n_queries == 20 for r in rows)
