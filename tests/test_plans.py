@@ -110,3 +110,26 @@ def test_tficf_no_cartesian_no_python(spark):
     plan = formatted_plan(QUERIES["text_tficf_topk"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_no_cartesian_no_python(spark):
+    """Candidate generation must be the probe-bucket equi-join, never an
+    n² cross product; the whole pipeline stays JVM-side."""
+    plan = formatted_plan(QUERIES["embed_semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_rarity_plan_shape(spark):
+    """Three real exchanges (vocab agg, per-doc agg, 1-row total) — the
+    other three are parallelize_scan's round-robin repartitions of the
+    tiny local file, absent at scale. The load-bearing properties: the
+    token→vocab join must be a BROADCAST (a sort-merge there would shuffle
+    the full exploded token stream a second time), the 1-row total must
+    not surface as a CartesianProduct, and the whole plan stays JVM-side."""
+    df = QUERIES["text_unigram_rarity"](spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan  # 1-row total is BroadcastNestedLoop
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 6
