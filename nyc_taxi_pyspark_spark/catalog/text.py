@@ -981,3 +981,85 @@ def text_unigram_rarity(spark, sf_dir):
             ).alias("mean_token_prob"),
         )
     )
+
+
+def _incremental_dedup_oracle() -> str:
+    """Twin of the incremental-ingest dedup: the near set is the full
+    banded pair set restricted to boundary-crossing pairs — identical to
+    the asymmetric band join because a base×incoming pair always has
+    doc_a < split <= doc_b and the banding/verification are shared."""
+    return f"""
+    WITH split AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS s FROM documents),
+    inc AS (SELECT d.doc_id, d.text FROM documents d, split WHERE d.doc_id >= s),
+    base AS (SELECT d.doc_id, d.text FROM documents d, split WHERE d.doc_id < s),
+    exact AS (
+        SELECT DISTINCT i.doc_id FROM inc i JOIN base b ON md5(i.text) = md5(b.text)
+    ),
+    near AS (
+        SELECT DISTINCT p.doc_b AS doc_id
+        FROM ({_near_dup_oracle()}) p, split
+        WHERE p.doc_a < split.s AND p.doc_b >= split.s
+    )
+    SELECT i.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS status
+    FROM inc i
+    LEFT JOIN exact e ON e.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """
+
+
+@query("corpus_incremental_dedup", oracle=_incremental_dedup_oracle())
+def corpus_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup — the daily-crawl shape: the lower half of
+    ``documents`` (by doc_id) plays the already-ingested base corpus, the
+    upper half the incoming batch. Every incoming doc is classified
+    'exact_dup' (fingerprint matches a base doc), 'near_dup' (word-trigram
+    MinHash-LSH candidate vs the BASE ONLY, exact Jaccard ≥ 0.5), or
+    'kept' — exact-match precedence.
+
+    The near path is :func:`operators.text.asymmetric_near_dup_pairs`: the
+    band join crosses the boundary only, so batch cost is O(batch ×
+    collisions) — no base×base work, the property that keeps daily ingest
+    flat as the corpus grows. The split point is a driver-side metadata
+    count inlined as a literal (same discipline as TF-ICF's N)."""
+    from nyc_taxi_pyspark_spark.operators.text import (
+        asymmetric_near_dup_pairs,
+        fingerprint,
+        minhash_layout,
+    )
+
+    d = _docs(spark, sf_dir)
+    split = d.count() // 2
+    inc = d.filter(F.col("doc_id") >= split)
+    base = d.filter(F.col("doc_id") < split)
+    exact = (
+        inc.select("doc_id", fingerprint().alias("f"))
+        .join(base.select(fingerprint().alias("f")).distinct(), "f")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(1))
+    )
+    near = (
+        asymmetric_near_dup_pairs(
+            minhash_layout(d),
+            base_pred=F.col("doc_id") < split,
+            inc_pred=F.col("doc_id") >= split,
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    return (
+        inc.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact").isNotNull(), "exact_dup")
+            .when(F.col("is_near").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )

@@ -206,6 +206,15 @@ def near_dup_pairs_from_layout(
     pairs = lsh_candidate_pairs(
         lsh_bands(layout, id_col, n_bands, rows_per_band), id_col
     )
+    return _verify_pairs(layout, pairs, id_col, threshold)
+
+
+def _verify_pairs(
+    layout: DataFrame, pairs: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a candidate (doc_a, doc_b) set against
+    the layout's shingle arrays — O(candidates), shared by the full and the
+    incremental (asymmetric) near-dup paths."""
     sa = layout.select(
         F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -225,6 +234,43 @@ def near_dup_pairs_from_layout(
         # so jaccard is never NaN; the guard keeps the predicate NaN-safe.
         .filter(~F.isnan("jaccard") & (F.col("jaccard") >= threshold))
     )
+
+
+def asymmetric_near_dup_pairs(
+    layout: DataFrame,
+    base_pred: Column,
+    inc_pred: Column,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Near-dup pairs between two DISJOINT slices of one signature layout —
+    the incremental-ingest shape: an incoming batch band-joins only against
+    the already-ingested base, so the daily cost is O(batch × collisions),
+    never O(corpus²) and never base×base. Returns (doc_a ∈ base,
+    doc_b ∈ incoming, jaccard ≥ threshold).
+
+    At 100 TB the base side reads the persisted signature layout written at
+    ingest; only the incoming batch computes signatures fresh.
+    """
+    bands = lsh_bands(layout, id_col, n_bands, rows_per_band)
+    a = bands.filter(base_pred)
+    b = bands.filter(inc_pred)
+    pairs = (
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(layout, pairs, id_col, threshold)
 
 
 def lsh_bands(
