@@ -739,3 +739,55 @@ def embed_ivf_recall(spark, sf_dir):
 
 
 from nyc_taxi_pyspark_spark.operators.similarity import ivf_recall_at_k  # noqa: E402
+
+
+@query(
+    "embed_doc_search",
+    oracle=_duck_bucket_cte()
+    + f"""
+    , q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+    sims AS (
+        SELECT e.vec_id,
+               {_duck_acc(f'{_DUCK_X} * CAST(q.qe[i] AS DOUBLE)')}
+                 / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                    * SQRT({_duck_acc('CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)')}))
+                 AS cosine_sim
+        FROM embeddings e, q, generate_series(1, {DIM}) AS g(i)
+        WHERE e.vec_id IN (SELECT b.vec_id FROM buckets b, qb WHERE b.bucket = qb.qbucket)
+        GROUP BY e.vec_id
+    ),
+    topk AS (
+        SELECT vec_id, cosine_sim FROM sims
+        ORDER BY cosine_sim DESC, vec_id
+        LIMIT 10
+    )
+    SELECT t.vec_id, t.cosine_sim, d.lang, d.source, d.n_chars,
+           substring(d.text, 1, 80) AS snippet
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    ORDER BY t.cosine_sim DESC, t.vec_id
+    """,
+)
+def embed_doc_search(spark, sf_dir):
+    """The retrieval-serving shape: ANN top-k over the vector index, then a
+    point-lookup join into the document store for display metadata — the
+    two-tier layout every retrieval system runs (index hit list is tiny,
+    so the doc-store join is a broadcast of the HIT LIST, k rows, never a
+    shuffle of the documents table; at scale the doc store is
+    key-partitioned and this is k point reads)."""
+    hits = embed_ann_topk(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(
+            F.broadcast(hits.withColumnRenamed("vec_id", "doc_id")), "doc_id"
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cosine_sim",
+            "lang",
+            "source",
+            "n_chars",
+            F.substring("text", 1, 80).alias("snippet"),
+        )
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+    )
