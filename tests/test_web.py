@@ -1,0 +1,98 @@
+"""Web front door (serve/web.py) — V1-V5 reachable over HTTP, mirroring the
+reference UI's tabs (streamlit_app/app5.py:245-428)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from nyc_taxi_pyspark_spark.serve.engine import Engine
+from nyc_taxi_pyspark_spark.serve.web import WebApp, make_server
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def web(spark, tmp_path_factory):
+    app = WebApp(
+        Engine(spark, SF_DIR),
+        reports_dir=str(tmp_path_factory.mktemp("reports")),
+        trips_n=500,
+    )
+    server = make_server(app)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base
+    server.shutdown()
+
+
+def _get(url: str) -> tuple[int, str]:
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, r.read().decode()
+
+
+def test_index_and_tables(web):
+    status, body = _get(f"{web}/")
+    assert status == 200 and "<form" in body
+    status, body = _get(f"{web}/tables")
+    tables = json.loads(body)
+    assert status == 200 and "orders" in tables and "documents" in tables
+
+
+def test_preview_html_and_json(web):
+    status, body = _get(f"{web}/preview?table=region&n=5")
+    assert status == 200 and "<table" in body and "r_name" in body
+    status, body = _get(f"{web}/preview?table=region&n=5&format=json")
+    rows = json.loads(body)
+    assert len(rows) == 5 and "r_regionkey" in rows[0]
+
+
+def test_sql_get_post_and_error(web):
+    q = urllib.parse.quote("SELECT COUNT(*) AS n FROM orders")
+    status, body = _get(f"{web}/sql?q={q}&format=json")
+    assert status == 200 and json.loads(body)[0]["n"] > 0
+
+    data = urllib.parse.urlencode(
+        {"q": "SELECT r_name FROM region ORDER BY r_name LIMIT 2"}
+    ).encode()
+    with urllib.request.urlopen(f"{web}/sql", data=data) as r:
+        assert r.status == 200 and "AFRICA" in r.read().decode()
+
+    # Analyzer errors surface as 400 with the message (app5.py:268-276).
+    bad = urllib.parse.quote("SELECT nope FROM no_such_table")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{web}/sql?q={bad}")
+    assert exc.value.code == 400
+    assert "no_such_table" in exc.value.read().decode()
+
+
+def test_kpi_tabs(web):
+    status, body = _get(f"{web}/kpi?which=payment")
+    assert status == 200 and "payment_label" in body
+    status, body = _get(f"{web}/kpi?which=distance")
+    assert status == 200 and "bucket" in body
+
+
+def test_reports_browser(web):
+    status, body = _get(f"{web}/reports")
+    assert status == 200
+    assert "kpi_by_payment" in body and "data:image/png;base64," in body
+
+
+def test_score_without_model_is_404_with_hint(web):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{web}/score")
+    assert exc.value.code == 404
+    assert "--model" in exc.value.read().decode()
+
+
+def test_unknown_route_404(web):
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{web}/nope")
+    assert exc.value.code == 404
