@@ -24,6 +24,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     functions_ext,
     sources_ext,
     events,
+    corpus,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -1,0 +1,218 @@
+"""Corpus-assembly queries over ``documents`` — sequence packing, domain
+mixture sampling, frequency capping, Gopher-rule quality battery.
+
+Like :mod:`~nyc_taxi_pyspark_spark.catalog.text`, every oracle is generated
+from the SAME constants as the Spark operator so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.catalog.text import _DUCK_WORDS, _docs
+from nyc_taxi_pyspark_spark.operators.corpus import (
+    DOMAIN_CAP,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MEAN_LEN_HI,
+    GOPHER_MEAN_LEN_LO,
+    GOPHER_MIN_STOPWORD_HITS,
+    GOPHER_MIN_TOKENS,
+    GOPHER_SHORT_WORD_MAX_RATIO,
+    MIXTURE_WEIGHTS,
+    PACK_BUDGET,
+    cap_per_domain,
+    gopher_flags,
+    with_mixture_keep,
+    with_pack_bins,
+)
+from nyc_taxi_pyspark_spark.operators.text import STOPWORDS, tokens
+
+# md5-derived integer bucket, DuckDB side: Horner fold over the first 8 hex
+# digits with the modulus applied at each step (same idiom text_split_assign
+# proved; equal to conv(substring(md5(id),1,8),16,10) % mod).
+def _duck_bucket(mod: int) -> str:
+    return (
+        "list_reduce(list_transform(split(md5(CAST(doc_id AS VARCHAR))[1:8], ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(acc, x) -> (acc * 16 + x) % {mod})"
+    )
+
+
+@query(
+    "corpus_pack_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT lang, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM t
+    )
+    SELECT lang,
+           CAST(FLOOR(off / {float(PACK_BUDGET)}) AS BIGINT) AS pack_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM o GROUP BY 1, 2
+    """,
+)
+def corpus_pack_bins(spark, sf_dir):
+    """Sequence packing for training-context assembly: documents laid
+    end-to-end per language shard, each assigned the {budget}-token window
+    its first token lands in. The window is PARTITIONED by shard (never
+    global), so packing state at 100 TB is per-worker-shard; one window
+    shuffle + one hash agg. Per-bin stats let the trainer audit fill ratio
+    and doc fragmentation before cutting tfrecords."""
+    packed = with_pack_bins(_docs(spark, sf_dir))
+    return packed.groupBy("lang", "pack_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _mixture_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(w * 1000)}" for lang, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@query(
+    "corpus_mixture_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens,
+               {_duck_bucket(1000)} AS b,
+               {_mixture_case()} AS thr
+        FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN b < thr THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM t GROUP BY lang
+    """,
+)
+def corpus_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling toward target per-language weights: keep
+    decision = md5(doc_id) bucket < weight·1000 — per-row deterministic
+    (append-stable, engine-portable), unlike sample(). Narrow scan + one
+    hash agg; no shuffle before the agg. The audit table reports achieved
+    vs target mixture in docs and tokens."""
+    d = with_mixture_keep(
+        _docs(spark, sf_dir).withColumn("n_tokens", F.size(tokens()).cast("bigint"))
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("mix_keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("mix_keep"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+@query(
+    "corpus_domain_cap",
+    oracle=f"""
+    WITH r AS (
+        SELECT source, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM (
+            SELECT source, doc_id,
+                   CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens
+            FROM documents
+        )
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {DOMAIN_CAP} THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS kept_tokens
+    FROM r GROUP BY source
+    """,
+)
+def corpus_domain_cap(spark, sf_dir):
+    """Frequency capping: at most {DOMAIN_CAP} docs per source, chosen by
+    deterministic md5 order (reproducible uniform subsample — no rand(), no
+    recency bias). row_number windows partition by source, so state per key
+    is one domain's docs; the heaviest domain bounds skew, not the corpus."""
+    capped = cap_per_domain(
+        _docs(spark, sf_dir).withColumn("n_tokens", F.size(tokens()).cast("bigint"))
+    )
+    return capped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("cap_keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("cap_keep"), F.col("n_tokens")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+    )
+
+
+def _gopher_oracle() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_DUCK_WORDS}) AS INTEGER) AS n_tokens,
+               list_sum(list_transform({_DUCK_WORDS}, w -> length(w))) AS sum_len,
+               list_sum(list_transform({_DUCK_WORDS},
+                   w -> CASE WHEN length(w) <= 1 THEN 1 ELSE 0 END)) AS short_hits,
+               list_sum(list_transform({_DUCK_WORDS},
+                   w -> CASE WHEN list_contains([{stoplist}], w)
+                        THEN 1 ELSE 0 END)) AS stop_hits
+        FROM documents
+    ), f AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum_len AS DOUBLE) / n_tokens AS mean_word_len,
+               CAST(short_hits AS DOUBLE) / n_tokens AS short_word_ratio,
+               CAST(stop_hits AS INTEGER) AS stopword_hits,
+               CASE WHEN n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND
+                    {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END AS flag_tokens,
+               CASE WHEN CAST(sum_len AS DOUBLE) / n_tokens
+                        BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI}
+                    THEN 1 ELSE 0 END AS flag_mean_len,
+               CASE WHEN CAST(short_hits AS DOUBLE) / n_tokens
+                        <= {GOPHER_SHORT_WORD_MAX_RATIO}
+                    THEN 1 ELSE 0 END AS flag_short_words,
+               CASE WHEN stop_hits >= {GOPHER_MIN_STOPWORD_HITS}
+                    THEN 1 ELSE 0 END AS flag_stopwords
+        FROM t
+    )
+    SELECT doc_id, n_tokens, mean_word_len, short_word_ratio, stopword_hits,
+           flag_tokens, flag_mean_len, flag_short_words, flag_stopwords,
+           flag_tokens * flag_mean_len * flag_short_words * flag_stopwords
+               AS gopher_keep
+    FROM f
+    """
+
+
+@query("text_gopher_rules", oracle=_gopher_oracle())
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style quality-rule battery: independent per-rule flags + the
+    composite keep, all row-local array expressions (no shuffle, no Python)
+    — the P5 filter-battery shape applied to corpus curation. Flags stay
+    separate so curation can audit which rule rejects how much, rather than
+    a single opaque boolean."""
+    flagged = gopher_flags(_docs(spark, sf_dir))
+    ints = [
+        F.col(c).cast("int").alias(c)
+        for c in ("flag_tokens", "flag_mean_len", "flag_short_words", "flag_stopwords", "gopher_keep")
+    ]
+    return flagged.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "short_word_ratio",
+        "stopword_hits",
+        *ints,
+    )

@@ -1,0 +1,181 @@
+"""Corpus-assembly operators for LLM training-data pipelines.
+
+The dedup/quality/split stages live in :mod:`~nyc_taxi_pyspark_spark.operators.text`;
+this module adds the stages that turn a cleaned document pool into an actual
+training mixture:
+
+- **sequence packing** (:func:`with_pack_bins`) — lay documents end-to-end and
+  assign each to the fixed-size context window its first token lands in,
+- **domain mixture sampling** (:func:`with_mixture_keep`) — deterministic
+  hash-based down/up-weighting per language/domain toward target mixture
+  weights,
+- **per-domain frequency capping** (:func:`cap_per_domain`) — keep at most N
+  documents per source, chosen by deterministic hash order.
+
+All three are pure column/window expressions — no Python UDFs, no collects.
+Every window is PARTITIONED by a shard key (language, source), never global:
+the packing/capping unit at 100 TB is the shard a single worker owns, so the
+window state for any key fits one executor and skew is bounded by the largest
+shard, not the corpus. Determinism comes from md5-derived ordering/bucketing
+(not rand()), so results are stable across runs, engines, partitionings, and
+corpus appends — the property a reproducible data pipeline needs (same
+discipline as :func:`~nyc_taxi_pyspark_spark.operators.text.split_assign`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.operators.text import STOPWORDS, tokens
+
+PACK_BUDGET = 512
+
+# Target mixture weights (keep fraction per language). Values are exact
+# multiples of 1/1000 so the md5-bucket comparison is integer-exact.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "en": 1.0,
+    "de": 0.5,
+    "es": 0.5,
+    "fr": 0.25,
+    "zh": 0.25,
+}
+
+DOMAIN_CAP = 10
+
+
+def _hash_bucket(id_col: str, mod: int) -> Column:
+    """First 8 hex digits of md5(id) as an integer bucket in [0, mod)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % mod
+    )
+
+
+def with_pack_bins(
+    df: DataFrame,
+    budget: int = PACK_BUDGET,
+    shard_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenation-style sequence packing (the GPT-lineage layout): within
+    each shard, documents are laid end-to-end in deterministic id order, and
+    a document's bin is the context window its first token lands in
+    (``floor(offset / budget)``). Documents may span bin boundaries — that is
+    the concat-packing contract; the packer's job is the offset bookkeeping.
+
+    Adds ``n_tokens``, ``pack_offset`` (exclusive running token sum within
+    the shard), and ``pack_bin``.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn("n_tokens", F.size(tokens()).cast("bigint"))
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    return out.withColumn("pack_offset", offset).withColumn(
+        "pack_bin", F.floor(F.col("pack_offset") / F.lit(float(budget))).cast("bigint")
+    )
+
+
+def with_mixture_keep(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: document kept iff its md5
+    bucket (mod 1000) falls below ``weight[lang] * 1000``. Unlisted languages
+    default to weight 0 (dropped). Adds ``mix_weight`` and ``mix_keep``.
+
+    Hash-based rather than ``sample()`` so the decision is per-row stable:
+    re-running over an appended corpus never flips an old row's fate, and
+    the oracle engine re-derives the identical choice.
+    """
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+    weight = F.lit(0.0)
+    for lang, wgt in weights.items():
+        weight = F.when(F.col(lang_col) == lang, F.lit(float(wgt))).otherwise(weight)
+    bucket = _hash_bucket(id_col, 1000)
+    return df.withColumn("mix_weight", weight).withColumn(
+        "mix_keep", bucket < (F.col("mix_weight") * 1000).cast("bigint")
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int = DOMAIN_CAP,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` documents per domain, chosen
+    by deterministic md5 order (a uniform-but-reproducible subsample, not
+    "first N by id" which would bias toward old documents). Adds
+    ``domain_rank`` and ``cap_keep``.
+    """
+    order = Window.partitionBy(domain_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return df.withColumn("domain_rank", F.row_number().over(order)).withColumn(
+        "cap_keep", F.col("domain_rank") <= cap
+    )
+
+
+# Gopher-style rule thresholds (Rain et al.-lineage quality heuristics),
+# calibrated to the synthetic documents table's 10-99-token range so every
+# flag actually discriminates at test scale.
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 80
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 5.5
+GOPHER_SHORT_WORD_MAX_RATIO = 0.15
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher-rule battery: each rule is an independent boolean
+    flag plus a composite ``gopher_keep`` — the filter-battery shape
+    (SURVEY.md §2.2 P5) applied to corpus quality. Rules:
+
+    - token count within ``[GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS]``
+    - mean word length within ``[GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI]``
+    - single-character-word ratio ≤ ``GOPHER_SHORT_WORD_MAX_RATIO``
+    - at least ``GOPHER_MIN_STOPWORD_HITS`` stopword occurrences
+
+    Ratios are integer-count divisions ⇒ deterministic doubles, hash-safe.
+    """
+    w = tokens(text_col)
+    n_tok = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    short_hits = F.aggregate(
+        F.transform(w, lambda x: (F.length(x) <= 1).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    stop_hits = F.aggregate(
+        F.transform(w, lambda x: x.isin(*STOPWORDS).cast("int")),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    mean_len = sum_len.cast("double") / n_tok.cast("double")
+    short_ratio = short_hits.cast("double") / n_tok.cast("double")
+    flag_tokens = n_tok.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+    flag_mean_len = (mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI)
+    flag_short = short_ratio <= GOPHER_SHORT_WORD_MAX_RATIO
+    flag_stop = stop_hits >= GOPHER_MIN_STOPWORD_HITS
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_len.alias("mean_word_len"),
+        short_ratio.alias("short_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        flag_tokens.alias("flag_tokens"),
+        flag_mean_len.alias("flag_mean_len"),
+        flag_short.alias("flag_short_words"),
+        flag_stop.alias("flag_stopwords"),
+        (flag_tokens & flag_mean_len & flag_short & flag_stop).alias("gopher_keep"),
+    )

@@ -1,0 +1,100 @@
+"""Corpus-assembly operators (operators/corpus.py): packing, mixture
+sampling, frequency capping, Gopher rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.operators.corpus import (
+    DOMAIN_CAP,
+    PACK_BUDGET,
+    cap_per_domain,
+    gopher_flags,
+    with_mixture_keep,
+    with_pack_bins,
+)
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_pack_bins_offset_invariants(spark):
+    packed = with_pack_bins(_docs(spark)).select(
+        "lang", "doc_id", "n_tokens", "pack_offset", "pack_bin"
+    )
+    rows = packed.orderBy("lang", "doc_id").collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for docs in by_lang.values():
+        # Exclusive running sum: each offset is the previous offset + tokens.
+        assert docs[0].pack_offset == 0
+        for prev, cur in zip(docs, docs[1:]):
+            assert cur.pack_offset == prev.pack_offset + prev.n_tokens
+        for r in docs:
+            assert r.pack_bin == r.pack_offset // PACK_BUDGET
+
+
+def test_pack_bins_conserve_tokens(spark):
+    packed = with_pack_bins(_docs(spark))
+    total = packed.agg(F.sum("n_tokens")).first()[0]
+    binned = (
+        packed.groupBy("lang", "pack_bin")
+        .agg(F.sum("n_tokens").alias("t"))
+        .agg(F.sum("t"))
+        .first()[0]
+    )
+    assert binned == total
+
+
+def test_mixture_keep_deterministic_and_weighted(spark):
+    d = _docs(spark)
+    a = with_mixture_keep(d).select("doc_id", "mix_keep").collect()
+    b = with_mixture_keep(d).select("doc_id", "mix_keep").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # weight 1.0 ⇒ every en doc kept; weight 0 default ⇒ unknown lang dropped.
+    en = with_mixture_keep(d).filter("lang = 'en'")
+    assert en.filter(~F.col("mix_keep")).count() == 0
+    unknown = with_mixture_keep(d.withColumn("lang", F.lit("xx")))
+    assert unknown.filter(F.col("mix_keep")).count() == 0
+
+
+def test_cap_per_domain(spark):
+    capped = cap_per_domain(_docs(spark))
+    per_src = (
+        capped.filter("cap_keep")
+        .groupBy("source")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert per_src <= DOMAIN_CAP
+    # Deterministic: the kept id set is stable across runs.
+    kept1 = {r.doc_id for r in capped.filter("cap_keep").select("doc_id").collect()}
+    kept2 = {
+        r.doc_id
+        for r in cap_per_domain(_docs(spark)).filter("cap_keep").select("doc_id").collect()
+    }
+    assert kept1 == kept2
+
+
+def test_gopher_keep_implies_all_flags(spark):
+    flagged = gopher_flags(_docs(spark))
+    bad = flagged.filter(
+        F.col("gopher_keep")
+        & ~(
+            F.col("flag_tokens")
+            & F.col("flag_mean_len")
+            & F.col("flag_short_words")
+            & F.col("flag_stopwords")
+        )
+    )
+    assert bad.count() == 0
+    # Thresholds are calibrated to discriminate on this corpus: both kept
+    # and rejected documents exist.
+    kept = flagged.filter("gopher_keep").count()
+    assert 0 < kept < flagged.count()

@@ -133,3 +133,35 @@ def test_unigram_rarity_plan_shape(spark):
     assert "CartesianProduct" not in plan  # 1-row total is BroadcastNestedLoop
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffle_count(df) <= 6
+
+
+def test_pack_bins_window_is_sharded(spark):
+    """The packing cumsum must run in a PARTITIONED window (hash exchange on
+    the shard key) — a global single-partition window is the scale-killer
+    this operator exists to avoid."""
+    df = QUERIES["corpus_pack_bins"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 3  # parallelize_scan + window shard + final agg
+
+
+def test_domain_cap_window_is_sharded(spark):
+    plan = formatted_plan(QUERIES["corpus_domain_cap"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gopher_rules_row_local(spark):
+    """Pure per-row array expressions: no aggregation exchange, no Python."""
+    df = QUERIES["text_gopher_rules"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 1  # parallelize_scan's repartition only
+
+
+def test_mixture_sample_single_agg_shuffle(spark):
+    df = QUERIES["corpus_mixture_sample"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 2  # parallelize_scan + one hash agg
