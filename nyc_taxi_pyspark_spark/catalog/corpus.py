@@ -216,3 +216,54 @@ def text_gopher_rules(spark, sf_dir):
         "stopword_hits",
         *ints,
     )
+
+
+def _chunk_dedup_oracle() -> str:
+    from nyc_taxi_pyspark_spark.operators.corpus import CHUNK_TOKENS as K
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), c AS (
+        SELECT doc_id,
+               unnest(range(0, (len(w) + {K - 1}) // {K})) AS chunk_idx,
+               w
+        FROM t
+    ), ch AS (
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               array_to_string(w[chunk_idx*{K}+1 : chunk_idx*{K}+{K}], ' ')
+                   AS chunk,
+               CAST(len(w[chunk_idx*{K}+1 : chunk_idx*{K}+{K}]) AS BIGINT)
+                   AS chunk_len
+        FROM c
+    ), m1 AS (
+        SELECT chunk, MIN(doc_id) AS min_doc FROM ch GROUP BY chunk
+    ), m2 AS (
+        SELECT ch.chunk, m1.min_doc, MIN(ch.chunk_idx) AS min_idx
+        FROM ch JOIN m1 ON ch.chunk = m1.chunk AND ch.doc_id = m1.min_doc
+        GROUP BY 1, 2
+    )
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN ch.doc_id = m2.min_doc
+                          AND ch.chunk_idx = m2.min_idx
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+           CAST(SUM(CASE WHEN ch.doc_id = m2.min_doc
+                          AND ch.chunk_idx = m2.min_idx
+                         THEN ch.chunk_len ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM ch JOIN m2 ON ch.chunk = m2.chunk
+    GROUP BY ch.doc_id
+    """
+
+
+@query("text_chunk_dedup", oracle=_chunk_dedup_oracle())
+def text_chunk_dedup(spark, sf_dir):
+    """Substring-level exact dedup over fixed 16-token windows — catches
+    the partial overlaps (boilerplate, quoted passages) that document-level
+    fingerprints miss. Survivor = min (doc, position) per distinct chunk,
+    computed as a min-struct AGGREGATE (not a window over the skew-prone
+    chunk key): a boilerplate chunk repeated a million times costs
+    map-side partial mins, never a million-row window partition."""
+    from nyc_taxi_pyspark_spark.operators.corpus import chunk_dedup
+
+    return chunk_dedup(_docs(spark, sf_dir))

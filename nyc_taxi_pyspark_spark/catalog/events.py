@@ -203,3 +203,65 @@ def events_gapfill(spark, sf_dir):
             F.last("sum_value", ignorenulls=True).over(w).alias("last_known_sum"),
         )
     )
+
+
+# 30-minute inactivity gap, in exact microseconds (unix_micros ↔ epoch_us —
+# both engines see the same integer, no fractional-second drift).
+SESSION_GAP_US = 1_800_000_000
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), s AS (
+        SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sess_id
+        FROM o
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
+    FROM s GROUP BY user_id, sess_id
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization by inactivity gap — the lag/flag/cumsum idiom:
+    a new session starts where the gap to the previous event exceeds 30
+    minutes; the running sum of start-flags numbers the sessions.
+
+    This is the batch twin of ``stream_session_window`` (same 100 TB
+    shape as the funnel: ONE hash exchange on user_id, then both window
+    passes — lag and cumsum — reuse the same per-user sort, and the final
+    per-session aggregation re-partitions only (user, session) keys).
+    Arithmetic is integer microseconds end-to-end, so the hash comparison
+    has no float drift."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = (prev.isNull() | ((us - prev) > SESSION_GAP_US)).cast("int")
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("us", us)
+        .withColumn("sess_id", sess.cast("bigint"))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+        )
+    )

@@ -179,3 +179,65 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         flag_stop.alias("flag_stopwords"),
         (flag_tokens & flag_mean_len & flag_short & flag_stop).alias("gopher_keep"),
     )
+
+
+CHUNK_TOKENS = 16
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk: int = CHUNK_TOKENS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al.'s window-dedup shape): split
+    each document into fixed ``chunk``-token windows, keep each distinct
+    chunk only at its first occurrence (lexicographically minimal
+    (doc, position)), report per-document chunk/dup/kept-token counts.
+
+    Catches the partial overlaps document-level fingerprints miss (boiler-
+    plate, quoted passages, template prefixes). Plan shape at 100 TB: one
+    row-expanding projection (×docs/chunk rows), ONE hash agg on the chunk
+    text for the min-survivor, one equi-join back, one per-doc re-agg —
+    no window over the (skew-prone) chunk key: the survivor is a
+    ``min(struct(doc, pos))`` aggregate, so a boilerplate chunk repeated
+    a million times costs map-side partial mins, not a million-row
+    window partition.
+    """
+    w = tokens(text_col)
+    n = F.size(w)
+    n_chunks = F.floor(((n + F.lit(chunk - 1)) / F.lit(chunk))).cast("int")
+    mk = lambda i: F.slice(w, i * chunk + 1, chunk)  # noqa: E731
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.array_join(mk(i), " ").alias("chunk"),
+                F.size(mk(i)).cast("bigint").alias("chunk_len"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk:string,chunk_len:bigint>>"))
+    exploded = df.select(
+        id_col, F.posexplode(chunks).alias("chunk_idx", "c")
+    ).select(id_col, "chunk_idx", "c.chunk", "c.chunk_len")
+    survivors = (
+        exploded.groupBy("chunk")
+        .agg(F.min(F.struct(id_col, "chunk_idx")).alias("m"))
+        .select(
+            "chunk",
+            F.col(f"m.{id_col}").alias("min_doc"),
+            F.col("m.chunk_idx").alias("min_idx"),
+        )
+    )
+    flagged = exploded.join(survivors, "chunk").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("min_doc")) & (F.col("chunk_idx") == F.col("min_idx")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum((~F.col("keep")).cast("int")).cast("bigint").alias("n_dup_chunks"),
+        F.sum(F.when(F.col("keep"), F.col("chunk_len")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+    )

@@ -98,3 +98,59 @@ def test_gopher_keep_implies_all_flags(spark):
     # and rejected documents exist.
     kept = flagged.filter("gopher_keep").count()
     assert 0 < kept < flagged.count()
+
+
+def test_chunk_dedup_flags_copied_prefix(spark):
+    from nyc_taxi_pyspark_spark.operators.corpus import CHUNK_TOKENS, chunk_dedup
+
+    words_a = [f"w{i}" for i in range(3 * CHUNK_TOKENS)]
+    # B copies A's first two chunks verbatim, then a unique tail chunk.
+    words_b = words_a[: 2 * CHUNK_TOKENS] + [f"u{i}" for i in range(CHUNK_TOKENS)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in chunk_dedup(df).collect()}
+    assert rows[1].n_dup_chunks == 0
+    assert rows[1].kept_tokens == 3 * CHUNK_TOKENS
+    assert rows[2].n_dup_chunks == 2
+    assert rows[2].kept_tokens == CHUNK_TOKENS
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    from nyc_taxi_pyspark_spark.operators.corpus import CHUNK_TOKENS, chunk_dedup
+
+    chunk = [f"r{i}" for i in range(CHUNK_TOKENS)]
+    df = spark.createDataFrame(
+        [(7, " ".join(chunk + chunk))], ["doc_id", "text"]
+    )
+    row = chunk_dedup(df).collect()[0]
+    assert row.n_chunks == 2 and row.n_dup_chunks == 1
+    assert row.kept_tokens == CHUNK_TOKENS
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    # Strictly-greater-than-30-min gap starts a new session: events at
+    # +0, +10min, +40min stay ONE session (40-10 = exactly 1800s), while
+    # +40min → +71min (1860s) splits.
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), 10, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=40), 10, "view", 0.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=71), 10, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    ev.createOrReplaceTempView("___ev")
+    import nyc_taxi_pyspark_spark.catalog.events as events_mod
+    from unittest import mock
+
+    with mock.patch.object(events_mod, "load_table", lambda s, d, n: ev):
+        out = QUERIES["events_sessionize"](spark, "ignored").collect()
+    sessions = sorted((r.sess_id, r.n_events) for r in out)
+    assert sessions == [(1, 3), (2, 1)]
