@@ -791,3 +791,85 @@ def embed_doc_search(spark, sf_dir):
         )
         .orderBy(F.desc("cosine_sim"), "vec_id")
     )
+
+
+# --------------------------------------------------------------- IVF training
+
+def _ivf_train_oracle() -> str:
+    """Unrolled 2-iteration Lloyd's k-means: the same quantized-integer
+    arithmetic as operators.similarity.ivf_train, written as chained CTEs
+    (assign → recompute → assign) so DuckDB replays the iteration exactly."""
+    from nyc_taxi_pyspark_spark.operators.similarity import N_CENTROIDS
+
+    def term(xq: str, cs: str, cn: str) -> str:
+        d = f"(CAST({xq} AS DOUBLE)/1e8 - CAST({cs} AS DOUBLE)/CAST({cn} AS DOUBLE)/1e8)"
+        return f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cell, xq AS cs, CAST(1 AS BIGINT) AS cn
+        FROM v WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}
+    ),
+    d1 AS (
+        SELECT v.vec_id, c.cell,
+               SUM({term('v.xq[i]', 'c.cs[i]', 'c.cn')}) AS dq
+        FROM v, c0 c, generate_series(1, {DIM}) AS g(i)
+        GROUP BY v.vec_id, c.cell
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rk
+            FROM d1
+        ) WHERE rk = 1
+    ),
+    cn1 AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cn FROM a1 GROUP BY cell),
+    c1 AS (
+        SELECT a1.cell, g.i, SUM(v.xq[g.i]) AS s
+        FROM a1 JOIN v USING (vec_id), generate_series(1, {DIM}) AS g(i)
+        GROUP BY a1.cell, g.i
+    ),
+    d2 AS (
+        SELECT v.vec_id, c1.cell,
+               SUM({term('v.xq[c1.i]', 'c1.s', 'cn1.cn')}) AS dq
+        FROM v, c1 JOIN cn1 USING (cell)
+        GROUP BY v.vec_id, c1.cell
+    ),
+    a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rk
+            FROM d2
+        ) WHERE rk = 1
+    )
+    SELECT a2.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(list_sum(v.xq)) AS BIGINT) AS centroid_l1q
+    FROM a2 JOIN v USING (vec_id)
+    GROUP BY a2.cell
+    """
+
+
+@query("embed_ivf_train", oracle=_ivf_train_oracle())
+def embed_ivf_train(spark, sf_dir):
+    """IVF coarse-quantizer TRAINING: 2 Lloyd iterations as deterministic
+    DataFrame passes (row-local quantized-integer argmin over literal
+    centroids, one exploded hash agg + bounded k·dim collect per round —
+    the iterative-algorithm driver-state discipline). Distances and sums
+    are integer-exact, so the final assignment hash-matches the oracle's
+    unrolled replay — an oracle-checked iterative ML algorithm. Output:
+    per-cell member count + exact integer centroid checksum."""
+    from nyc_taxi_pyspark_spark.operators.similarity import ivf_train
+
+    assigned = ivf_train(_emb(spark, sf_dir))
+    return assigned.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.sum(
+            F.aggregate("xq", F.lit(0).cast("bigint"), lambda a, x: a + x)
+        ).cast("bigint").alias("centroid_l1q"),
+    )

@@ -648,3 +648,116 @@ def int8_cosine(qvec_col: Column, query_q: list[int]) -> Column:
     return int_dot(qvec_col, qlit).cast("double") / (
         F.sqrt(int_dot(qvec_col, qvec_col).cast("double")) * F.lit(qn)
     )
+
+
+# ---------------------------------------------------------------- IVF training
+
+Q8 = 10**8  # component quantization scale for k-means training
+Q14 = 10**14  # distance-term quantization scale (same as _SCALE)
+
+
+def quantize8(vec: Column) -> Column:
+    """Components as exact micro-integers: floor(x · 1e8). float32 → double
+    is exact, the scaled floor is deterministic IEEE, so every engine derives
+    the identical integer vector — the foundation that makes iterative
+    k-means hash-checkable."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(Q8))).cast("bigint")
+    )
+
+
+def kmeans_dist_q(xq: Column, comps: list[float]) -> Column:
+    """Quantized squared L2 distance to a literal centroid: per-component
+    term floor(d²·1e14) as bigint, summed exactly (order-free). Comparisons
+    between cells are therefore pure integer comparisons — no float-sum
+    nondeterminism anywhere in the argmin."""
+    c_arr = F.array(*[F.lit(float(c)) for c in comps])
+    terms = F.zip_with(
+        xq,
+        c_arr,
+        lambda x, c: F.floor(
+            (x.cast("double") / F.lit(float(Q8)) - c)
+            * (x.cast("double") / F.lit(float(Q8)) - c)
+            * F.lit(float(Q14))
+        ).cast("bigint"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, t: a + t)
+
+
+def kmeans_assign(vq: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Argmin cell per vector over literal centroids, as a row-local
+    expression battery: array of (dist_q, cell) structs → array_min
+    (lexicographic ⇒ deterministic tie-break on cell id)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                kmeans_dist_q(F.col("xq"), comps).alias("d"),
+                F.lit(int(cell)).cast("bigint").alias("c"),
+            )
+            for cell, comps in cents
+        ]
+    )
+    return vq.select("vec_id", "xq", F.array_min(pairs)["c"].alias("cell"))
+
+
+def kmeans_recompute(assigned: DataFrame) -> list[tuple[int, list[float]]]:
+    """New centroids as exact rationals: per-component bigint sums + member
+    counts (posexplode → ONE hash agg — map-side partial sums, never a
+    window), then the double division (s / cn) / 1e8 on the driver. Driver
+    state is k·dim integers — the bounded-collect discipline every iterative
+    DataFrame algorithm here follows (cf. `_centroids`)."""
+    sums = (
+        assigned.select("cell", F.posexplode("xq").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    counts = {
+        r["cell"]: r["n"]
+        for r in assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()
+    }
+    by_cell: dict[int, dict[int, int]] = {}
+    for r in sums:
+        by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = int(r["s"])
+    cents = []
+    for cell in sorted(by_cell):
+        cn = counts[cell]
+        comps = [(by_cell[cell][p] / cn) / float(Q8) for p in sorted(by_cell[cell])]
+        cents.append((cell, comps))
+    return cents
+
+
+def ivf_train(
+    vectors: DataFrame,
+    k: int = N_CENTROIDS,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as a deterministic DataFrame iteration — the training
+    step the training-free IVF layout (`_centroids`) skips. Seeds are the
+    vectors with ids 1..k (the same deterministic choice the IVF index
+    uses); each round is assign (row-local argmin over ≤k literal
+    centroids) → recompute (one exploded hash agg + bounded collect).
+    All distances/sums are quantized-integer exact, so the final
+    assignment is bit-identical on any engine — an oracle-checkable
+    iterative algorithm.
+
+    Returns the final assignment (vec_id, xq, cell). At 100 TB: train on a
+    sample (k-means only needs a sketch of the density), then `ivf_assign`
+    the full corpus with the trained literals — exactly the assign pass
+    this loop already runs per round.
+    """
+    vq = vectors.select(id_col, quantize8(F.col(vec_col)).alias("xq"))
+    seeds = (
+        vq.filter(F.col(id_col).between(1, k)).select(id_col, "xq").collect()
+    )
+    cents = [
+        (int(r[id_col]), [(int(x) / 1) / float(Q8) for x in r["xq"]])
+        for r in sorted(seeds, key=lambda r: int(r[id_col]))
+    ]
+    assigned = kmeans_assign(vq, cents)
+    for _ in range(iters - 1):
+        cents = kmeans_recompute(assigned)
+        assigned = kmeans_assign(vq, cents)
+    return assigned

@@ -331,3 +331,24 @@ def test_ivf_recall_curve(spark):
     assert recalls == sorted(recalls)  # more probes never hurt
     assert rows[-1].mean_recall_at_k == 1.0 and rows[-1].min_recall_at_k == 1.0
     assert all(r.n_queries == 20 for r in rows)
+
+
+def test_ivf_train_recovers_obvious_clusters(spark):
+    from nyc_taxi_pyspark_spark.operators.similarity import ivf_train
+
+    # Two tight clusters around e0 and e1; seeds (ids 1, 2) start one in
+    # each cluster. After 2 Lloyd rounds every vector must sit with its
+    # cluster, and the result must be run-to-run identical.
+    rows = [
+        (1, [1.0, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.1, 0.0]),
+        (3, [0.9, 0.0, 0.1, 0.0]),
+        (4, [0.1, 1.1, 0.0, 0.0]),
+        (5, [1.1, 0.1, 0.1, 0.0]),
+        (6, [0.0, 0.9, 0.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.cell for r in ivf_train(df, k=2).collect()}
+    assert out == {1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2}
+    again = {r.vec_id: r.cell for r in ivf_train(df, k=2).collect()}
+    assert out == again
