@@ -30,7 +30,9 @@ def _is_weekend(dow):
 is_weekend_udf = F.udf(_is_weekend, T.IntegerType())
 
 
-def _bucket_distance(miles: float | None) -> str:
+def _bucket_distance(miles):
+    # No type hints: an annotated signature makes F.udf try (and fail) to
+    # infer the eval type from them, warning on every catalog import.
     # U2's exact semantics incl. None→'<1mi' (spark_jobs/05c_make_report.py:27-36)
     if miles is None:
         return "<1mi"

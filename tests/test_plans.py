@@ -165,3 +165,36 @@ def test_mixture_sample_single_agg_shuffle(spark):
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffle_count(df) <= 2  # parallelize_scan + one hash agg
+
+
+def test_sessionize_windows_share_user_exchange(spark):
+    """lag + cumsum windows and the per-session agg: one hash exchange on
+    user_id feeds both window passes; only the final (user, session) agg
+    re-partitions."""
+    df = QUERIES["events_sessionize"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 2
+
+
+def test_chunk_dedup_no_window_no_python(spark):
+    """Survivor selection must be the min-struct AGGREGATE — never a window
+    over the skew-prone chunk key — and the whole pipeline stays JVM-side."""
+    df = QUERIES["text_chunk_dedup"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 6
+
+
+def test_ivf_train_assign_is_row_local(spark):
+    """The returned assignment plan: literal-centroid argmin is row-local
+    (no join, no window, no SinglePartition), plus the final per-cell agg."""
+    df = QUERIES["embed_ivf_train"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 3
