@@ -53,6 +53,12 @@ HEADLINE = [
     "grouping_sets_sums",
     "taxi_kpi_by_payment",
     "text_unigram_rarity",
+    # round-3 additions (self-baselined in BASELINE.md §5)
+    "events_sessionize",
+    "text_chunk_dedup",
+    "corpus_pack_bins",
+    "text_gopher_rules",
+    "embed_semantic_dedup",
 ]
 
 

@@ -123,7 +123,7 @@ def cap_per_domain(
     )
 
 
-# Gopher-style rule thresholds (Rain et al.-lineage quality heuristics),
+# Gopher-style rule thresholds (Rae et al.-lineage quality heuristics),
 # calibrated to the synthetic documents table's 10-99-token range so every
 # flag actually discriminates at test scale.
 GOPHER_MIN_TOKENS = 20
