@@ -873,3 +873,68 @@ def embed_ivf_train(spark, sf_dir):
             F.aggregate("xq", F.lit(0).cast("bigint"), lambda a, x: a + x)
         ).cast("bigint").alias("centroid_l1q"),
     )
+
+
+# ---------------------------------------------------------- product quantization
+
+def _pq_oracle() -> str:
+    from nyc_taxi_pyspark_spark.operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+    d = (
+        "(CAST(v.xq[m.m*{S}+i] AS DOUBLE)/1e8"
+        " - CAST(cb.xq[m.m*{S}+i] AS DOUBLE)/CAST(1 AS DOUBLE)/1e8)"
+    ).format(S=PQ_SUB)
+    term = f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS code, xq FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    d AS (
+        SELECT v.vec_id, m.m, cb.code, SUM({term}) AS dq
+        FROM v, generate_series(0, {PQ_M - 1}) AS m(m), cb,
+             generate_series(1, {PQ_SUB}) AS g(i)
+        GROUP BY v.vec_id, m.m, cb.code
+    ),
+    a AS (
+        SELECT vec_id, m, code, dq FROM (
+            SELECT vec_id, m, code, dq,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dq, code) AS rk
+            FROM d
+        ) WHERE rk = 1
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), '|' ORDER BY m) AS pq_code,
+           CAST(SUM(dq) AS BIGINT) AS recon_err_q
+    FROM a GROUP BY vec_id
+    """
+
+
+@query("embed_pq_codes", oracle=_pq_oracle())
+def embed_pq_codes(spark, sf_dir):
+    """Product quantization: 8 subspaces × 4-entry codebooks turn each
+    64-float vector into 8 small codes + an exact integer reconstruction
+    error — the IVF-PQ compression layer (32× less index bandwidth when
+    the ANN candidate scan reads codes instead of vectors). Row-local
+    argmin over literal codebooks with quantized-integer distances, so
+    the whole pass is a narrow scan with NO shuffle, and the oracle
+    replays it bit-for-bit."""
+    from nyc_taxi_pyspark_spark.operators.similarity import (
+        PQ_K,
+        pq_assign,
+        pq_codebooks,
+        quantize8,
+    )
+
+    vq = _emb(spark, sf_dir).select(
+        "vec_id", quantize8(F.col("embedding")).alias("xq")
+    )
+    seeds = [
+        (int(r["vec_id"]), [int(x) for x in r["xq"]])
+        for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
+    ]
+    return pq_assign(vq, pq_codebooks(seeds))

@@ -761,3 +761,60 @@ def ivf_train(
         cents = kmeans_recompute(assigned)
         assigned = kmeans_assign(vq, cents)
     return assigned
+
+
+# ---------------------------------------------------------- product quantization
+
+PQ_M = 8  # subspaces
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_K = 4  # codes per subspace
+
+
+def pq_codebooks(
+    seed_rows: list[tuple[int, list[int]]],
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace codebooks from the deterministic seed vectors (ids
+    1..PQ_K — the same training-free choice the IVF layout makes; swap in
+    `ivf_train`-style Lloyd rounds per subspace when trained codebooks are
+    wanted). ``seed_rows`` are (vec_id, quantized components)."""
+    books = []
+    for m in range(PQ_M):
+        book = []
+        for cid, xq in sorted(seed_rows):
+            sub = xq[m * PQ_SUB : (m + 1) * PQ_SUB]
+            book.append((int(cid), [(int(x) / 1) / float(Q8) for x in sub]))
+        books.append(book)
+    return books
+
+
+def pq_assign(vq: DataFrame, books: list[list[tuple[int, list[float]]]]) -> DataFrame:
+    """Per-subspace argmin code + exact integer reconstruction error.
+
+    64 floats become PQ_M small codes (32× less index bandwidth at 100 TB —
+    the compressed-sled IVF-PQ serves from); everything is row-local
+    expression work over literal codebooks, so the pass is a narrow scan
+    with no shuffle at all."""
+    code_cols = []
+    err_cols = []
+    for m, book in enumerate(books):
+        sub = F.slice(F.col("xq"), m * PQ_SUB + 1, PQ_SUB)
+        pairs = F.array(
+            *[
+                F.struct(
+                    kmeans_dist_q(sub, comps).alias("d"),
+                    F.lit(int(code)).cast("bigint").alias("c"),
+                )
+                for code, comps in book
+            ]
+        )
+        best = F.array_min(pairs)
+        code_cols.append(best["c"].cast("string"))
+        err_cols.append(best["d"])
+    recon = err_cols[0]
+    for e in err_cols[1:]:
+        recon = recon + e
+    return vq.select(
+        "vec_id",
+        F.concat_ws("|", *code_cols).alias("pq_code"),
+        recon.cast("bigint").alias("recon_err_q"),
+    )

@@ -198,3 +198,13 @@ def test_ivf_train_assign_is_row_local(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffle_count(df) <= 3
+
+
+def test_pq_codes_no_shuffle(spark):
+    """PQ assignment is row-local argmin over literal codebooks: narrow
+    scan only (parallelize_scan's repartition is the lone exchange)."""
+    df = QUERIES["embed_pq_codes"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 1

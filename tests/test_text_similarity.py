@@ -352,3 +352,20 @@ def test_ivf_train_recovers_obvious_clusters(spark):
     assert out == {1: 1, 3: 1, 5: 1, 2: 2, 4: 2, 6: 2}
     again = {r.vec_id: r.cell for r in ivf_train(df, k=2).collect()}
     assert out == again
+
+
+def test_pq_seed_vectors_have_zero_error(spark):
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    out = {
+        r.vec_id: r
+        for r in QUERIES["embed_pq_codes"](spark, "/root/testdata/sf0.001").collect()
+    }
+    # Each codebook seed (ids 1..4) is its own nearest code in every
+    # subspace: code string is its id 8 times, reconstruction error 0.
+    for cid in (1, 2, 3, 4):
+        assert out[cid].pq_code == "|".join([str(cid)] * 8)
+        assert out[cid].recon_err_q == 0
+    # Non-seed vectors quantize WITH loss (codes exist, error > 0).
+    others = [r for r in out.values() if r.vec_id > 4]
+    assert others and all(r.recon_err_q > 0 for r in others)
