@@ -937,4 +937,85 @@ def embed_pq_codes(spark, sf_dir):
         (int(r["vec_id"]), [int(x) for x in r["xq"]])
         for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
     ]
-    return pq_assign(vq, pq_codebooks(seeds))
+    return pq_assign(vq, pq_codebooks(seeds)).select(
+        "vec_id", "pq_code", "recon_err_q"
+    )
+
+
+def _pq_search_oracle() -> str:
+    from nyc_taxi_pyspark_spark.operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+    def term(xcol: str) -> str:
+        d = (
+            f"(CAST({xcol}[m.m*{PQ_SUB}+i] AS DOUBLE)/1e8"
+            f" - CAST(cb.xq[m.m*{PQ_SUB}+i] AS DOUBLE)/CAST(1 AS DOUBLE)/1e8)"
+        )
+        return f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS code, xq FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    d AS (
+        SELECT v.vec_id, m.m, cb.code, SUM({term('v.xq')}) AS dq
+        FROM v, generate_series(0, {PQ_M - 1}) AS m(m), cb,
+             generate_series(1, {PQ_SUB}) AS g(i)
+        GROUP BY v.vec_id, m.m, cb.code
+    ),
+    a AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dq, code) AS rk
+            FROM d
+        ) WHERE rk = 1
+    ),
+    lut AS (
+        SELECT m.m, cb.code, SUM({term('q.xq')}) AS ldq
+        FROM (SELECT xq FROM v WHERE vec_id = 0) q,
+             generate_series(0, {PQ_M - 1}) AS m(m), cb,
+             generate_series(1, {PQ_SUB}) AS g(i)
+        GROUP BY m.m, cb.code
+    )
+    SELECT a.vec_id, CAST(SUM(lut.ldq) AS BIGINT) AS adc_q
+    FROM a JOIN lut ON a.m = lut.m AND a.code = lut.code
+    GROUP BY a.vec_id
+    ORDER BY adc_q, a.vec_id
+    LIMIT 10
+    """
+
+
+@query("embed_pq_search", oracle=_pq_search_oracle())
+def embed_pq_search(spark, sf_dir):
+    """PQ serving path: asymmetric-distance (ADC) top-k. The query vector
+    becomes PQ_M·PQ_K exact-integer lookup tables (computed driver-side —
+    the bounded query-parameter discipline); each corpus vector is scored
+    with 8 LUT lookups + adds over its CODES ONLY — the scan never touches
+    the original 64 floats, which is the 32×-bandwidth win IVF-PQ ships.
+    Row-local + TakeOrderedAndProject; oracle replays assignment AND LUT
+    bit-for-bit."""
+    from nyc_taxi_pyspark_spark.operators.similarity import (
+        PQ_K,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_assign,
+        pq_codebooks,
+        quantize8,
+    )
+
+    vq = _emb(spark, sf_dir).select(
+        "vec_id", quantize8(F.col("embedding")).alias("xq")
+    )
+    seeds = [
+        (int(r["vec_id"]), [int(x) for x in r["xq"]])
+        for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
+    ]
+    books = pq_codebooks(seeds)
+    query_xq = [
+        int(x) for x in vq.filter(F.col("vec_id") == 0).first()["xq"]
+    ]
+    return pq_adc_topk(pq_assign(vq, books), pq_adc_lut(query_xq, books))

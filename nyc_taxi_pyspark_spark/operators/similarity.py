@@ -808,13 +808,59 @@ def pq_assign(vq: DataFrame, books: list[list[tuple[int, list[float]]]]) -> Data
             ]
         )
         best = F.array_min(pairs)
-        code_cols.append(best["c"].cast("string"))
+        code_cols.append(best["c"])
         err_cols.append(best["d"])
     recon = err_cols[0]
     for e in err_cols[1:]:
         recon = recon + e
     return vq.select(
         "vec_id",
-        F.concat_ws("|", *code_cols).alias("pq_code"),
+        F.array(*code_cols).alias("codes"),
+        F.concat_ws("|", *[c.cast("string") for c in code_cols]).alias("pq_code"),
         recon.cast("bigint").alias("recon_err_q"),
+    )
+
+
+def pq_adc_lut(
+    query_xq: list[int], books: list[list[tuple[int, list[float]]]]
+) -> list[list[tuple[int, int]]]:
+    """Exact-integer ADC lookup tables: LUT[m][code] = quantized squared
+    distance between the query's m-th subvector and that codebook entry —
+    the same floor(d²·1e14) terms `kmeans_dist_q` uses, evaluated in Python
+    (identical IEEE doubles), so Spark, DuckDB and this table agree
+    bit-for-bit. PQ_M · PQ_K integers per query."""
+    import math
+
+    luts = []
+    for m, book in enumerate(books):
+        qsub = query_xq[m * PQ_SUB : (m + 1) * PQ_SUB]
+        row = []
+        for code, comps in book:
+            s = 0
+            for xi, c in zip(qsub, comps):
+                d = xi / float(Q8) - c
+                s += math.floor(d * d * float(Q14))
+            row.append((int(code), int(s)))
+        luts.append(row)
+    return luts
+
+
+def pq_adc_topk(
+    coded: DataFrame, luts: list[list[tuple[int, int]]], k: int = 10
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per vector, the approximate
+    distance is PQ_M integer LUT lookups + adds — the scan never touches the
+    original vectors (32× less bandwidth), which is the entire point of the
+    PQ serving path. TakeOrderedAndProject finishes it; no shuffle."""
+    adc = None
+    for m, row in enumerate(luts):
+        arr = F.array(
+            *[F.lit(int(s)).cast("bigint") for _code, s in sorted(row)]
+        )
+        t = F.element_at(arr, F.element_at(F.col("codes"), m + 1).cast("int"))
+        adc = t if adc is None else adc + t
+    return (
+        coded.select("vec_id", adc.cast("bigint").alias("adc_q"))
+        .orderBy("adc_q", "vec_id")
+        .limit(k)
     )

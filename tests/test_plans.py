@@ -208,3 +208,14 @@ def test_pq_codes_no_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 1
+
+
+def test_pq_search_scan_plus_topk(spark):
+    """ADC scoring is LUT lookups over the codes column + TakeOrdered —
+    row-local, never a join against the codebook at scan time."""
+    df = QUERIES["embed_pq_search"](spark, SF)
+    plan = formatted_plan(df)
+    assert uses_take_ordered(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 1

@@ -369,3 +369,15 @@ def test_pq_seed_vectors_have_zero_error(spark):
     # Non-seed vectors quantize WITH loss (codes exist, error > 0).
     others = [r for r in out.values() if r.vec_id > 4]
     assert others and all(r.recon_err_q > 0 for r in others)
+
+
+def test_pq_search_orders_by_adc(spark):
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    rows = QUERIES["embed_pq_search"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    vals = [r.adc_q for r in rows]
+    assert vals == sorted(vals) and all(v >= 0 for v in vals)
+    # ADC is code-granular: every vector sharing the top hit's codes gets
+    # the same score, so the winner's ADC equals the global minimum.
+    assert rows[0].adc_q == min(vals)
