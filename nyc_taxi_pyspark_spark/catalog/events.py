@@ -265,3 +265,61 @@ def events_sessionize(spark, sf_dir):
             (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
         )
     )
+
+
+ATTRIBUTION_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days, exact micros
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_click_us
+        FROM events
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                          AND us - last_click_us <= {ATTRIBUTION_WINDOW_US}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+    FROM o
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the most recent
+    click by the same user within a 7-day lookback. Same scale shape as the
+    funnel/sessionization family — ONE hash exchange on user_id, a running
+    max over the per-user timeline (carrying only the latest click
+    timestamp, not the click list), then a tiny per-day re-aggregation.
+    Exact integer microseconds end-to-end."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    us = F.unix_micros(F.col("ts"))
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", us)
+    ).over(w)
+    flagged = ev.withColumn("us", us).withColumn("last_click_us", last_click)
+    attributed = (
+        F.col("last_click_us").isNotNull()
+        & ((F.col("us") - F.col("last_click_us")) <= ATTRIBUTION_WINDOW_US)
+    ).cast("int")
+    return (
+        flagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.sum(attributed).cast("bigint").alias("n_attributed"),
+        )
+    )

@@ -1019,3 +1019,88 @@ def embed_pq_search(spark, sf_dir):
         int(x) for x in vq.filter(F.col("vec_id") == 0).first()["xq"]
     ]
     return pq_adc_topk(pq_assign(vq, books), pq_adc_lut(query_xq, books))
+
+
+def _ivfpq_oracle() -> str:
+    from nyc_taxi_pyspark_spark.operators.similarity import PQ_K, PQ_M, PQ_SUB
+
+    def term(xcol: str) -> str:
+        d = (
+            f"(CAST({xcol}[m.m*{PQ_SUB}+i] AS DOUBLE)/1e8"
+            f" - CAST(cb.xq[m.m*{PQ_SUB}+i] AS DOUBLE)/CAST(1 AS DOUBLE)/1e8)"
+        )
+        return f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+
+    return _duck_ivf_cells() + f""",
+    v AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+        FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS code, xq FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
+    pruned AS (
+        SELECT v.vec_id, v.xq
+        FROM v JOIN cells USING (vec_id)
+        WHERE cells.cell = (SELECT cell FROM cells WHERE vec_id = 0)
+    ),
+    d AS (
+        SELECT v.vec_id, m.m, cb.code, SUM({term('v.xq')}) AS dq
+        FROM pruned v, generate_series(0, {PQ_M - 1}) AS m(m), cb,
+             generate_series(1, {PQ_SUB}) AS g(i)
+        GROUP BY v.vec_id, m.m, cb.code
+    ),
+    a AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dq, code) AS rk
+            FROM d
+        ) WHERE rk = 1
+    ),
+    lut AS (
+        SELECT m.m, cb.code, SUM({term('q.xq')}) AS ldq
+        FROM (SELECT xq FROM v WHERE vec_id = 0) q,
+             generate_series(0, {PQ_M - 1}) AS m(m), cb,
+             generate_series(1, {PQ_SUB}) AS g(i)
+        GROUP BY m.m, cb.code
+    )
+    SELECT a.vec_id, CAST(SUM(lut.ldq) AS BIGINT) AS adc_q
+    FROM a JOIN lut ON a.m = lut.m AND a.code = lut.code
+    GROUP BY a.vec_id
+    ORDER BY adc_q, a.vec_id
+    LIMIT 10
+    """
+
+
+@query("embed_ivfpq_search", oracle=_ivfpq_oracle())
+def embed_ivfpq_search(spark, sf_dir):
+    """IVF-PQ — the production ANN serving composition: the coarse
+    quantizer prunes the scan to the query's cell (at 100 TB: one
+    partition of the index), then ADC scores the survivors from their PQ
+    CODES via 8 LUT lookups each. Cell prune × 32× code compression
+    multiply: the scan reads ~1/cells of the corpus at ~1/32 the bytes.
+    Both stages are the independently-proven layouts (embed_ivf_cells,
+    embed_pq_codes); this query is their join-free composition."""
+    from nyc_taxi_pyspark_spark.operators.similarity import (
+        PQ_K,
+        ivf_cell_py,
+        pq_adc_lut,
+        pq_adc_topk,
+        pq_assign,
+        pq_codebooks,
+        quantize8,
+    )
+
+    ivf = _ivf(spark, sf_dir)
+    vals = _query_vec_literal(spark, sf_dir)
+    qcell = ivf_cell_py(vals, _centroids(spark, sf_dir))
+    vq = ivf.select("vec_id", "cell", quantize8(F.col("embedding")).alias("xq"))
+    seeds = [
+        (int(r["vec_id"]), [int(x) for x in r["xq"]])
+        for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
+    ]
+    books = pq_codebooks(seeds)
+    query_xq = [int(x) for x in vq.filter(F.col("vec_id") == 0).first()["xq"]]
+    pruned = vq.filter(F.col("cell") == F.lit(qcell))
+    return pq_adc_topk(pq_assign(pruned, books), pq_adc_lut(query_xq, books))

@@ -219,3 +219,16 @@ def test_pq_search_scan_plus_topk(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 1
+
+
+def test_ivfpq_pruned_scan_plus_topk(spark):
+    """Cell filter prunes the scan; ADC stays row-local; TakeOrdered tops.
+    The ≤2 exchanges are the persisted _ivf layout's BUILD plan showing
+    through InMemoryTableScan — session-once cost (ingest-time at scale);
+    the per-query slice adds no exchange of its own."""
+    df = QUERIES["embed_ivfpq_search"](spark, SF)
+    plan = formatted_plan(df)
+    assert uses_take_ordered(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert shuffle_count(df) <= 2

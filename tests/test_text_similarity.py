@@ -381,3 +381,18 @@ def test_pq_search_orders_by_adc(spark):
     # ADC is code-granular: every vector sharing the top hit's codes gets
     # the same score, so the winner's ADC equals the global minimum.
     assert rows[0].adc_q == min(vals)
+
+
+def test_ivfpq_is_pruned_pq_search(spark):
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    full = {r.vec_id: r.adc_q for r in QUERIES["embed_pq_search"](spark, sf).collect()}
+    pruned = QUERIES["embed_ivfpq_search"](spark, sf).collect()
+    assert 0 < len(pruned) <= 10
+    # Cell pruning only removes candidates: the pruned winner can never
+    # beat the global ADC winner, and any shared hit scores identically.
+    assert pruned[0].adc_q >= min(full.values())
+    for r in pruned:
+        if r.vec_id in full:
+            assert full[r.vec_id] == r.adc_q
