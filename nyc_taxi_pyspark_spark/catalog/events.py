@@ -323,3 +323,69 @@ def events_attribution(spark, sf_dir):
             F.sum(attributed).cast("bigint").alias("n_attributed"),
         )
     )
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), s AS (
+        SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sess_id
+        FROM o
+    ), paths AS (
+        SELECT user_id, sess_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM s GROUP BY user_id, sess_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top within-session event-type paths (product-analytics "user
+    journeys"): sessionize (same lag-gap-cumsum as events_sessionize),
+    concatenate each session's ordered event types, count the most common
+    paths. Ordering inside a session is made deterministic by sorting the
+    collected (ts, event_id, type) structs — no window re-sort needed —
+    and the final top-20 is TakeOrdered. Path cardinality is bounded by
+    session length, so the second agg's keyspace stays small at any corpus
+    size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = (prev.isNull() | ((us - prev) > SESSION_GAP_US)).cast("int")
+    sess = F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    paths = (
+        ev.withColumn("sess_id", sess)
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
