@@ -8,8 +8,9 @@ shape, which is the scale story: at 100 TB the only wide exchange is the
 hash partition on user_id (AQE-coalesced), every window pass reuses the
 same sort, and the final re-aggregations are tiny.
 
-Timestamps come through ``sources.io.load_table`` (events.parquet is
-TIMESTAMP_NANOS; load_table truncates ns→µs exactly as DuckDB does).
+Timestamps come through ``sources.io.load_table``, which footer-sniffs the
+physical unit of ``events.ts`` (MICROS reads natively; a NANOS file is
+truncated ns→µs exactly as DuckDB does).
 """
 
 from __future__ import annotations

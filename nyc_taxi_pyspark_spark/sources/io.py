@@ -55,23 +55,55 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc._engine_pyfile_added = True
 
 
+def _parquet_ts_is_nanos(path: str, column: str = "ts") -> bool:
+    """Sniff a parquet footer for whether ``column`` is TIMESTAMP(NANOS).
+
+    The driver's testdata generator has shipped ``events.ts`` as both
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across regenerations; hardcoding
+    either unit silently corrupts event time when the other shows up (a
+    ns-as-µs read compresses 30 days into ~43 minutes). One footer read on
+    the driver is metadata-only — no data scan — so this costs nothing even
+    against a 100 TB table.
+    """
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+                glob.glob(os.path.join(path, "part-*"))
+            )
+            if not parts:
+                return False
+            target = parts[0]
+        typ = pq.read_schema(target).field(column).type
+        return getattr(typ, "unit", None) == "ns"
+    except Exception:
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver-testdata parquet table with its explicit schema.
 
     The explicit schema skips footer-based inference on the driver and keeps
     the scan plan stable across scale factors.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects outright; we read it as raw nanos
-    (``nanosAsLong``) and truncate to microseconds — the same ns→µs
-    truncation DuckDB applies — so both engines see identical timestamps.
+    ``events.ts`` unit is sniffed from the parquet footer: TIMESTAMP(MICROS)
+    reads natively as ``TimestampType``; TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects outright) falls back to raw-nanos
+    (``nanosAsLong``) + truncation to microseconds — the same ns→µs
+    truncation DuckDB applies — so both engines see identical timestamps
+    either way.
     """
     # Pin UTC even when running under a caller-provided session (e.g. the
     # driver's): hour()/to_date()/dayofweek() over timestamps are
     # session-TZ-dependent and the oracle is UTC-naive (SURVEY.md §4).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_workers_can_import(spark)
-    if name == "events":
+    if name == "events" and _parquet_ts_is_nanos(f"{sf_dir}/events.parquet"):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         phys = T.StructType(
             [
