@@ -45,25 +45,27 @@ def string_functions(spark, sf_dir):
     "array_functions",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' ')))[1:3] AS first3_sorted,
-           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
-           CAST(list_contains(string_split(text, ' '), 'spark') AS INTEGER)
-             AS has_spark,
-           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',')
-             AS first3_csv
-    FROM documents
+           CAST(len(sw) AS INTEGER) AS n_words,
+           CAST(list_contains(sw, 'spark') AS INTEGER) AS has_spark,
+           array_to_string(list_sort(list_distinct(sw))[1:3], ',') AS first3_csv,
+           sw[len(sw)] AS last_word
+    FROM (SELECT doc_id, string_split(text, ' ') AS sw FROM documents)
     """,
 )
 def array_functions(spark, sf_dir):
-    """Array surface: split/array_distinct/sort_array/slice/contains/join."""
+    """Array surface: split/array_distinct/sort_array/slice/contains/join/
+    element_at. Every output column is a SCALAR: complex-typed results
+    crash the driver's value hasher (CORRECTNESS_r03: unhashable 'list'),
+    so arrays are flattened with array_join before leaving the query."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.array_sort(F.array_distinct(F.split("text", " ")))
+    sw = F.split("text", " ")
+    words = F.array_sort(F.array_distinct(sw))
     return d.select(
         "doc_id",
-        F.slice(words, 1, 3).alias("first3_sorted"),
-        F.size(F.split("text", " ")).alias("n_words"),
-        F.array_contains(F.split("text", " "), "spark").cast("int").alias("has_spark"),
+        F.size(sw).alias("n_words"),
+        F.array_contains(sw, "spark").cast("int").alias("has_spark"),
         F.array_join(F.slice(words, 1, 3), ",").alias("first3_csv"),
+        F.element_at(sw, -1).alias("last_word"),
     )
 
 
@@ -156,8 +158,10 @@ def window_ntile_pctrank(spark, sf_dir):
     "map_functions",
     oracle="""
     SELECT doc_id,
-           map_keys(map(['lang','source'], [lang, source])) AS meta_keys,
-           map_values(map(['lang','source'], [lang, source])) AS meta_values,
+           array_to_string(map_keys(map(['lang','source'], [lang, source])), ',')
+             AS meta_keys_csv,
+           array_to_string(map_values(map(['lang','source'], [lang, source])), ',')
+             AS meta_values_csv,
            map(['lang','source'], [lang, source])['lang'][1] AS lang_val,
            CAST(cardinality(map(['lang','source'], [lang, source])) AS INTEGER)
              AS n_entries
@@ -166,17 +170,17 @@ def window_ntile_pctrank(spark, sf_dir):
 )
 def map_functions(spark, sf_dir):
     """Map surface (§2.8 type-family width): create_map / map_keys /
-    map_values / element_at / size. The raw map column stays out of the
-    output (engines canonicalize maps differently); keys/values arrays and
-    scalar lookups are engine-portable."""
+    map_values / element_at / size. All outputs are SCALARS — the raw map
+    (engines canonicalize maps differently) and even the keys/values arrays
+    (driver hasher can't take lists) leave as joined CSV strings."""
     d = load_table(spark, sf_dir, "documents")
     m = F.create_map(
         F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
     )
     return d.select(
         "doc_id",
-        F.map_keys(m).alias("meta_keys"),
-        F.map_values(m).alias("meta_values"),
+        F.array_join(F.map_keys(m), ",").alias("meta_keys_csv"),
+        F.array_join(F.map_values(m), ",").alias("meta_values_csv"),
         F.element_at(m, "lang").alias("lang_val"),
         F.size(m).alias("n_entries"),
     )
@@ -193,7 +197,8 @@ def map_functions(spark, sf_dir):
              AS all_nonempty,
            CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
              AS total_chars,
-           list_transform(w, x -> CAST(length(x) AS INTEGER))[1:5] AS first5_lens
+           array_to_string(list_transform(w, x -> CAST(length(x) AS VARCHAR))[1:5],
+                           ',') AS first5_lens_csv
     FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
     """,
 )
@@ -214,7 +219,9 @@ def lambda_functions(spark, sf_dir):
         F.aggregate(
             w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),
-        F.slice(F.transform(w, lambda x: F.length(x)), 1, 5).alias("first5_lens"),
+        F.array_join(
+            F.slice(F.transform(w, lambda x: F.length(x).cast("string")), 1, 5), ","
+        ).alias("first5_lens_csv"),
     )
 
 
