@@ -35,7 +35,9 @@ class Engine:
         return self.spark.sql(text)
 
     def table(self, name: str) -> DataFrame:
-        if self.sf_dir is not None:
+        from nyc_taxi_pyspark_spark.schemas import TESTDATA_TABLES
+
+        if self.sf_dir is not None and name in TESTDATA_TABLES:
             return load_table(self.spark, self.sf_dir, name)
         return self.spark.table(name)
 

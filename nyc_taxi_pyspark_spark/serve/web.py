@@ -21,6 +21,10 @@ route                 reference tab
                       first hit, then serves the self-contained index.html
 ``GET|POST /score``   batch scoring with threshold (``?threshold=&n=``);
                       404 with a hint when no model directory is configured
+``POST /upload``      CSV file upload → registered temp view (app5.py:118-127's
+                      ``st.file_uploader`` → queryable table); CSV text in the
+                      ``csv`` form field or as the raw request body, view name
+                      in ``?name=`` (default ``uploaded``)
 ====================  =========================================================
 
 Run it as::
@@ -93,6 +97,7 @@ class WebApp:
         self.preview_cap = preview_cap
         self._featured = None
         self._reports_ready = False
+        self._uploaded: set[str] = set()
         # RLock: ensure_reports() calls featured_trips() while holding it.
         self._lock = threading.RLock()
 
@@ -155,7 +160,46 @@ class WebApp:
     def tables(self, _q) -> tuple[int, str, bytes]:
         from nyc_taxi_pyspark_spark.schemas import TESTDATA_TABLES
 
-        return 200, "application/json", json.dumps(list(TESTDATA_TABLES)).encode()
+        names = list(TESTDATA_TABLES) + sorted(self._uploaded)
+        return 200, "application/json", json.dumps(names).encode()
+
+    def upload(self, q) -> tuple[int, str, bytes]:
+        """CSV upload → temp spill → inferred-schema scan → temp view (S7's
+        UI half, reference streamlit_app/app5.py:118-127). The uploaded file
+        is presentation-sized by construction (it travels through one HTTP
+        request), so schema inference's extra pass is fine here — bulk data
+        enters through the parquet/CSV source APIs, not this route."""
+        import os
+        import re
+
+        from nyc_taxi_pyspark_spark.sources.io import read_csv
+
+        name = q.get("name", ["uploaded"])[0]
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            return 400, "text/plain", b"invalid view name"
+        csv_text = q.get("csv", [None])[0]
+        if csv_text is None:
+            csv_text = q.get("__body__", [""])[0]
+        if not csv_text.strip():
+            return 400, "text/plain", b"empty upload: send CSV in 'csv' field or body"
+        spill_dir = tempfile.mkdtemp(prefix="engine-upload-")
+        path = os.path.join(spill_dir, f"{name}.csv")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(csv_text)
+        try:
+            df = read_csv(self.engine.spark, path, infer=True)
+            self.engine.register(name, df)
+            n_rows = df.count()
+        except Exception as e:  # noqa: BLE001 - user-data console surface
+            return 400, "text/plain", f"CSV error: {e}".encode()
+        with self._lock:
+            self._uploaded.add(name)
+        payload = {
+            "view": name,
+            "rows": n_rows,
+            "columns": [{"name": c, "type": t} for c, t in df.dtypes],
+        }
+        return 200, "application/json", json.dumps(payload).encode()
 
     def preview(self, q) -> tuple[int, str, bytes]:
         table = q.get("table", ["orders"])[0]
@@ -243,6 +287,7 @@ class WebApp:
         "/kpi": "kpi",
         "/reports": "reports",
         "/score": "score",
+        "/upload": "upload",
     }
 
     def dispatch(self, path: str, q: dict) -> tuple[int, str, bytes]:
@@ -262,7 +307,13 @@ def make_server(app: WebApp, host: str = "127.0.0.1", port: int = 0) -> Threadin
             if self.command == "POST":
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length).decode()
-                q = {**parse_qs(body), **q}
+                ctype = self.headers.get("Content-Type", "")
+                if "application/x-www-form-urlencoded" in ctype:
+                    q = {**parse_qs(body), **q}
+                else:
+                    # raw-body POST (e.g. text/csv to /upload): hand the
+                    # payload through untouched — parse_qs would mangle it.
+                    q = {**q, "__body__": [body]}
             try:
                 status, ctype, payload = app.dispatch(parsed.path, q)
             except Exception as e:  # noqa: BLE001 - top-level request guard

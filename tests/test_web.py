@@ -92,6 +92,48 @@ def test_score_without_model_is_404_with_hint(web):
     assert "--model" in exc.value.read().decode()
 
 
+def test_upload_csv_roundtrip(web):
+    # Raw-body POST (text/csv) → registered view.
+    csv = "city,pop\nparis,2100000\nlyon,520000\nnice,340000\n"
+    req = urllib.request.Request(
+        f"{web}/upload?name=cities",
+        data=csv.encode(),
+        headers={"Content-Type": "text/csv"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.loads(r.read().decode())
+    assert out["view"] == "cities" and out["rows"] == 3
+    assert {"name": "pop", "type": "int"} in out["columns"]
+
+    # The uploaded view is queryable through the SQL console ...
+    q = urllib.parse.quote("SELECT city FROM cities ORDER BY pop DESC LIMIT 1")
+    status, body = _get(f"{web}/sql?q={q}&format=json")
+    assert status == 200 and json.loads(body)[0]["city"] == "paris"
+
+    # ... previewable, and listed next to the testdata tables.
+    status, body = _get(f"{web}/preview?table=cities&n=5&format=json")
+    assert status == 200 and len(json.loads(body)) == 3
+    _, body = _get(f"{web}/tables")
+    assert "cities" in json.loads(body)
+
+
+def test_upload_form_field_and_bad_name(web):
+    data = urllib.parse.urlencode(
+        {"csv": "a,b\n1,2\n", "name": "tiny"}
+    ).encode()
+    with urllib.request.urlopen(f"{web}/upload", data=data, timeout=120) as r:
+        assert json.loads(r.read().decode())["rows"] == 1
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            f"{web}/upload?name=drop%20table",
+            data=b"a\n1\n",
+            timeout=120,
+        )
+    assert exc.value.code == 400
+
+
 def test_unknown_route_404(web):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(f"{web}/nope")
