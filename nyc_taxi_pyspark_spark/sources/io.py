@@ -55,6 +55,9 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     sc._engine_pyfile_added = True
 
 
+_TS_UNIT_CACHE: dict[str, bool] = {}
+
+
 def _parquet_ts_is_nanos(path: str, column: str = "ts") -> bool:
     """Sniff a parquet footer for whether ``column`` is TIMESTAMP(NANOS).
 
@@ -62,9 +65,12 @@ def _parquet_ts_is_nanos(path: str, column: str = "ts") -> bool:
     TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across regenerations; hardcoding
     either unit silently corrupts event time when the other shows up (a
     ns-as-µs read compresses 30 days into ~43 minutes). One footer read on
-    the driver is metadata-only — no data scan — so this costs nothing even
-    against a 100 TB table.
+    the driver is metadata-only — no data scan — and the answer is cached
+    per path, so repeated catalog queries don't re-open the footer.
     """
+    cached = _TS_UNIT_CACHE.get(path)
+    if cached is not None:
+        return cached
     try:
         import glob
         import os
@@ -80,9 +86,11 @@ def _parquet_ts_is_nanos(path: str, column: str = "ts") -> bool:
                 return False
             target = parts[0]
         typ = pq.read_schema(target).field(column).type
-        return getattr(typ, "unit", None) == "ns"
+        result = getattr(typ, "unit", None) == "ns"
     except Exception:
-        return False
+        result = False
+    _TS_UNIT_CACHE[path] = result
+    return result
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
