@@ -76,6 +76,42 @@ def test_events_ts_matches_duckdb_oracle(spark):
     assert s_lo == d_lo and s_hi == d_hi, (s_lo, d_lo, s_hi, d_hi)
 
 
+@pytest.mark.parametrize("unit", ["us", "ns"])
+def test_events_reader_handles_both_ts_units(spark, tmp_path, unit):
+    """Both physical units the driver has shipped decode to the same event
+    time. The ns file exercises the legacy nanosAsLong fallback, which the
+    current (micros) testdata no longer reaches."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    times = [base + datetime.timedelta(hours=i, microseconds=250_000 * i)
+             for i in range(5)]
+    table = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(times, pa.timestamp(unit)),
+            "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["click"] * 5),
+            "value": pa.array([float(i) for i in range(5)]),
+            "props": pa.array(['{"k":1}'] * 5),
+        }
+    )
+    sf_dir = tmp_path / unit
+    sf_dir.mkdir()
+    pq.write_table(table, sf_dir / "events.parquet")
+
+    got = [
+        r["ts"]
+        for r in load_table(spark, str(sf_dir), "events")
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == times
+
+
 def test_orders_lineitem_dates_plausible(spark):
     from pyspark.sql import functions as F
 
