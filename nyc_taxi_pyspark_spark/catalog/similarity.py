@@ -331,6 +331,78 @@ def embed_near_dup_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "embed_knn_join",
+    oracle=_duck_bucket_cte()
+    + f"""
+    , cands AS (
+        SELECT a.vec_id AS id_q, b.vec_id AS id_n
+        FROM buckets a JOIN buckets b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    sims AS (
+        SELECT c.id_q, c.id_n,
+               {_duck_acc('CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)')}
+                 / (SQRT({_duck_acc('CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)')})
+                    * SQRT({_duck_acc('CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)')}))
+                 AS cosine_sim
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.id_q
+        JOIN embeddings eb ON eb.vec_id = c.id_n,
+        generate_series(1, {DIM}) AS g(i)
+        GROUP BY c.id_q, c.id_n
+    )
+    SELECT id_q, id_n, cosine_sim, rank_n FROM (
+        SELECT id_q, id_n, cosine_sim,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY id_q ORDER BY cosine_sim DESC, id_n
+               ) AS INTEGER) AS rank_n
+        FROM sims
+    ) WHERE rank_n <= 3
+    """,
+)
+def embed_knn_join(spark, sf_dir):
+    """Batch kNN-JOIN: every vector gets its top-3 approximate neighbors —
+    the retrieval shape behind corpus-level label propagation, RAG corpus
+    linking, and kNN-classifier data curation (one query point per row, vs
+    ``embed_ann_topk``'s single literal query).
+
+    Candidates come from the LSH-bucket equi-join (never a crossJoin), exact
+    quantized cosine scores them, and one window pass partitioned by the
+    query id keeps the top 3 (ties broken by neighbor id, so the result is
+    deterministic). At 100 TB: bucket is a storage partition column, so the
+    self-join is co-located map-side work; the only wide exchange is the
+    hash partition on id_q for the ranking window, and AQE handles the
+    skewed mega-bucket case (same shape as the near-dup verify join).
+    """
+    from pyspark.sql import Window
+
+    b = _bucketed(spark, sf_dir)
+    left = b.select(
+        F.col("vec_id").alias("id_q"),
+        F.col("embedding").alias("vec_q"),
+        "bucket",
+        F.col("nrm").alias("nrm_q"),
+    )
+    right = b.select(
+        F.col("vec_id").alias("id_n"),
+        F.col("embedding").alias("vec_n"),
+        "bucket",
+        F.col("nrm").alias("nrm_n"),
+    )
+    sim = (
+        dot(F.col("vec_q"), F.col("vec_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+    ).alias("cosine_sim")
+    w = Window.partitionBy("id_q").orderBy(F.desc("cosine_sim"), "id_n")
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_q") != F.col("id_n"))
+        .select("id_q", "id_n", sim)
+        .withColumn("rank_n", F.row_number().over(w))
+        .filter(F.col("rank_n") <= 3)
+    )
+
+
 def _duck_hamming_leq1(a: str, b: str) -> str:
     terms = " + ".join(
         f"CASE WHEN {a}[{j+1}:{j+1}] <> {b}[{j+1}:{j+1}] THEN 1 ELSE 0 END"

@@ -396,3 +396,22 @@ def test_ivfpq_is_pruned_pq_search(spark):
     for r in pruned:
         if r.vec_id in full:
             assert full[r.vec_id] == r.adc_q
+
+
+def test_knn_join_contract(spark):
+    """Batch kNN-join: per-query ranks are dense from 1, capped at 3, never
+    self-referential, and ordered by descending similarity."""
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    rows = QUERIES["embed_knn_join"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "bucketed corpus should yield at least one neighbor pair"
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.id_q != r.id_n and -1.0 <= r.cosine_sim <= 1.0
+        by_q.setdefault(r.id_q, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank_n)
+        assert [r.rank_n for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        sims = [r.cosine_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
