@@ -331,9 +331,8 @@ def embed_near_dup_pairs(spark, sf_dir):
     )
 
 
-@query(
-    "embed_knn_join",
-    oracle=_duck_bucket_cte()
+_DUCK_KNN_RANKED = (
+    _duck_bucket_cte()
     + f"""
     , cands AS (
         SELECT a.vec_id AS id_q, b.vec_id AS id_n
@@ -351,14 +350,24 @@ def embed_near_dup_pairs(spark, sf_dir):
         JOIN embeddings eb ON eb.vec_id = c.id_n,
         generate_series(1, {DIM}) AS g(i)
         GROUP BY c.id_q, c.id_n
-    )
-    SELECT id_q, id_n, cosine_sim, rank_n FROM (
+    ),
+    ranked AS (
         SELECT id_q, id_n, cosine_sim,
                CAST(ROW_NUMBER() OVER (
                    PARTITION BY id_q ORDER BY cosine_sim DESC, id_n
                ) AS INTEGER) AS rank_n
         FROM sims
-    ) WHERE rank_n <= 3
+    )
+    """
+)
+
+
+@query(
+    "embed_knn_join",
+    oracle=_DUCK_KNN_RANKED
+    + """
+    SELECT id_q, id_n, cosine_sim, rank_n
+    FROM ranked WHERE rank_n <= 3
     """,
 )
 def embed_knn_join(spark, sf_dir):
@@ -400,6 +409,62 @@ def embed_knn_join(spark, sf_dir):
         .select("id_q", "id_n", sim)
         .withColumn("rank_n", F.row_number().over(w))
         .filter(F.col("rank_n") <= 3)
+    )
+
+
+@query(
+    "embed_knn_label_vote",
+    oracle=_DUCK_KNN_RANKED
+    + """
+    , votes AS (
+        SELECT r.id_q, en.label AS n_label, COUNT(*) AS cnt
+        FROM ranked r JOIN embeddings en ON en.vec_id = r.id_n
+        WHERE r.rank_n <= 3
+        GROUP BY r.id_q, en.label
+    ),
+    voted AS (
+        SELECT id_q, n_label AS voted_label, CAST(cnt AS INTEGER) AS n_votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id_q ORDER BY cnt DESC, n_label
+               ) AS vr
+        FROM votes
+    )
+    SELECT v.id_q, eq.label AS own_label, v.voted_label, v.n_votes,
+           CAST(eq.label = v.voted_label AS INTEGER) AS agree
+    FROM voted v JOIN embeddings eq ON eq.vec_id = v.id_q
+    WHERE v.vr = 1
+    """,
+)
+def embed_knn_label_vote(spark, sf_dir):
+    """kNN label propagation: each vector takes the majority label of its
+    top-3 approximate neighbors (ties → smallest label), next to its own
+    label and an agreement flag — the semi-supervised labeling / label-noise
+    audit built on :func:`embed_knn_join`'s graph. Two windows partitioned
+    by id_q and one small re-aggregation; same scale story as the kNN join.
+    """
+    from pyspark.sql import Window
+
+    knn = embed_knn_join(spark, sf_dir)
+    b = _bucketed(spark, sf_dir)
+    n_labels = b.select(F.col("vec_id").alias("id_n"), F.col("label").alias("n_label"))
+    q_labels = b.select(F.col("vec_id").alias("id_q"), F.col("label").alias("own_label"))
+    votes = (
+        knn.join(n_labels, "id_n")
+        .groupBy("id_q", "n_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    vw = Window.partitionBy("id_q").orderBy(F.desc("n_votes"), "n_label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .filter(F.col("vr") == 1)
+        .join(q_labels, "id_q")
+        .select(
+            "id_q",
+            "own_label",
+            F.col("n_label").alias("voted_label"),
+            F.col("n_votes").cast("int").alias("n_votes"),
+            (F.col("own_label") == F.col("n_label")).cast("int").alias("agree"),
+        )
     )
 
 
