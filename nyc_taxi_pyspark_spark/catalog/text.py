@@ -610,6 +610,114 @@ def text_tficf_topk(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ("spark", "join", "window")
+# k1=1.2, b=0.75 pre-folded: k1+1=2.2, k1*(1-b)=0.25·1.2, k1*b=0.75·1.2 —
+# written as 1.2*(0.25 + 0.75*x) in BOTH engines so the float expression
+# trees match operation-for-operation.
+
+
+def _bm25_term_sql(t: str) -> str:
+    # every constant CAST to DOUBLE: DuckDB parses bare 2.2/1.2 as exact
+    # DECIMAL and would do decimal arithmetic, diverging from Spark's
+    # double tree by an ULP.
+    return (
+        f"((n_docs - df_{t} + CAST(0.5 AS DOUBLE)) / (df_{t} + CAST(0.5 AS DOUBLE)))"
+        f" * ((tf_{t} * CAST(2.2 AS DOUBLE)) / (tf_{t} + CAST(1.2 AS DOUBLE)"
+        f" * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE)"
+        f" / CAST(n_docs AS DOUBLE))))))"
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+               {', '.join(f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in _BM25_TERMS)}
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl,
+               {', '.join(f'CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}' for t in _BM25_TERMS)}
+        FROM base
+    )
+    SELECT doc_id,
+           {', '.join(f'CAST(tf_{t} AS INTEGER) AS tf_{t}' for t in _BM25_TERMS)},
+           {' + '.join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS bm25
+    FROM base, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 document retrieval for a literal multi-term query, top-10.
+
+    Classic BM25 shape (k1=1.2, b=0.75, per-doc length normalization
+    against the corpus mean) with the RATIONAL idf (N-df+0.5)/(df+0.5)
+    instead of its log: same ranking family, but ln() is a libm call whose
+    last ULP differs between JVM and DuckDB, while this form stays in
+    integer-derived double arithmetic written as the identical expression
+    tree in both engines — hash-checkable. Plan: one narrow projection
+    computes dl + per-term tf per doc (whole-stage codegen, no explode for
+    a fixed query), one map-side-combined 1-row global agg for
+    (N, Σdl, df_t), broadcast back (the accepted 1-row crossJoin pattern),
+    score, TakeOrderedAndProject. At 100 TB the stats row is corpus
+    metadata computed once per index build, not per query."""
+    d = _docs(spark, sf_dir)
+    toks = tokens()
+
+    def tf_col(t: str) -> F.Column:
+        # one-arg lambda only: a defaulted second parameter would silently
+        # receive the array index (see lambda_functions' docstring).
+        return (
+            F.size(F.filter(toks, lambda x: x == F.lit(t)))
+            .cast("bigint")
+            .alias(f"tf_{t}")
+        )
+
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("dl"),
+        *[tf_col(t) for t in _BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+
+    def term_score(t: str) -> F.Column:
+        idf = (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5)) / (
+            F.col(f"df_{t}") + F.lit(0.5)
+        )
+        tfpart = (F.col(f"tf_{t}") * F.lit(2.2)) / (
+            F.col(f"tf_{t}")
+            + F.lit(1.2)
+            * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+        )
+        return idf * tfpart
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            *[F.col(f"tf_{t}").cast("int").alias(f"tf_{t}") for t in _BM25_TERMS],
+            score.alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
 @query(
     "text_normalize",
     oracle="""
