@@ -121,3 +121,24 @@ def stream_interval_join(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click")
     errors = ev.filter(F.col("event_type") == "error")
     return interval_join(clicks, errors)
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.event_type, d.severity, e.value
+    FROM events e
+    JOIN (VALUES ('view','low'), ('click','low'), ('signup','medium'),
+                 ('purchase','high'), ('error','critical'))
+         AS d(event_type, severity)
+      ON e.event_type = d.event_type
+    """,
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast join (stateless enrichment) in its batch
+    form; the streaming test runs the identical transform under readStream
+    in append mode — no watermark, no state, per-micro-batch broadcast
+    hash join."""
+    from nyc_taxi_pyspark_spark.streaming.windows import enrich_static, severity_dim
+
+    return enrich_static(load_table(spark, sf_dir, "events"), severity_dim(spark))

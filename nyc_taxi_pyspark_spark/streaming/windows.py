@@ -122,3 +122,34 @@ def interval_join(
         & (F.col("error_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {gap}"))
         & (F.col("error_ts") <= F.col("click_ts")),
     ).select("click_id", "user_id", "click_ts", "error_ts")
+
+
+SEVERITY_ROWS = [
+    ("view", "low"),
+    ("click", "low"),
+    ("signup", "medium"),
+    ("purchase", "high"),
+    ("error", "critical"),
+]
+
+
+def severity_dim(spark) -> DataFrame:
+    """Static severity lookup (in-memory tuples, the reference's S5 idiom)."""
+    return spark.createDataFrame(
+        SEVERITY_ROWS, "event_type STRING, severity STRING"
+    )
+
+
+def enrich_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast enrichment — the canonical Structured
+    Streaming join: an unbounded event stream joined to a bounded dimension.
+
+    Stateless (no watermark needed, append-mode safe): each micro-batch
+    hash-joins against the broadcast dim and emits immediately, so there is
+    no join state at all — the streaming shape that scales to any ingest
+    rate. In batch the identical transform is a plain broadcast hash join,
+    which is what the DuckDB oracle checks.
+    """
+    return events.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "severity", "value"
+    )

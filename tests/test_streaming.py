@@ -22,8 +22,8 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_dir(spark):
-    """Materialize the (nanos-converted) events table as a µs-timestamp
-    parquet dir that readStream can consume."""
+    """Materialize the events table (unit-sniffed by load_table) as a
+    µs-timestamp parquet dir that readStream can consume."""
     d = tempfile.mkdtemp(prefix="events_stream_")
     load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(d)
     return d
@@ -181,4 +181,22 @@ def test_stream_interval_join_equals_batch(spark, events_dir):
         q.stop()
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in spark.table(name).collect()}
+    assert b == s and len(b) > 0
+
+
+def test_stream_static_enrich_equals_batch(spark, events_dir):
+    """Stream-static broadcast join: append-mode, stateless — streamed
+    output must equal the batch twin exactly."""
+    from nyc_taxi_pyspark_spark.streaming.windows import enrich_static, severity_dim
+
+    dim = severity_dim(spark)
+    batch = enrich_static(load_table(spark, SF_DIR, "events"), dim)
+    streamed = run_stream_once(
+        spark,
+        events_dir,
+        TESTDATA_SCHEMAS["events"],
+        lambda s: enrich_static(s, dim),
+    )
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in streamed.collect()}
     assert b == s and len(b) > 0
