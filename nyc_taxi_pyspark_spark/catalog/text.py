@@ -551,6 +551,43 @@ def text_dup_clusters(spark, sf_dir):
 
 
 @query(
+    "text_dedup_survivor_weights",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN ({_dup_clusters_oracle()}) c ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id AS survivor_doc_id,
+           CAST(COUNT(*) AS INTEGER) AS weight,
+           CAST(COUNT(*) > 1 AS INTEGER) AS is_cluster
+    FROM assigned GROUP BY cluster_id
+    """,
+)
+def text_dedup_survivor_weights(spark, sf_dir):
+    """Survivor re-weighting after near-dup dedup: one row per kept
+    document, weighted by the size of its duplicate cluster (1 for
+    singletons). Training on survivors with these weights — or resampling
+    proportional to them — preserves the pre-dedup corpus distribution
+    instead of silently down-weighting popular content, the standard
+    follow-up to cluster-and-drop dedup.
+
+    Plan: the (small) cluster assignment joins against the doc-id
+    projection of the corpus — Spark broadcasts it — then one groupBy on
+    the cluster id. At 100 TB both sides read id columns only; the only
+    wide exchange is the survivor aggregation."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    clusters = text_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = docs.join(clusters, "doc_id", "left").select(
+        F.coalesce("cluster_id", "doc_id").alias("survivor_doc_id")
+    )
+    return assigned.groupBy("survivor_doc_id").agg(
+        F.count("*").cast("int").alias("weight"),
+        (F.count("*") > 1).cast("int").alias("is_cluster"),
+    )
+
+
+@query(
     "text_tficf_topk",
     oracle=f"""
     WITH toks AS (
