@@ -375,7 +375,7 @@ _DUCK_CHAR_SH = (
 )
 
 
-def _ngram_oracle() -> str:
+def _ngram_cands_cte() -> str:
     # char-8-gram variant: 8 hashes in 2 bands × 4 rows (LSH threshold ≈ 0.84)
     hcols = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}"
@@ -387,10 +387,6 @@ def _ngram_oracle() -> str:
             concat=" || '|' || ".join(f"h{b * 4 + r}" for r in range(4)),
         )
         for b in range(2)
-    )
-    jac = (
-        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
-        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
     )
     return f"""
     WITH sets AS (
@@ -411,12 +407,24 @@ def _ngram_oracle() -> str:
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
     )
+    """
+
+
+def _ngram_oracle() -> str:
+    jac = (
+        "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+        " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    )
+    return (
+        _ngram_cands_cte()
+        + f"""
     SELECT doc_a, doc_b, {jac} AS jaccard
     FROM cands
     JOIN sets sa ON sa.doc_id = doc_a
     JOIN sets sb ON sb.doc_id = doc_b
     WHERE {jac} >= 0.8
     """
+    )
 
 
 _NGRAM_LAYOUT_CACHE = SessionLayoutCache()
@@ -451,6 +459,58 @@ def text_ngram_jaccard_pairs(spark, sf_dir):
         threshold=0.8,
         n_bands=2,
         rows_per_band=4,
+    )
+
+
+_DUCK_SHARED_SH = "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+
+
+@query(
+    "text_containment_pairs",
+    oracle=_ngram_cands_cte()
+    + f"""
+    SELECT doc_a, doc_b,
+           {_DUCK_SHARED_SH} / CAST(len(sa.sh) AS DOUBLE) AS containment_a,
+           {_DUCK_SHARED_SH} / CAST(len(sb.sh) AS DOUBLE) AS containment_b
+    FROM cands
+    JOIN sets sa ON sa.doc_id = doc_a
+    JOIN sets sb ON sb.doc_id = doc_b
+    WHERE GREATEST({_DUCK_SHARED_SH} / CAST(len(sa.sh) AS DOUBLE),
+                   {_DUCK_SHARED_SH} / CAST(len(sb.sh) AS DOUBLE)) >= 0.7
+    """,
+)
+def text_containment_pairs(spark, sf_dir):
+    """Asymmetric containment dedup: |A∩B|/|A| and |A∩B|/|B| over char-8-gram
+    shingle sets for LSH band candidates. Catches SUBSET duplication — a
+    short doc quoted inside a long one, boilerplate wrapping — which
+    symmetric Jaccard under-scores (small∩big over a big union). Candidates
+    come from the same persisted signature layout and band join as the
+    Jaccard path (recall is bounded by the banding, documented trade);
+    verification reads the shingle arrays for candidates only."""
+    from nyc_taxi_pyspark_spark.operators.text import (
+        lsh_bands,
+        lsh_candidate_pairs,
+    )
+
+    layout = _ngram_layout(spark, sf_dir)
+    pairs = lsh_candidate_pairs(
+        lsh_bands(layout, "doc_id", n_bands=2, rows_per_band=4)
+    )
+    sa = layout.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = layout.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    shared = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    ca = shared / F.size("sh_a").cast("double")
+    cb = shared / F.size("sh_b").cast("double")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(ca, cb) >= 0.7)
+        .select(
+            "doc_a",
+            "doc_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
     )
 
 
