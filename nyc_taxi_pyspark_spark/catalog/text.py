@@ -1188,6 +1188,124 @@ def text_unigram_rarity(spark, sf_dir):
     )
 
 
+_BLOOM_M = 16384  # bit-array size
+_BLOOM_K = 4  # hash functions
+
+
+def _duck_bloom_bit(expr: str) -> str:
+    """Horner fold of the first 8 md5 hex digits of ``expr`` mod M — the
+    DuckDB twin of conv(substring(md5(x),1,8),16,10) % M (same idiom as
+    corpus mixture bucketing, modulus applied at each step)."""
+    return (
+        f"list_reduce(list_transform(split(md5({expr})[1:8], ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(acc, x) -> (acc * 16 + x) % {_BLOOM_M})"
+    )
+
+
+@query(
+    "corpus_bloom_prefilter",
+    oracle=f"""
+    WITH split AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS s FROM documents),
+    base AS (SELECT md5(d.text) AS fp FROM documents d, split WHERE d.doc_id < s),
+    batch AS (
+        SELECT d.doc_id, md5(d.text) AS fp
+        FROM documents d, split WHERE d.doc_id >= s
+    ),
+    hseeds AS (SELECT i FROM (VALUES {', '.join(f'({i})' for i in range(_BLOOM_K))}) AS v(i)),
+    base_bits AS (
+        SELECT DISTINCT {_duck_bloom_bit("CAST(h.i AS VARCHAR) || '|' || base.fp")} AS bit
+        FROM base, hseeds h
+    ),
+    probe AS (
+        SELECT b.doc_id,
+               {_duck_bloom_bit("CAST(h.i AS VARCHAR) || '|' || b.fp")} AS bit
+        FROM batch b, hseeds h
+    ),
+    flags AS (
+        SELECT p.doc_id,
+               CAST(SUM(CASE WHEN bb.bit IS NOT NULL THEN 1 ELSE 0 END)
+                    = {_BLOOM_K} AS INTEGER) AS maybe_present
+        FROM probe p LEFT JOIN base_bits bb ON p.bit = bb.bit
+        GROUP BY p.doc_id
+    )
+    SELECT f.doc_id, f.maybe_present,
+           CAST(bf.fp IS NOT NULL AS INTEGER) AS is_exact_dup
+    FROM flags f
+    JOIN batch bt ON bt.doc_id = f.doc_id
+    LEFT JOIN (SELECT DISTINCT fp FROM base) bf ON bf.fp = bt.fp
+    """,
+)
+def corpus_bloom_prefilter(spark, sf_dir):
+    """Deterministic Bloom-filter pre-filter for incremental ingest: the
+    base corpus's exact-dup fingerprints populate a {_BLOOM_M}-bit /
+    {_BLOOM_K}-hash Bloom set; each incoming doc probes it and is flagged
+    ``maybe_present`` (all K bits set) next to the ground-truth
+    ``is_exact_dup`` — so the false-positive behavior is measured, and the
+    no-false-negative contract (every exact dup is maybe_present) is
+    testable.
+
+    At 100 TB this is the cheap gate BEFORE the band join of
+    ``corpus_incremental_dedup``: the bit set is tiny (≤ M rows of
+    positions, broadcast to every executor), the probe is a per-row
+    hash + broadcast semi-join — no shuffle of the batch, no touch of the
+    base beyond its ingest-time fingerprints. md5-derived bit positions
+    (same Horner-fold idiom as corpus mixture bucketing) keep the whole
+    structure engine-portable and hash-checkable."""
+    from nyc_taxi_pyspark_spark.operators.text import fingerprint
+
+    d = _docs(spark, sf_dir)
+    split = d.count() // 2
+    base_fps = (
+        d.filter(F.col("doc_id") < split).select(fingerprint().alias("fp"))
+    )
+    batch = d.filter(F.col("doc_id") >= split).select(
+        "doc_id", fingerprint().alias("fp")
+    )
+
+    def bloom_bit(fp: F.Column, i: int) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}|"), fp)), 1, 8), 16, 10)
+            .cast("bigint")
+            % _BLOOM_M
+        )
+
+    base_bits = (
+        base_fps.select(
+            F.explode(
+                F.array(*[bloom_bit(F.col("fp"), i) for i in range(_BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = batch.select(
+        "doc_id",
+        F.explode(
+            F.array(*[bloom_bit(F.col("fp"), i) for i in range(_BLOOM_K)])
+        ).alias("bit"),
+    )
+    flags = (
+        probe.join(F.broadcast(base_bits), "bit", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("present"), F.lit(0))) == _BLOOM_K)
+            .cast("int")
+            .alias("maybe_present")
+        )
+    )
+    exact = base_fps.distinct().withColumn("is_base", F.lit(1))
+    return (
+        flags.join(batch, "doc_id")
+        .join(F.broadcast(exact), "fp", "left")
+        .select(
+            "doc_id",
+            "maybe_present",
+            F.coalesce(F.col("is_base"), F.lit(0)).cast("int").alias("is_exact_dup"),
+        )
+    )
+
+
 def _incremental_dedup_oracle() -> str:
     """Twin of the incremental-ingest dedup: the near set is the full
     banded pair set restricted to boundary-crossing pairs — identical to

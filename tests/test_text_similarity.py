@@ -415,3 +415,17 @@ def test_knn_join_contract(spark):
         assert len(rs) <= 3
         sims = [r.cosine_sim for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom contract: every exact dup must be maybe_present; false
+    positives are allowed but should be rare at M=16384/K=4 for this
+    corpus size."""
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    rows = QUERIES["corpus_bloom_prefilter"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r.maybe_present == 1 for r in rows if r.is_exact_dup == 1)
+    clean = [r for r in rows if r.is_exact_dup == 0]
+    fp_rate = sum(r.maybe_present for r in clean) / max(len(clean), 1)
+    assert fp_rate < 0.05, f"false-positive rate {fp_rate}"
