@@ -1306,6 +1306,110 @@ def corpus_bloom_prefilter(spark, sf_dir):
     )
 
 
+_CMS_W = 1024  # counters per row
+_CMS_D = 4  # hash rows
+_CMS_PROBES = ("spark", "join", "window", "scan", "merge", "vector", "the", "a")
+
+
+def _duck_cms_bit(expr: str, mod: int) -> str:
+    return (
+        f"list_reduce(list_transform(split(md5({expr})[1:8], ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+        f"(acc, x) -> (acc * 16 + x) % {mod})"
+    )
+
+
+@query(
+    "text_cms_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_DUCK_WORDS}) AS token FROM documents
+    ),
+    rows_ AS (SELECT r FROM (VALUES {', '.join(f'({r})' for r in range(_CMS_D))}) AS v(r)),
+    sketch AS (
+        SELECT r, {_duck_cms_bit("CAST(r AS VARCHAR) || '|' || token", _CMS_W)} AS b,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks, rows_
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT token FROM (VALUES {', '.join(f"('{t}')" for t in _CMS_PROBES)}) AS p(token)
+    ),
+    est AS (
+        SELECT p.token, MIN(s.cnt) AS cms_count
+        FROM probes p, rows_ r
+        JOIN sketch s
+          ON s.r = r.r
+         AND s.b = {_duck_cms_bit("CAST(r.r AS VARCHAR) || '|' || p.token", _CMS_W)}
+        GROUP BY p.token
+    ),
+    truth AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM toks WHERE token IN (SELECT token FROM probes)
+        GROUP BY token
+    )
+    SELECT e.token, e.cms_count, t.true_count,
+           CAST(e.cms_count - t.true_count AS BIGINT) AS overestimate
+    FROM est e JOIN truth t USING (token)
+    """,
+)
+def text_cms_counts(spark, sf_dir):
+    """Count-min sketch over the token stream ({_CMS_D} hash rows ×
+    {_CMS_W} counters, md5 Horner-fold buckets) with its estimate checked
+    against the exact count for a fixed probe vocabulary — the streaming
+    frequency sketch next to HLL (distinct) and Bloom (membership), with
+    the one-sided error (estimate ≥ truth, measured as ``overestimate``)
+    visible in the output.
+
+    Plan: one explode + one (row, bucket) groupBy builds the whole sketch
+    (≤ D·W rows — broadcastable state, the point of the sketch); probes
+    join it by computed bucket. At 100 TB the sketch is a map-side-combined
+    aggregation whose result fits in one executor's L2 — mergeable across
+    partitions/days by counter addition."""
+    toks = _docs(spark, sf_dir).select(F.explode(tokens()).alias("token"))
+
+    def bucket(token: F.Column, r_col: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(r_col.cast("string"), F.lit("|"), token)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    rows_ = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    sketch = (
+        toks.select("token", rows_)
+        .select("r", bucket(F.col("token"), F.col("r")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "token STRING"
+    )
+    est = (
+        probes.select("token", rows_)
+        .withColumn("b", bucket(F.col("token"), F.col("r")))
+        .join(sketch, ["r", "b"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cms_count"))
+    )
+    truth = (
+        toks.filter(F.col("token").isin(*_CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+    )
+    return est.join(truth, "token").select(
+        "token",
+        "cms_count",
+        "true_count",
+        (F.col("cms_count") - F.col("true_count")).cast("bigint").alias("overestimate"),
+    )
+
+
 def _incremental_dedup_oracle() -> str:
     """Twin of the incremental-ingest dedup: the near set is the full
     banded pair set restricted to boundary-crossing pairs — identical to

@@ -429,3 +429,14 @@ def test_bloom_prefilter_no_false_negatives(spark):
     clean = [r for r in rows if r.is_exact_dup == 0]
     fp_rate = sum(r.maybe_present for r in clean) / max(len(clean), 1)
     assert fp_rate < 0.05, f"false-positive rate {fp_rate}"
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min contract: one-sided error — the sketch estimate is >= the
+    exact count for every probe, and exact for most at D=4/W=1024."""
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    rows = QUERIES["text_cms_counts"](spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 8
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_count >= r.true_count > 0 for r in rows)
