@@ -1387,8 +1387,8 @@ def text_cms_counts(spark, sf_dir):
         .groupBy("r", "b")
         .agg(F.count("*").alias("cnt"))
     )
-    probes = spark.createDataFrame(
-        [(t,) for t in _CMS_PROBES], "token STRING"
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in _CMS_PROBES])).alias("token")
     )
     est = (
         probes.select("token", rows_)

@@ -232,3 +232,36 @@ def test_ivfpq_pruned_scan_plus_topk(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert shuffle_count(df) <= 2
+
+
+def test_knn_join_no_cartesian_bounded_shuffles(spark):
+    """kNN-join: bucket equi-join + one id_q ranking window — never a
+    cartesian; python-free."""
+    df = QUERIES["embed_knn_join"](spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Python" not in p
+
+
+def test_bm25_is_broadcast_stats_plus_topk(spark):
+    """BM25: the 1-row stats side must broadcast and the top-10 must be a
+    heap, not a global sort."""
+    df = QUERIES["text_bm25_topk"](spark, SF)
+    assert has_broadcast_join(df)
+    assert uses_take_ordered(df)
+    assert "Python" not in formatted_plan(df)
+
+
+def test_bloom_prefilter_broadcast_no_cartesian(spark):
+    """Bloom probe: bit-set and fingerprint sides broadcast; the batch is
+    never shuffled through a cartesian."""
+    df = QUERIES["corpus_bloom_prefilter"](spark, SF)
+    p = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in p
+
+
+def test_cms_sketch_python_free(spark):
+    """Count-min: explode + groupBy + probe join, all JVM-side."""
+    df = QUERIES["text_cms_counts"](spark, SF)
+    assert "Python" not in formatted_plan(df)
