@@ -390,3 +390,73 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(n_events, 0.5) AS med_count
+        FROM hourly GROUP BY event_type
+    ),
+    mad AS (
+        SELECT h.event_type,
+               quantile_cont(ABS(h.n_events - m.med_count), 0.5) AS mad
+        FROM hourly h JOIN med m USING (event_type)
+        GROUP BY h.event_type
+    )
+    SELECT h.event_type, h.hour_start, h.n_events, m.med_count, d.mad,
+           CAST(d.mad > 0 AND ABS(h.n_events - m.med_count) > 3 * d.mad
+                AS INTEGER) AS is_anomaly
+    FROM hourly h
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust volume-anomaly detection: hourly event counts per type flagged
+    when they sit more than 3 median-absolute-deviations from the type's
+    median — the outlier rule that, unlike mean±3σ, isn't dragged by the
+    outliers it is hunting. The pipeline-observability op a 100 TB/day
+    ingest runs on its own event stream.
+
+    Exact interpolated percentile (quantile_cont twin) over integer counts
+    keeps the medians engine-portable — interpolation on ints yields .0/.5
+    steps, exact in doubles. Plan: ONE wide shuffle (the hourly count);
+    median and MAD are per-type scalar re-aggregations of the tiny hourly
+    table, broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n_events"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n_events, 0.5)").alias("med_count")
+    )
+    mad = (
+        hourly.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(n_events - med_count), 0.5)").alias("mad")
+        )
+    )
+    flagged = (
+        (F.col("mad") > 0)
+        & (F.abs(F.col("n_events") - F.col("med_count")) > 3 * F.col("mad"))
+    ).cast("int")
+    return (
+        hourly.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "hour_start",
+            "n_events",
+            "med_count",
+            "mad",
+            flagged.alias("is_anomaly"),
+        )
+    )
