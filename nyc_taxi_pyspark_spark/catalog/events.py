@@ -460,3 +460,47 @@ def events_anomaly_mad(spark, sf_dir):
             flagged.alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH contrib AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(CAST(ts AS DATE),
+                                           CAST(ts AS DATE) + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM events
+    )
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib
+    WHERE day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    GROUP BY day
+    """,
+)
+def events_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users (WAU) per day — the sliding-distinct
+    metric window functions cannot express (no COUNT(DISTINCT) over a range
+    frame in either engine's window path).
+
+    Scale shape: each event CONTRIBUTES itself to the 7 days it is active
+    for (explode of a 7-element date sequence — a bounded 7× row factor),
+    then one hash countDistinct keyed by day. That is the form that
+    distributes: no day×events non-equi join (which would plan as a
+    broadcast nested loop), no per-day rescan; the distinct dedup happens
+    in the day-partitioned aggregate. Trailing-partial windows at the
+    range edges are kept (days past the last event date are dropped; the
+    cutoff is a driver-side metadata literal, same discipline as TF-ICF's
+    N)."""
+    ev = load_table(spark, sf_dir, "events")
+    max_day = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    d = F.to_date("ts")
+    return (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(d, F.date_add(d, 6))).alias("day"),
+        )
+        .filter(F.col("day") <= F.lit(max_day))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
