@@ -59,6 +59,11 @@ HEADLINE = [
     "corpus_pack_bins",
     "text_gopher_rules",
     "embed_semantic_dedup",
+    # round-6 additions (self-baselined in BASELINE.md §6)
+    "embed_knn_join",
+    "text_bm25_topk",
+    "corpus_bloom_prefilter",
+    "events_rolling_wau",
 ]
 
 
@@ -97,6 +102,10 @@ EXPECTED = {
     "corpus_pack_bins": 0.33,
     "text_gopher_rules": 0.34,
     "embed_semantic_dedup": 1.36,
+    "embed_knn_join": 0.66,
+    "text_bm25_topk": 0.68,
+    "corpus_bloom_prefilter": 1.78,
+    "events_rolling_wau": 0.58,
 }
 ISO_RERUN_FACTOR = 1.8
 
