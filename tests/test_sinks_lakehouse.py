@@ -84,3 +84,23 @@ def test_csv_timestamp_format_parsing(spark):
     df = read_csv(spark, d, schema=schema)
     rows = {r.id: r.ts.isoformat() for r in df.collect()}
     assert rows == {1: "2015-01-31T23:59:58", 2: "2015-02-01T00:00:02"}
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appending a new generation with extra columns must stay readable:
+    mergeSchema unions the footer schemas and back-fills nulls — the
+    append-only table-evolution pattern a long-lived 100 TB corpus needs
+    (no rewrite of old partitions when a field is added)."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id INT, v STRING").write.parquet(
+        base + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id INT, v STRING, score DOUBLE"
+    ).write.parquet(base + "/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v", "score", "gen"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    assert rows[1].gen == 1 and rows[2].gen == 2
