@@ -104,7 +104,7 @@ EXPECTED = {
     "embed_semantic_dedup": 1.36,
     "embed_knn_join": 0.66,
     "text_bm25_topk": 0.68,
-    "corpus_bloom_prefilter": 1.78,
+    "corpus_bloom_prefilter": 1.42,
     "events_rolling_wau": 0.58,
 }
 ISO_RERUN_FACTOR = 1.8

@@ -1188,6 +1188,23 @@ def text_unigram_rarity(spark, sf_dir):
     )
 
 
+_FP_LAYOUT_CACHE = SessionLayoutCache()
+
+
+def _fp_layout(spark, sf_dir):
+    """(doc_id, fp) exact-dup fingerprints, persisted once per (session,
+    table) — the ingest-time artifact both the Bloom gate and the
+    incremental dedup's exact path read; without it each consumer re-scans
+    the corpus and re-hashes the full text per use."""
+    from nyc_taxi_pyspark_spark.operators.text import fingerprint
+
+    return _FP_LAYOUT_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: _docs(spark, sf_dir).select("doc_id", fingerprint().alias("fp")),
+    )
+
+
 _BLOOM_M = 16384  # bit-array size
 _BLOOM_K = 4  # hash functions
 
@@ -1252,16 +1269,10 @@ def corpus_bloom_prefilter(spark, sf_dir):
     base beyond its ingest-time fingerprints. md5-derived bit positions
     (same Horner-fold idiom as corpus mixture bucketing) keep the whole
     structure engine-portable and hash-checkable."""
-    from nyc_taxi_pyspark_spark.operators.text import fingerprint
-
-    d = _docs(spark, sf_dir)
-    split = d.count() // 2
-    base_fps = (
-        d.filter(F.col("doc_id") < split).select(fingerprint().alias("fp"))
-    )
-    batch = d.filter(F.col("doc_id") >= split).select(
-        "doc_id", fingerprint().alias("fp")
-    )
+    fps = _fp_layout(spark, sf_dir)
+    split = fps.count() // 2
+    base_fps = fps.filter(F.col("doc_id") < split).select("fp")
+    batch = fps.filter(F.col("doc_id") >= split).select("doc_id", "fp")
 
     def bloom_bit(fp: F.Column, i: int) -> F.Column:
         return (
@@ -1453,17 +1464,18 @@ def corpus_incremental_dedup(spark, sf_dir):
     count inlined as a literal (same discipline as TF-ICF's N)."""
     from nyc_taxi_pyspark_spark.operators.text import (
         asymmetric_near_dup_pairs,
-        fingerprint,
         minhash_layout,
     )
 
     d = _docs(spark, sf_dir)
     split = d.count() // 2
     inc = d.filter(F.col("doc_id") >= split)
-    base = d.filter(F.col("doc_id") < split)
+    fps = _fp_layout(spark, sf_dir)
     exact = (
-        inc.select("doc_id", fingerprint().alias("f"))
-        .join(base.select(fingerprint().alias("f")).distinct(), "f")
+        fps.filter(F.col("doc_id") >= split)
+        .join(
+            fps.filter(F.col("doc_id") < split).select("fp").distinct(), "fp"
+        )
         .select("doc_id")
         .distinct()
         .withColumn("is_exact", F.lit(1))
