@@ -267,3 +267,41 @@ def text_chunk_dedup(spark, sf_dir):
     from nyc_taxi_pyspark_spark.operators.corpus import chunk_dedup
 
     return chunk_dedup(_docs(spark, sf_dir))
+
+
+_ABLATION_RATES = (10, 50, 250)  # permille: nested 1%, 5%, 25% subsets
+
+
+@query(
+    "corpus_nested_samples",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, lang, {_duck_bucket(1000)} AS bucket FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {', '.join(f'CAST(SUM(CASE WHEN bucket < {r} THEN 1 ELSE 0 END) AS BIGINT) AS n_at_{r}' for r in _ABLATION_RATES)}
+    FROM b GROUP BY lang
+    """,
+)
+def corpus_nested_samples(spark, sf_dir):
+    """Nested ablation subsets for scaling-law runs: one md5 bucket in
+    [0,1000) per doc; the r-permille sample is ``bucket < r``, so the 1%
+    sample is BY CONSTRUCTION a subset of the 5% which is a subset of the
+    25% — train-set growth curves compare the same documents plus more,
+    not disjoint resamples. Per-row deterministic and append-stable (a new
+    doc lands in the same subsets forever); the audit reports per-language
+    counts at each rate. Narrow scan + one hash agg, no pre-agg shuffle."""
+    from nyc_taxi_pyspark_spark.operators.corpus import _hash_bucket
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", _hash_bucket("doc_id", 1000).alias("bucket")
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        *[
+            F.sum((F.col("bucket") < r).cast("int"))
+            .cast("bigint")
+            .alias(f"n_at_{r}")
+            for r in _ABLATION_RATES
+        ],
+    )

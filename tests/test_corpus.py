@@ -154,3 +154,27 @@ def test_sessionize_gap_semantics(spark):
         out = QUERIES["events_sessionize"](spark, "ignored").collect()
     sessions = sorted((r.sess_id, r.n_events) for r in out)
     assert sessions == [(1, 3), (2, 1)]
+
+
+def test_nested_samples_are_subsets(spark):
+    """The r-permille bucket rule gives subset-monotone samples: every doc
+    in the 1% sample is in the 5%, every 5% doc in the 25%."""
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_pyspark_spark.operators.corpus import _hash_bucket
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", _hash_bucket("doc_id", 1000).alias("b")
+    )
+    counts = d.agg(
+        F.sum((F.col("b") < 10).cast("int")).alias("p1"),
+        F.sum((F.col("b") < 50).cast("int")).alias("p5"),
+        F.sum((F.col("b") < 250).cast("int")).alias("p25"),
+        F.count("*").alias("n"),
+    ).first()
+    assert 0 < counts.p1 <= counts.p5 <= counts.p25 <= counts.n
+    # subset property is structural (b<10 implies b<50); spot-check the ids
+    ids1 = {r.doc_id for r in d.filter("b < 10").collect()}
+    ids5 = {r.doc_id for r in d.filter("b < 50").collect()}
+    assert ids1 <= ids5
