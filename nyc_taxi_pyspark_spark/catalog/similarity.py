@@ -468,6 +468,74 @@ def embed_knn_label_vote(spark, sf_dir):
     )
 
 
+_MRL_DIM = 16  # coarse (truncated) dimensionality
+_MRL_SHORTLIST = 50
+
+
+@query(
+    "embed_matryoshka_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    coarse AS (
+        SELECT e.vec_id,
+               {_duck_acc(f'{_DUCK_X} * CAST(q.qe[i] AS DOUBLE)')}
+                 / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                    * SQRT({_duck_acc('CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)')}))
+                 AS coarse_sim
+        FROM embeddings e, q, generate_series(1, {_MRL_DIM}) AS g(i)
+        GROUP BY e.vec_id
+    ),
+    cand AS (
+        SELECT vec_id FROM coarse
+        ORDER BY coarse_sim DESC, vec_id LIMIT {_MRL_SHORTLIST}
+    )
+    SELECT e.vec_id,
+           {_duck_acc(f'{_DUCK_X} * CAST(q.qe[i] AS DOUBLE)')}
+             / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                * SQRT({_duck_acc('CAST(q.qe[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)')}))
+             AS cosine_sim
+    FROM embeddings e, q, generate_series(1, {DIM}) AS g(i)
+    WHERE e.vec_id IN (SELECT vec_id FROM cand)
+    GROUP BY e.vec_id
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embed_matryoshka_topk(spark, sf_dir):
+    """Matryoshka-style two-stage ANN: coarse cosine over the FIRST
+    {_MRL_DIM} dimensions shortlists {_MRL_SHORTLIST} candidates, exact
+    {DIM}-dim cosine re-ranks them to top-10 — the truncated-dimension
+    trade MRL-trained embeddings are built for. The coarse pass reads a
+    quarter of the vector bytes (at scale: store the prefix as its own
+    column/file and the coarse scan is a 4× bandwidth cut on EVERY query,
+    complementary to IVF's partition prune and PQ's code compression);
+    the exact pass touches only the shortlist. Both stages compile to
+    scan + fold + TakeOrderedAndProject — no joins, no shuffle beyond the
+    two top-k reductions. Deterministic tie-breaks on vec_id at both
+    stages keep the result hash-checkable."""
+    from nyc_taxi_pyspark_spark.operators.similarity import l2_norm_py
+
+    b = _bucketed(spark, sf_dir)
+    vals = _query_vec_literal(spark, sf_dir)
+    q16 = F.array(*[F.lit(x).cast("double") for x in vals[:_MRL_DIM]])
+    q64 = F.array(*[F.lit(x).cast("double") for x in vals])
+    q16_norm = F.lit(l2_norm_py(list(vals)[:_MRL_DIM]))
+    q64_norm = F.lit(l2_norm_py(list(vals)))
+    e16 = F.slice(F.col("embedding"), 1, _MRL_DIM)
+    coarse = dot(e16, q16) / (l2_norm(e16) * q16_norm)
+    shortlist = (
+        b.select("vec_id", "embedding", "nrm", coarse.alias("coarse_sim"))
+        .orderBy(F.desc("coarse_sim"), "vec_id")
+        .limit(_MRL_SHORTLIST)
+    )
+    exact = dot(F.col("embedding"), q64) / (F.col("nrm") * q64_norm)
+    return (
+        shortlist.select("vec_id", exact.alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )
+
+
 def _duck_hamming_leq1(a: str, b: str) -> str:
     terms = " + ".join(
         f"CASE WHEN {a}[{j+1}:{j+1}] <> {b}[{j+1}:{j+1}] THEN 1 ELSE 0 END"
