@@ -64,6 +64,7 @@ HEADLINE = [
     "text_bm25_topk",
     "corpus_bloom_prefilter",
     "events_rolling_wau",
+    "embed_matryoshka_topk",
 ]
 
 
@@ -106,6 +107,7 @@ EXPECTED = {
     "text_bm25_topk": 0.68,
     "corpus_bloom_prefilter": 1.42,
     "events_rolling_wau": 0.58,
+    "embed_matryoshka_topk": 0.62,
 }
 ISO_RERUN_FACTOR = 1.8
 
