@@ -25,6 +25,10 @@ route                 reference tab
                       ``st.file_uploader`` → queryable table); CSV text in the
                       ``csv`` form field or as the raw request body, view name
                       in ``?name=`` (default ``uploaded``)
+``GET|POST /explain`` formatted physical plan + shuffle count for user SQL
+                      (``q``) without executing it — the plan-quality
+                      diagnostics the engine's own tests gate on, exposed to
+                      users
 ====================  =========================================================
 
 Run it as::
@@ -279,6 +283,33 @@ class WebApp:
             return 200, "application/json", pdf.to_json(orient="records").encode()
         return 200, "text/html", _page(f"score @ {threshold}", _table_html(pdf))
 
+    def explain(self, q) -> tuple[int, str, bytes]:
+        """Physical plan for user SQL without executing it — the same
+        introspection the plan-quality tests gate on (pushdown reached the
+        scan? did the dim join broadcast? how many shuffles?), surfaced to
+        the SQL-console user."""
+        from nyc_taxi_pyspark_spark.plans.explain import (
+            formatted_plan,
+            shuffle_count,
+        )
+
+        stmt = q.get("q", [""])[0].strip().rstrip(";")
+        if not stmt:
+            return 400, "text/plain", b"missing q parameter"
+        try:
+            df = self.engine.sql(stmt)
+            plan = formatted_plan(df)
+            n_shuffles = shuffle_count(df)
+        except Exception as e:  # noqa: BLE001 - user-SQL console surface
+            return 400, "text/plain", f"SQL error: {e}".encode()
+        if q.get("format", ["html"])[0] == "json":
+            payload = json.dumps({"shuffles": n_shuffles, "plan": plan})
+            return 200, "application/json", payload.encode()
+        body = (
+            f"<p>shuffles: {n_shuffles}</p><pre>{html.escape(plan)}</pre>"
+        )
+        return 200, "text/html", _page("explain", body)
+
     ROUTES = {
         "/": "index",
         "/tables": "tables",
@@ -288,6 +319,7 @@ class WebApp:
         "/reports": "reports",
         "/score": "score",
         "/upload": "upload",
+        "/explain": "explain",
     }
 
     def dispatch(self, path: str, q: dict) -> tuple[int, str, bytes]:

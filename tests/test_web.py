@@ -138,3 +138,20 @@ def test_unknown_route_404(web):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(f"{web}/nope")
     assert exc.value.code == 404
+
+
+def test_explain_route(web):
+    q = urllib.parse.quote(
+        "SELECT o_orderpriority, COUNT(*) n FROM orders GROUP BY 1"
+    )
+    status, body = _get(f"{web}/explain?q={q}&format=json")
+    out = json.loads(body)
+    assert status == 200
+    assert out["shuffles"] >= 1 and "HashAggregate" in out["plan"]
+
+    status, body = _get(f"{web}/explain?q={q}")
+    assert status == 200 and "<pre>" in body
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(f"{web}/explain?q=SELECT+nope+FROM+no_table")
+    assert exc.value.code == 400
