@@ -12,6 +12,7 @@ import os
 from pyspark.sql import functions as F
 
 from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.operators.integrity import duck_row_hash
 from nyc_taxi_pyspark_spark.schemas import TESTDATA_SCHEMAS
 from nyc_taxi_pyspark_spark.sources.io import load_table, read_jsonl, write_jsonl
 
@@ -307,3 +308,41 @@ def scd2_versions(spark, sf_dir):
         F.countDistinct("c_custkey").alias("n_keys"),
         F.max("valid_from").alias("latest_from"),
     )
+
+
+@query(
+    "orders_content_fingerprint",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor({duck_row_hash(
+               "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
+               " || '|' || o_orderstatus"
+               " || '|' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+               " || '|' || strftime(o_orderdate, '%Y-%m-%d')"
+               " || '|' || o_orderpriority"
+           )}) AS fingerprint
+    FROM orders
+    """,
+)
+def orders_content_fingerprint(spark, sf_dir):
+    """Order-independent content fingerprint of the orders table — the
+    integrity manifest entry a rebuild/compaction/replication audit
+    compares. bit_xor of per-row md5-derived BIGINTs is invariant under
+    repartitioning and row order (the transformations that must not change
+    a dataset) and flips on any value change or row loss; the row count in
+    the same result catches xor's duplicate-insertion blind spot. Canonical
+    key casts the money column to exact cents and the date to ISO text, so
+    both engines hash identical strings. One scan, map-side combined."""
+    from nyc_taxi_pyspark_spark.operators.integrity import content_fingerprint
+
+    o = load_table(spark, sf_dir, "orders")
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    return content_fingerprint(o, key)

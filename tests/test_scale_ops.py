@@ -263,3 +263,32 @@ def test_compact_files_reduces_file_count_losslessly(spark):
         a = back.agg(dsum(F.col("o_totalprice"), 2).alias("s")).collect()
         b = orders.agg(dsum(F.col("o_totalprice"), 2).alias("s")).collect()
         assert a == b
+
+
+def test_content_fingerprint_invariance_and_sensitivity(spark):
+    """The fingerprint must be invariant under repartitioning and row order
+    (the transformations that must NOT change a dataset) and flip on any
+    value change or row loss."""
+    from nyc_taxi_pyspark_spark.operators.integrity import content_fingerprint
+
+    rows = [(i, f"v{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id INT, v STRING")
+    key = F.concat_ws("|", F.col("id"), F.col("v"))
+
+    base = content_fingerprint(df, key).first()
+    assert base.n_rows == 100
+
+    repart = content_fingerprint(df.repartition(7), key).first()
+    reordered = content_fingerprint(
+        spark.createDataFrame(list(reversed(rows)), "id INT, v STRING"), key
+    ).first()
+    assert repart == base and reordered == base
+
+    mutated = spark.createDataFrame(
+        [(i, "CHANGED" if i == 42 else f"v{i}") for i in range(100)],
+        "id INT, v STRING",
+    )
+    assert content_fingerprint(mutated, key).first().fingerprint != base.fingerprint
+
+    dropped = content_fingerprint(df.filter("id <> 7"), key).first()
+    assert dropped.fingerprint != base.fingerprint and dropped.n_rows == 99
