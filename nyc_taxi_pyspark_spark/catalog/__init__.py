@@ -25,6 +25,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     sources_ext,
     events,
     corpus,
+    profiling,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 N_HASHES = 8
@@ -918,4 +918,54 @@ def split_assign(id_col: str = "doc_id", train_pct: int = 8, val_pct: int = 1) -
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test"))
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_tokens: int = 20,
+    max_postings: int = 40,
+) -> DataFrame:
+    """Posting-list index build: (token, df, postings) for the
+    ``top_tokens`` highest-document-frequency alphanumeric tokens, with
+    each posting list capped at the first ``max_postings`` sorted doc ids
+    and emitted as a CSV string (hash-stable scalar).
+
+    Shape at scale: explode distinct tokens per doc (row-local), then ONE
+    shuffle on token; a row_number window ranks doc ids within each token
+    so only the first ``max_postings`` ids are ever collected — a stopword
+    appearing in every document contributes a bounded array, not a
+    corpus-sized one. The following groupBy reuses the window's hash
+    partitioning (same key), so ranking + aggregation cost one shuffle
+    total. A production index would write full postings partitioned by
+    token range — this same plan minus cap and limit.
+    """
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        )
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("__id"), F.explode(toks).alias("token")
+    )
+    w = Window.partitionBy("token").orderBy("__id")
+    ranked = exploded.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("__rk") <= max_postings, F.col("__id"))
+                    )
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(top_tokens)
     )
