@@ -26,6 +26,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     events,
     corpus,
     profiling,
+    quality,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

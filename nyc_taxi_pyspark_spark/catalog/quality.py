@@ -1,0 +1,381 @@
+"""Data-quality, reconciliation, segmentation, and statistics queries.
+
+Extends the reference's validation/EDA surface (null scan
+``spark_jobs/02c_nulls_and_stats.py:31-52``, range-rule battery
+``spark_jobs/02_clean_eda.py:31-43``, describe
+``spark_jobs/02_clean_eda.py:58-66``) into the audit-and-repair toolkit a
+large pipeline runs around every load: constraint audits, snapshot diffs,
+group-mean imputation, RFM segmentation, closed-form regression, equi-width
+histograms, and an explicitly salted two-phase aggregate for extreme-skew
+keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.functions.exact import dsum, oracle_dsum
+from nyc_taxi_pyspark_spark.operators.quality import (
+    dq_audit,
+    fill_group_mean,
+    table_diff,
+)
+from nyc_taxi_pyspark_spark.operators.skew import salted_aggregate
+from nyc_taxi_pyspark_spark.sources.io import load_table, parallelize_scan
+
+
+def _dq_oracle() -> str:
+    def row(name: str, viol: str) -> str:
+        return f"""
+        SELECT '{name}' AS constraint, COUNT(*) AS n_rows,
+               CAST({viol} AS BIGINT) AS n_violations,
+               ({viol}) = 0 AS passed
+        FROM orders"""
+
+    return " UNION ALL ".join(
+        [
+            row("not_null_custkey", "COUNT(*) - COUNT(o_custkey)"),
+            row(
+                "positive_totalprice",
+                "SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)",
+            ),
+            row(
+                "status_domain",
+                "SUM(CASE WHEN o_orderstatus IN ('O','F','P') "
+                "THEN 0 ELSE 1 END)",
+            ),
+            row(
+                "priority_pattern",
+                "SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') "
+                "THEN 0 ELSE 1 END)",
+            ),
+            row(
+                "orderdate_range",
+                "SUM(CASE WHEN CAST(o_orderdate AS TIMESTAMP) >= "
+                "TIMESTAMP '1995-01-01 00:00:00' AND "
+                "CAST(o_orderdate AS TIMESTAMP) < "
+                "TIMESTAMP '2001-01-01 00:00:00' THEN 0 ELSE 1 END)",
+            ),
+            row("unique_orderkey", "COUNT(*) - COUNT(DISTINCT o_orderkey)"),
+        ]
+    )
+
+
+@query("dq_audit_orders", oracle=_dq_oracle())
+def dq_audit_orders(spark, sf_dir):
+    """Deequ-style constraint audit (ref null scan + range battery unified,
+    spark_jobs/02c_nulls_and_stats.py:31-52, 02_clean_eda.py:31-43): six
+    constraints — including a deliberately failing date-range rule — in ONE
+    scan + one aggregate, exploded to a long-form report."""
+    orders = load_table(spark, sf_dir, "orders")
+    return dq_audit(
+        orders,
+        checks=[
+            ("not_null_custkey", F.col("o_custkey").isNotNull()),
+            ("positive_totalprice", F.col("o_totalprice") > 0),
+            ("status_domain", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("priority_pattern", F.col("o_orderpriority").rlike("^[1-5]-")),
+            (
+                "orderdate_range",
+                (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("2001-01-01")),
+            ),
+        ],
+        unique_keys=[("unique_orderkey", ["o_orderkey"])],
+    )
+
+
+@query(
+    "table_diff_orders",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    d AS (
+        SELECT CASE
+            WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+              OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+              THEN 'changed'
+            ELSE 'same' END AS status
+        FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n_rows FROM d GROUP BY status ORDER BY status
+    """,
+)
+def table_diff_orders(spark, sf_dir):
+    """Snapshot reconciliation: two deterministic snapshots derived from
+    orders (rows dropped on each side, prices changed on a third stripe),
+    full-outer key join with null-safe column compare, rolled up to
+    added/removed/changed/same counts. At 100 TB this is the daily
+    load-verification query: one shuffle per snapshot on the key, AQE skew
+    handling, no driver state. The doubled price stays IEEE-exact (×2 is a
+    power of two), so the compare is bit-stable across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 53 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    diff = table_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("status")
+    )
+
+
+@query(
+    "null_fill_group_mean",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    means AS (
+        SELECT event_type,
+               (CAST(SUM(CAST(ROUND(v * 100.0) AS BIGINT)) AS DOUBLE)
+                / 100.0) / COUNT(v) AS grp_mean
+        FROM masked GROUP BY event_type
+    )
+    SELECT m.event_id, m.event_type, mm.grp_mean AS value
+    FROM masked m JOIN means mm USING (event_type)
+    WHERE m.v IS NULL
+    """,
+)
+def null_fill_group_mean(spark, sf_dir):
+    """Group-aware imputation (ref global null-fill,
+    spark_jobs/02c_nulls_and_stats.py:54-63, upgraded to per-group): mask a
+    deterministic 1/10 stripe of ``events.value`` to NULL, fill each hole
+    with its event_type's mean via an order-independent integer-cents
+    window sum, and return the imputed rows. One shuffle on the group key;
+    the mean is bit-identical across engines (see functions/exact.py)."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    was_null = F.col("event_id") % 10 == 0
+    filled = fill_group_mean(masked, ["event_type"], "value", scale=2)
+    return filled.filter(was_null).select("event_id", "event_type", "value")
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH anchor AS (
+        SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         (SELECT max_d FROM anchor)) AS recency_days,
+               COUNT(*) AS frequency,
+               (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                     AS DOUBLE) / 100.0) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, monetary,
+               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           (CAST(SUM(CAST(ROUND(monetary * 100.0) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS total_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm(spark, sf_dir):
+    """RFM segmentation — the classic customer-value rollup the reference's
+    KPI jobs (spark_jobs/03_kpis.py) stop short of: per-customer recency/
+    frequency/monetary, quartile scores via deterministic NTILE (tie-broken
+    on the key so both engines bucket identically), segment counts.
+
+    Scale note: the three NTILEs are global sorts of the CUSTOMER-level
+    aggregate (|customers| ≪ |orders|); at 100 TB you'd swap exact NTILE
+    for approx-percentile cutpoints and a broadcast range lookup — same
+    output schema, no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("__max_d")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", 2).alias("monetary"),
+        )
+        .join(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("__max_d", "__last_d"))
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("monetary", 2).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _regr_oracle() -> str:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx = oracle_dsum("l_quantity", 2)
+    sy = oracle_dsum("l_extendedprice", 2)
+    sxy = oracle_dsum("l_quantity * l_extendedprice", 4)
+    sxx = oracle_dsum("l_quantity * l_quantity", 4)
+    syy = oracle_dsum("l_extendedprice * l_extendedprice", 4)
+    slope = f"(({n} * {sxy}) - ({sx} * {sy})) / (({n} * {sxx}) - ({sx} * {sx}))"
+    return f"""
+    SELECT l_returnflag, COUNT(*) AS n,
+           {slope} AS slope,
+           ({sy} - ({slope}) * {sx}) / {n} AS intercept,
+           (({slope}) * ({slope})) * (({n} * {sxx}) - ({sx} * {sx}))
+               / (({n} * {syy}) - ({sy} * {sy})) AS r2
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+
+@query("stats_regression", oracle=_regr_oracle())
+def stats_regression(spark, sf_dir):
+    """Closed-form per-group OLS (extendedprice ~ quantity by returnflag)
+    from exact moment sums — the distributed way to fit millions of
+    per-segment models: one scan, one hash aggregate, arithmetic on the
+    1-row-per-group result. The moment sums use integer-cents accumulation
+    and the slope/intercept/r² arithmetic mirrors the oracle expression
+    shape exactly, so every double is bit-identical across engines
+    (ref describe-stats surface, spark_jobs/02_clean_eda.py:58-66)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        n.alias("__n"),
+        dsum("l_quantity", 2).alias("__sx"),
+        dsum("l_extendedprice", 2).alias("__sy"),
+        dsum(F.col("l_quantity") * F.col("l_extendedprice"), 4).alias("__sxy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("__sxx"),
+        dsum(
+            F.col("l_extendedprice") * F.col("l_extendedprice"), 4
+        ).alias("__syy"),
+    )
+    nn, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
+    slope = ((nn * sxy) - (sx * sy)) / ((nn * sxx) - (sx * sx))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / nn).alias("intercept"),
+        ((slope * slope) * ((nn * sxx) - (sx * sx)) / ((nn * syy) - (sy * sy))).alias(
+            "r2"
+        ),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "histogram_totalprice",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) * 25000.0
+               AS bucket_lo,
+           COUNT(*) AS n_orders,
+           {oracle_dsum("o_totalprice", 2)} AS sum_price
+    FROM orders GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    """Equi-width histogram of order totals (25k-wide buckets) — the
+    describe/EDA primitive (ref spark_jobs/02_clean_eda.py:58-66) as a
+    distributed aggregate: bucket id is FLOOR of the identical IEEE
+    division on both engines (never ROUND — floor has no boundary mode to
+    diverge on), then a single hash aggregate on ~20 keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("bigint")
+    return (
+        orders.groupBy(
+            bucket.alias("bucket"),
+            (bucket * F.lit(25000.0)).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {oracle_dsum("value", 2)} AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Explicitly salted two-phase aggregation on a low-cardinality key
+    (operators/skew.py:34): partials on (event_type, salt16), finals on
+    event_type. The oracle is the PLAIN group-by — proving the salted plan
+    is exact, which holds because the partials (counts + integer-cents
+    sums) are algebraic. This is the hand-rolled escape hatch for the hot
+    key whose single post-shuffle partition no AQE split can save; at
+    sf0.01 each of the 5 event types holds ~20% of all rows, the extreme
+    version of the skew AQE mitigates at runtime."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        measures={
+            "__pn": F.count(F.lit(1)),
+            "__pc": F.sum(cents),
+        },
+        finals={
+            "n_events": F.sum("__pn"),
+            "sum_value": F.sum("__pc").cast("double") / F.lit(100.0),
+        },
+        n_salt=16,
+    )
+    return out.orderBy("event_type")

@@ -1,0 +1,153 @@
+"""Data-quality auditing, snapshot reconciliation, and group-aware repair.
+
+Generalizes the reference's validation surface (null scan
+``spark_jobs/02c_nulls_and_stats.py:31-52``, range-rule filter battery
+``spark_jobs/02_clean_eda.py:31-43``, null-fill ``spark_jobs/02c_nulls_and_
+stats.py:54-63``) into the constraint-audit / table-diff / imputation
+primitives a production pipeline runs before and after every load:
+
+- :func:`dq_audit` — Deequ-style single-pass constraint report (not-null,
+  set-membership, range, pattern, uniqueness) in long form.
+- :func:`table_diff` — snapshot reconciliation: full-outer key join with
+  null-safe column compare → added / removed / changed / same per row.
+- :func:`fill_group_mean` — impute missing values with the group mean,
+  computed order-independently (integer-cents window sums).
+
+All three are one-or-two-shuffle plans with no driver-side state, so they
+hold at 100 TB: the audit is a single scan + conditional aggregates; the
+diff shuffles each snapshot once on the key (AQE handles skew); the
+imputation is one window shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dq_audit(
+    df: DataFrame,
+    checks: Sequence[tuple[str, Column]],
+    unique_keys: Sequence[tuple[str, Sequence[str]]] = (),
+) -> DataFrame:
+    """Single-pass constraint audit.
+
+    ``checks`` is ``[(constraint_name, predicate)]`` where the predicate is
+    TRUE for conforming rows; ``unique_keys`` is ``[(constraint_name,
+    key_cols)]`` checked as ``COUNT(*) == COUNT(DISTINCT keys)``. Returns
+    one row per constraint: ``(constraint, n_rows, n_violations, passed)``.
+
+    Plan shape: ONE scan, one hash aggregate (the distinct counts add an
+    Expand, still a single pass over the data), then a constant-width
+    explode on the 1-row result — no second scan per constraint, which is
+    what makes a 50-constraint audit affordable at 100 TB.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, pred in checks:
+        aggs.append(
+            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(
+                f"__v_{name}"
+            )
+        )
+    for name, keys in unique_keys:
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(*[F.col(k) for k in keys])
+            ).alias(f"__v_{name}")
+        )
+    one = df.agg(*aggs)
+    names = [name for name, _ in checks] + [name for name, _ in unique_keys]
+    rows = one.select(
+        F.col("__n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("constraint"),
+                        F.col(f"__v_{n}").cast("bigint").alias("n_violations"),
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("c"),
+    )
+    return rows.select(
+        F.col("c.constraint").alias("constraint"),
+        F.col("__n").alias("n_rows"),
+        F.col("c.n_violations").alias("n_violations"),
+        (F.col("c.n_violations") == 0).alias("passed"),
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-status reconciliation between two snapshots of a table.
+
+    Full outer join on ``keys``; a row is ``added`` (key only in new),
+    ``removed`` (key only in old), ``changed`` (key in both, any compare
+    column differs under null-safe equality), else ``same``. Returns the
+    coalesced keys plus ``status``.
+
+    Columns are compared directly (null-safe ``<=>``) rather than through a
+    string-concat hash: no double→string round-trip to diverge between
+    engines, and Catalyst keeps the whole compare in codegen. At very wide
+    schemas swap the OR-chain for ``xxhash64(struct(*cols))`` per side —
+    same plan shape, one hash per row.
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__ok_{k}") == F.col(f"__nk_{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = o.join(n, cond, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col(f"__ok_{keys[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"__nk_{keys[0]}").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k)
+            for k in keys
+        ],
+        status.alias("status"),
+    )
+
+
+def fill_group_mean(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Impute nulls in ``col`` with the group mean, order-independently.
+
+    The mean is an exact integer-cents sum over a group window divided by
+    the non-null count (see functions/exact.py for why this is bit-stable
+    across engines and partitionings where ``AVG(double)`` is not). One
+    shuffle on the group key; no join, no driver state.
+    """
+    w = Window.partitionBy(*group_cols)
+    cents = F.round(F.col(col) * F.lit(float(10**scale))).cast("bigint")
+    mean = (
+        F.sum(cents).over(w).cast("double") / F.lit(float(10**scale))
+    ) / F.count(F.col(col)).over(w)
+    return df.withColumn(col, F.coalesce(F.col(col), mean))

@@ -1,0 +1,105 @@
+"""Tests for the data-quality audit, table diff, and group-mean imputation
+operators (operators/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.operators.quality import (
+    dq_audit,
+    fill_group_mean,
+    table_diff,
+)
+from nyc_taxi_pyspark_spark.operators.skew import salted_aggregate
+
+
+def test_dq_audit_counts_violations(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", -1.0), (3, None, 2.0), (3, "a", 0.0)],
+        "id bigint, s string, x double",
+    )
+    rep = {
+        r["constraint"]: r
+        for r in dq_audit(
+            df,
+            checks=[
+                ("s_not_null", F.col("s").isNotNull()),
+                ("x_positive", F.col("x") > 0),
+            ],
+            unique_keys=[("id_unique", ["id"])],
+        ).collect()
+    }
+    assert rep["s_not_null"]["n_rows"] == 4
+    assert rep["s_not_null"]["n_violations"] == 1
+    assert not rep["s_not_null"]["passed"]
+    assert rep["x_positive"]["n_violations"] == 2  # -1.0 and 0.0
+    assert rep["id_unique"]["n_violations"] == 1  # id=3 twice
+    # a passing constraint reports passed=True
+    ok = dq_audit(df, checks=[("id_not_null", F.col("id").isNotNull())])
+    row = ok.collect()[0]
+    assert row["passed"] and row["n_violations"] == 0
+
+
+def test_table_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0), (3, "z", 30.0), (4, None, 40.0)],
+        "k bigint, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "y", 20.0), (3, "z", 99.0), (4, None, 40.0), (5, "w", 50.0)],
+        "k bigint, s string, v double",
+    )
+    out = {
+        r["k"]: r["status"]
+        for r in table_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert out == {
+        1: "removed",
+        2: "same",
+        3: "changed",
+        4: "same",  # null-safe compare: None == None is same, not changed
+        5: "added",
+    }
+
+
+def test_fill_group_mean_imputes_group_mean_only_for_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)],
+        "g string, v double",
+    )
+    rows = fill_group_mean(df, ["g"], "v").collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["g"], []).append(r["v"])
+    assert sorted(by_group["a"]) == [1.0, 2.0, 3.0]  # null -> mean(1,3)=2
+    assert sorted(by_group["b"]) == [10.0, 10.0]
+    # layout-independence: same result after repartition
+    rows2 = fill_group_mean(df.repartition(5), ["g"], "v").collect()
+    assert sorted((r["g"], r["v"]) for r in rows2) == sorted(
+        (r["g"], r["v"]) for r in rows
+    )
+
+
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("k%d" % (i % 3), float(i)) for i in range(300)],
+        "k string, v double",
+    )
+    cents = F.round(F.col("v") * 100).cast("bigint")
+    salted = salted_aggregate(
+        df,
+        keys=["k"],
+        measures={"pn": F.count(F.lit(1)), "pc": F.sum(cents)},
+        finals={
+            "n": F.sum("pn"),
+            "s": F.sum("pc").cast("double") / F.lit(100.0),
+        },
+        n_salt=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("s"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
