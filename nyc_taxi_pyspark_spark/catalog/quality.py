@@ -16,7 +16,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_pyspark_spark.catalog.registry import query
-from nyc_taxi_pyspark_spark.functions.exact import dsum, oracle_dsum
+from nyc_taxi_pyspark_spark.functions.exact import (
+    dstddev,
+    dsum,
+    dsum_wide,
+    oracle_dstddev,
+    oracle_dsum,
+    oracle_dsum_wide,
+)
 from nyc_taxi_pyspark_spark.operators.quality import (
     dq_audit,
     fill_group_mean,
@@ -264,9 +271,9 @@ def _regr_oracle() -> str:
     n = "CAST(COUNT(*) AS DOUBLE)"
     sx = oracle_dsum("l_quantity", 2)
     sy = oracle_dsum("l_extendedprice", 2)
-    sxy = oracle_dsum("l_quantity * l_extendedprice", 4)
+    sxy = oracle_dsum_wide("l_quantity * l_extendedprice", 4)
     sxx = oracle_dsum("l_quantity * l_quantity", 4)
-    syy = oracle_dsum("l_extendedprice * l_extendedprice", 4)
+    syy = oracle_dsum_wide("l_extendedprice * l_extendedprice", 4)
     slope = f"(({n} * {sxy}) - ({sx} * {sy})) / (({n} * {sxx}) - ({sx} * {sx}))"
     return f"""
     SELECT l_returnflag, COUNT(*) AS n,
@@ -294,9 +301,11 @@ def stats_regression(spark, sf_dir):
         n.alias("__n"),
         dsum("l_quantity", 2).alias("__sx"),
         dsum("l_extendedprice", 2).alias("__sy"),
-        dsum(F.col("l_quantity") * F.col("l_extendedprice"), 4).alias("__sxy"),
+        dsum_wide(
+            F.col("l_quantity") * F.col("l_extendedprice"), 4
+        ).alias("__sxy"),
         dsum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("__sxx"),
-        dsum(
+        dsum_wide(
             F.col("l_extendedprice") * F.col("l_extendedprice"), 4
         ).alias("__syy"),
     )
@@ -344,6 +353,173 @@ def histogram_totalprice(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "stats_chi2",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS nn FROM cells),
+    rt AS (SELECT s, SUM(n) AS rn FROM cells GROUP BY s),
+    ct AS (SELECT p, SUM(n) AS cn FROM cells GROUP BY p),
+    terms AS (
+        SELECT
+            (CAST(c.n AS DOUBLE)
+             - (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE)
+                / CAST(nn AS DOUBLE))) AS d,
+            (CAST(rn AS DOUBLE) * CAST(cn AS DOUBLE) / CAST(nn AS DOUBLE))
+                AS e
+        FROM cells c JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN tot
+    )
+    SELECT COUNT(*) AS n_cells,
+           (SELECT (COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT p) - 1)
+            FROM cells) AS dof,
+           CAST(SUM(CAST(FLOOR((d * d / e) * 1000000000.0) AS BIGINT))
+                AS DOUBLE) / 1000000000.0 AS chi2
+    FROM terms
+    """,
+)
+def stats_chi2(spark, sf_dir):
+    """Chi-square independence test on the status × priority contingency
+    table — the categorical-association primitive behind feature selection.
+    One hash aggregate builds the cells; row/column totals are window sums
+    over the TINY cell table (R×C rows, never the base data); each cell's
+    (obs−exp)²/exp term is floor-quantized to nano-units before the final
+    sum, so the statistic is order-independent and bit-identical across
+    engines (the floor-micro-quantization pattern from
+    operators/similarity.py — round would be engine-divergent here because
+    the terms are arbitrary reals)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    enriched = (
+        cells.withColumn("rn", F.sum("n").over(Window.partitionBy("s")))
+        .withColumn("cn", F.sum("n").over(Window.partitionBy("p")))
+        .join(F.broadcast(tot))
+    )
+    e = (
+        F.col("rn").cast("double")
+        * F.col("cn").cast("double")
+        / F.col("nn").cast("double")
+    )
+    d = F.col("n").cast("double") - e
+    term_q = F.floor((d * d / e) * F.lit(1000000000.0)).cast("bigint")
+    dof = cells.agg(
+        (
+            (F.count_distinct("s") - 1) * (F.count_distinct("p") - 1)
+        ).alias("dof")
+    )
+    return (
+        enriched.agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            (F.sum(term_q).cast("double") / F.lit(1000000000.0)).alias(
+                "chi2"
+            ),
+        )
+        .join(F.broadcast(dof))
+        .select("n_cells", "dof", "chi2")
+    )
+
+
+def _scaling_oracle() -> str:
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    sx = oracle_dsum("l_extendedprice", 2)
+    sxx = oracle_dsum_wide("l_extendedprice * l_extendedprice", 4)
+    return f"""
+    WITH stats AS (
+        SELECT {n} AS n, {sx} AS sx, {sxx} AS sxx,
+               MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           (l_extendedprice - (sx / n))
+               / SQRT((sxx - (sx * sx) / n) / (n - 1.0)) AS price_z,
+           (l_quantity - qmin) / (qmax - qmin) AS qty_minmax
+    FROM lineitem CROSS JOIN stats
+    WHERE l_orderkey % 997 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """
+
+
+@query("feature_scaling", oracle=_scaling_oracle())
+def feature_scaling(spark, sf_dir):
+    """ML feature preprocessing as a distributed plan: global z-score of
+    extendedprice and min-max of quantity, applied row-wise via a 1-row
+    broadcast of the fitted stats (the scatter-the-fit pattern — at 100 TB
+    the stats pass is one scan + 1-row result, the transform pass is
+    embarrassingly parallel). Mean/stddev come from exact integer-cents
+    sums (x² widened to a decimal accumulator past int64 range); the
+    per-row arithmetic mirrors the oracle expression shape, so every
+    scaled double is bit-identical across engines. Output is a
+    deterministic key stripe, not a seeded sample."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    stats = li.agg(
+        n.alias("__n"),
+        dsum("l_extendedprice", 2).alias("__sx"),
+        dsum_wide(
+            F.col("l_extendedprice") * F.col("l_extendedprice"), 4
+        ).alias("__sxx"),
+        F.min("l_quantity").alias("__qmin"),
+        F.max("l_quantity").alias("__qmax"),
+    )
+    nn, sx, sxx = F.col("__n"), F.col("__sx"), F.col("__sxx")
+    sd = F.sqrt((sxx - (sx * sx) / nn) / (nn - F.lit(1.0)))
+    return (
+        li.filter(F.col("l_orderkey") % 997 == 0)
+        .join(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            ((F.col("l_extendedprice") - (sx / nn)) / sd).alias("price_z"),
+            (
+                (F.col("l_quantity") - F.col("__qmin"))
+                / (F.col("__qmax") - F.col("__qmin"))
+            ).alias("qty_minmax"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "orders_mom_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+               (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                     AS DOUBLE) / 100.0) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY month))
+               / LAG(revenue) OVER (ORDER BY month) AS mom_growth
+    FROM monthly ORDER BY month
+    """,
+)
+def orders_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth — the BI time-series staple (ref KPI
+    family, spark_jobs/03_kpis.py): exact monthly sums, a LAG over the
+    ~80-row monthly series (tiny single-partition window AFTER
+    aggregation, never over base rows), growth as deterministic IEEE
+    division. NULL first month on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(dsum("o_totalprice", 2).alias("revenue"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "revenue",
+        (
+            (F.col("revenue") - F.lag("revenue").over(w))
+            / F.lag("revenue").over(w)
+        ).alias("mom_growth"),
+    ).orderBy("month")
 
 
 @query(

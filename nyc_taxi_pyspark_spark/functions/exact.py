@@ -79,6 +79,32 @@ def dstddev(col: Column | str, scale: int = 4) -> Column:
     return F.sqrt((sxx - (sx * sx) / n) / (n - F.lit(1.0)))
 
 
+_WIDE_SPLIT = 1_000_000_000  # 1e9: per-row cents split into hi/lo int64 sums
+
+
+def dsum_wide(col: Column | str, scale: int = 4) -> Column:
+    """:func:`dsum` for totals past int64 range (squared-moment sums — x²,
+    x·y — overflow ~sf0.1 at scale 4). NONNEGATIVE inputs only.
+
+    A wide decimal/hugeint accumulator alone is NOT portable: the final
+    big-integer→double cast rounds differently across engines past 2^63
+    (measured 1-ulp divergence, Spark decimal cast vs DuckDB hugeint cast).
+    Instead keep TWO exact int64 sums of each row's cents split at 1e9
+    (hi = c div 1e9, lo = c mod 1e9; each sum stays < 2^53 into the
+    billions of rows) and recombine with a fixed IEEE op sequence —
+    ``(double(Σhi)·1e9 + double(Σlo)) / 10^s`` — identical correctly-rounded
+    ops on identical exact inputs, hence bit-identical everywhere. Twin:
+    :func:`oracle_dsum_wide`."""
+    c = _cents(col, scale)
+    # c < 2^53 ⇒ floor(c/1e9) is the exact integer quotient (the double
+    # division's error is far below the 1e-9 fractional-part granularity).
+    hi = F.sum(F.floor(c / F.lit(float(_WIDE_SPLIT))).cast("bigint"))
+    lo = F.sum(F.pmod(c, F.lit(_WIDE_SPLIT)))
+    return (
+        hi.cast("double") * F.lit(float(_WIDE_SPLIT)) + lo.cast("double")
+    ) / F.lit(float(10**scale))
+
+
 def dsum_decimal(col: Column | str, scale: int = 4) -> Column:
     """Decimal-accumulator variant of :func:`dsum` — 3× slower in codegen
     but with decimal(28) headroom; for grand totals beyond int64 range."""
@@ -100,6 +126,19 @@ def oracle_present_round(expr: str, digits: int = 2) -> str:
     """DuckDB SQL text twin of :func:`present_round`."""
     s = float(10**digits)
     return f"(CAST(FLOOR(({expr}) * {s} + 0.5) AS DOUBLE) / {s})"
+
+
+def oracle_dsum_wide(expr: str, scale: int = 4) -> str:
+    """DuckDB SQL text twin of :func:`dsum_wide` — same hi/lo split sums,
+    same recombination op sequence."""
+    s = float(10**scale)
+    w = float(_WIDE_SPLIT)
+    c = f"CAST(ROUND(({expr}) * {s}) AS BIGINT)"
+    hi = f"SUM(CAST(FLOOR({c} / {w}) AS BIGINT))"
+    lo = f"SUM({c} % {_WIDE_SPLIT})"
+    return (
+        f"((CAST({hi} AS DOUBLE) * {w} + CAST({lo} AS DOUBLE)) / {s})"
+    )
 
 
 def oracle_dsum(expr: str, scale: int = 4) -> str:

@@ -103,3 +103,20 @@ def test_salted_aggregate_matches_plain(spark):
     assert sorted(map(tuple, salted.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_dsum_wide_matches_dsum_and_is_layout_independent(spark):
+    from nyc_taxi_pyspark_spark.functions.exact import dsum, dsum_wide
+
+    df = spark.createDataFrame(
+        [(float(i) + 0.25,) for i in range(1, 4001)], "v double"
+    )
+    a = df.agg(dsum("v", 2).alias("s"), dsum_wide("v", 2).alias("w")).collect()[0]
+    assert a["s"] == a["w"]  # same value in non-overflow range
+    b = df.repartition(13).agg(dsum_wide("v", 2).alias("w")).collect()[0]
+    assert a["w"] == b["w"]  # partition-layout independent
+    # squared-moment shape: large per-row cents still exact
+    sq = df.selectExpr("v * v AS v2")
+    c = sq.agg(dsum_wide("v2", 4).alias("w")).collect()[0]["w"]
+    exact = sum(round((i + 0.25) ** 2 * 10**4) for i in range(1, 4001)) / 10**4
+    assert abs(c - exact) < 1e-6
