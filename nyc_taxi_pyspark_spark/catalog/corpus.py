@@ -23,6 +23,7 @@ from nyc_taxi_pyspark_spark.operators.corpus import (
     PACK_BUDGET,
     cap_per_domain,
     gopher_flags,
+    weighted_sample,
     with_mixture_keep,
     with_pack_bins,
 )
@@ -305,3 +306,19 @@ def corpus_nested_samples(spark, sf_dir):
             for r in _ABLATION_RATES
         ],
     )
+
+
+@query("corpus_weighted_sample")  # rows-only: A-ES keys need libm pow
+def corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted subset selection: 50 documents drawn without
+    replacement with inclusion odds ~ n_chars (the stand-in for a quality
+    score), via Efraimidis-Spirakis top-k on deterministic md5-derived
+    uniforms (operators/corpus.weighted_sample). Reproducible across runs
+    and layouts; rows-only because the u^(1/w) key is a libm pow whose
+    last-ulp rounding the cross-engine hash gate cannot assume. The
+    heavier=likelier contract and exact-k size are pytest-pinned
+    (tests/test_quality.py)."""
+    d = _docs(spark, sf_dir)
+    return weighted_sample(
+        d, "doc_id", F.col("n_chars").cast("double"), 50
+    ).select("doc_id", "lang", "n_chars")

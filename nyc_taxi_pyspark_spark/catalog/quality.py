@@ -523,6 +523,90 @@ def orders_mom_growth(spark, sf_dir):
 
 
 @query(
+    "sequence_gaps",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_orderkey,
+               LEAD(o_orderkey) OVER (ORDER BY o_orderkey) AS next_key
+        FROM orders
+    )
+    SELECT o_orderkey + 1 AS gap_start, next_key - 1 AS gap_end,
+           next_key - o_orderkey - 1 AS n_missing
+    FROM ordered
+    WHERE next_key - o_orderkey > 1
+    ORDER BY gap_start LIMIT 50
+    """,
+)
+def sequence_gaps(spark, sf_dir):
+    """Key-sequence integrity audit: ranges of missing o_orderkey values
+    found with a single LEAD over the sorted key. The global sort is the
+    honest cost of a total-order audit; at 100 TB run it per range
+    partition (sort within partitions + boundary handoff) or on the
+    min/max page index alone. The first-50 cap is TakeOrdered, not a full
+    materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    gaps = (
+        orders.select("o_orderkey")
+        .withColumn("next_key", F.lead("o_orderkey").over(w))
+        .filter(F.col("next_key") - F.col("o_orderkey") > 1)
+    )
+    return (
+        gaps.select(
+            (F.col("o_orderkey") + 1).alias("gap_start"),
+            (F.col("next_key") - 1).alias("gap_end"),
+            (F.col("next_key") - F.col("o_orderkey") - 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
+        .limit(50)
+    )
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+               / (SELECT COUNT(*) FROM d) AS observed_share
+    FROM d GROUP BY digit ORDER BY digit
+    """,
+)
+def benford_first_digit(spark, sf_dir):
+    """Benford's-law forensics on order totals: leading-digit distribution
+    as a fraud/synthetic-data smell test. The first digit comes from the
+    INTEGER part's string form (int→string is portable; double→string is
+    not), the share from deterministic division by a 1-row broadcast
+    total. One scan, one 9-key aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.col("n").cast("double") / F.col("__tot")).alias(
+                "observed_share"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n_events,

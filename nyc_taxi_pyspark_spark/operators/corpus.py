@@ -241,3 +241,32 @@ def chunk_dedup(
         .cast("bigint")
         .alias("kept_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement: top-k by
+    key u^(1/w), u a deterministic md5-derived uniform in (0,1). Inclusion
+    probability is proportional to weight in the A-ES sense; the sample is
+    reproducible across runs and partition layouts (no rand()).
+
+    NOT oracle-hashable: pow() is a libm call whose last-ulp rounding is
+    not guaranteed identical across engines, so two near-tied keys could
+    order differently. The statistical contract (heavier ⇒ likelier, exact
+    size k, determinism) is pytest-pinned instead. Plan: row-local key
+    computation + TakeOrdered — no shuffle before the top-k."""
+    u = (
+        _hash_bucket(id_col, 1_000_000_007).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(1_000_000_007.0)
+    key = F.pow(u, F.lit(1.0) / weight)
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.col(id_col))
+        .limit(k)
+        .drop("__es_key")
+    )

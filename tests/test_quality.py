@@ -120,3 +120,21 @@ def test_dsum_wide_matches_dsum_and_is_layout_independent(spark):
     c = sq.agg(dsum_wide("v2", 4).alias("w")).collect()[0]["w"]
     exact = sum(round((i + 0.25) ** 2 * 10**4) for i in range(1, 4001)) / 10**4
     assert abs(c - exact) < 1e-6
+
+
+def test_weighted_sample_exact_k_deterministic_and_weight_biased(spark):
+    from nyc_taxi_pyspark_spark.operators.corpus import weighted_sample
+
+    # 200 light items (w=1) + 200 heavy items (w=20)
+    df = spark.createDataFrame(
+        [(f"l{i}", 1.0) for i in range(200)]
+        + [(f"h{i}", 20.0) for i in range(200)],
+        "id string, w double",
+    )
+    out = weighted_sample(df, "id", F.col("w"), 40).collect()
+    assert len(out) == 40  # exact k
+    heavy = sum(1 for r in out if r["id"].startswith("h"))
+    assert heavy >= 30  # 20x weight dominates the draw
+    # deterministic and layout-independent
+    again = weighted_sample(df.repartition(7), "id", F.col("w"), 40).collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in out)
