@@ -65,6 +65,10 @@ HEADLINE = [
     "corpus_bloom_prefilter",
     "events_rolling_wau",
     "embed_matryoshka_topk",
+    # round-6 audit-and-repair family (self-baselined in BASELINE.md §6)
+    "dq_audit_orders",
+    "table_diff_orders",
+    "customer_rfm",
 ]
 
 
@@ -108,6 +112,9 @@ EXPECTED = {
     "corpus_bloom_prefilter": 1.42,
     "events_rolling_wau": 0.58,
     "embed_matryoshka_topk": 0.62,
+    "dq_audit_orders": 0.86,
+    "table_diff_orders": 0.92,
+    "customer_rfm": 0.68,
 }
 ISO_RERUN_FACTOR = 1.8
 
