@@ -13,6 +13,7 @@ from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.catalog.text import _DUCK_WORDS, _docs
 from nyc_taxi_pyspark_spark.operators.corpus import (
     DOMAIN_CAP,
+    _hash_bucket,
     GOPHER_MAX_TOKENS,
     GOPHER_MEAN_LEN_HI,
     GOPHER_MEAN_LEN_LO,
@@ -27,6 +28,7 @@ from nyc_taxi_pyspark_spark.operators.corpus import (
     with_mixture_keep,
     with_pack_bins,
 )
+from nyc_taxi_pyspark_spark.operators.integrity import duck_row_hash, row_hash
 from nyc_taxi_pyspark_spark.operators.text import STOPWORDS, tokens
 
 # md5-derived integer bucket, DuckDB side: Horner fold over the first 8 hex
@@ -322,3 +324,58 @@ def corpus_weighted_sample(spark, sf_dir):
     return weighted_sample(
         d, "doc_id", F.col("n_chars").cast("double"), 50
     ).select("doc_id", "lang", "n_chars")
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "corpus_shard_manifest",
+    oracle=f"""
+    WITH s AS (
+        SELECT {_duck_bucket(_N_SHARDS)} AS shard,
+               n_chars,
+               {{row_hash}} AS h
+        FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           bit_xor(h) AS fingerprint
+    FROM s GROUP BY shard ORDER BY shard
+    """.format(
+        row_hash=__import__(
+            "nyc_taxi_pyspark_spark.operators.integrity",
+            fromlist=["duck_row_hash"],
+        ).duck_row_hash(
+            "CAST(doc_id AS VARCHAR) || '|' || lang || '|' "
+            "|| CAST(n_chars AS VARCHAR)"
+        )
+    ),
+)
+def corpus_shard_manifest(spark, sf_dir):
+    """Training-export shard manifest: deterministic md5 shard assignment
+    (stable under appends and across engines — never hash-partitioning's
+    engine-specific hash), per-shard doc/char totals, and an
+    order-independent bit_xor content fingerprint per shard. This is the
+    manifest a 100 TB export job writes next to its shards so any rebuild
+    or replication can be verified shard-by-shard without re-reading
+    payloads (composes orders_content_fingerprint per shard). One scan,
+    one 8-key aggregate, map-side combined."""
+    d = _docs(spark, sf_dir)
+    key = F.concat_ws(
+        "|", F.col("doc_id"), F.col("lang"), F.col("n_chars")
+    )
+    return (
+        d.select(
+            _hash_bucket("doc_id", _N_SHARDS).alias("shard"),
+            F.col("n_chars"),
+            row_hash(key).alias("h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+        )
+        .orderBy("shard")
+    )

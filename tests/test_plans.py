@@ -265,3 +265,58 @@ def test_cms_sketch_python_free(spark):
     """Count-min: explode + groupBy + probe join, all JVM-side."""
     df = QUERIES["text_cms_counts"](spark, SF)
     assert "Python" not in formatted_plan(df)
+
+
+def test_dq_audit_single_scan_single_agg(spark):
+    """Constraint audit: one scan of orders, no join, python-free; the
+    explode runs on the 1-row aggregate, not the base data."""
+    import re
+
+    df = QUERIES["dq_audit_orders"](spark, SF)
+    p = formatted_plan(df)
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 1
+    assert "Join" not in p and "Python" not in p
+
+
+def test_table_diff_is_one_sortmerge_no_python(spark):
+    """Snapshot diff: a single full-outer join, never a cartesian."""
+    df = QUERIES["table_diff_orders"](spark, SF)
+    p = formatted_plan(df)
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Python" not in p
+
+
+def test_feature_scaling_broadcasts_fitted_stats(spark):
+    """Scatter-the-fit: the 1-row stats side must broadcast; codegen
+    arithmetic, no Python."""
+    df = QUERIES["feature_scaling"](spark, SF)
+    assert has_broadcast_join(df)
+    assert "Python" not in formatted_plan(df)
+
+
+def test_rfm_windows_over_aggregate_not_base(spark):
+    """RFM: two scan nodes only — the main aggregate plus the anchor-date
+    pass (column-pruned to o_orderdate alone, broadcast as 1 row); NTILEs
+    run over the customer-level aggregate."""
+    import re
+
+    df = QUERIES["customer_rfm"](spark, SF)
+    p = formatted_plan(df)
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 2
+    assert "BroadcastExchange" in p
+    # the anchor scan reads only the date column
+    assert "ReadSchema: struct<o_orderdate" in p
+    assert "Python" not in p
+
+
+def test_benford_broadcasts_total(spark):
+    df = QUERIES["benford_first_digit"](spark, SF)
+    assert has_broadcast_join(df)
+    assert "Python" not in formatted_plan(df)
+
+
+def test_shard_manifest_single_agg_no_join(spark):
+    df = QUERIES["corpus_shard_manifest"](spark, SF)
+    p = formatted_plan(df)
+    assert "Join" not in p and "Python" not in p
