@@ -522,6 +522,169 @@ def orders_mom_growth(spark, sf_dir):
     ).orderBy("month")
 
 
+def _ttest_oracle() -> str:
+    def side(t: str, alias: str) -> str:
+        n = f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS DOUBLE)"
+        sx = (
+            "(CAST(SUM(CASE WHEN event_type = '" + t + "' THEN "
+            "CAST(ROUND(value * 100.0) AS BIGINT) END) AS DOUBLE) / 100.0)"
+        )
+        sxx = (
+            "(CAST(SUM(CASE WHEN event_type = '" + t + "' THEN "
+            "CAST(ROUND((value * value) * 10000.0) AS BIGINT) END) AS DOUBLE)"
+            " / 10000.0)"
+        )
+        return f"{n} AS n_{alias}, {sx} AS sx_{alias}, {sxx} AS sxx_{alias}"
+
+    return f"""
+    WITH s AS (
+        SELECT {side("click", "a")}, {side("error", "b")} FROM events
+    ),
+    m AS (
+        SELECT n_a, n_b,
+               sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+               (sxx_a - (sx_a * sx_a) / n_a) / (n_a - 1.0) AS var_a,
+               (sxx_b - (sx_b * sx_b) / n_b) / (n_b - 1.0) AS var_b
+        FROM s
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a - mean_b AS mean_diff,
+           (mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b) AS t_stat,
+           ((var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b))
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1.0)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1.0)) AS welch_df
+    FROM m
+    """
+
+
+@query("stats_ttest", oracle=_ttest_oracle())
+def stats_ttest(spark, sf_dir):
+    """Welch's two-sample t-test (click vs error event values) — the A/B
+    comparison primitive, computed in ONE scan with conditional exact-sum
+    aggregates per arm: means and variances from integer-cents moments,
+    t statistic and Welch-Satterthwaite df as deterministic IEEE
+    arithmetic mirrored expression-for-expression with the oracle (sqrt is
+    IEEE-correctly-rounded, unlike libm exp/ln, so the statistic stays in
+    the hash gate). Completes the stats trio with stats_regression and
+    stats_chi2."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+
+    def side(t: str):
+        is_t = F.col("event_type") == t
+        cents = F.when(is_t, F.round(F.col("value") * 100).cast("bigint"))
+        sqc = F.when(
+            is_t,
+            F.round(F.col("value") * F.col("value") * 10000).cast("bigint"),
+        )
+        return (
+            F.count(F.when(is_t, 1)).cast("double"),
+            F.sum(cents).cast("double") / F.lit(100.0),
+            F.sum(sqc).cast("double") / F.lit(10000.0),
+        )
+
+    na, sxa, sxxa = side("click")
+    nb, sxb, sxxb = side("error")
+    s = ev.agg(
+        na.alias("n_a"), sxa.alias("sx_a"), sxxa.alias("sxx_a"),
+        nb.alias("n_b"), sxb.alias("sx_b"), sxxb.alias("sxx_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    mean_a = F.col("sx_a") / n_a
+    mean_b = F.col("sx_b") / n_b
+    var_a = (F.col("sxx_a") - (F.col("sx_a") * F.col("sx_a")) / n_a) / (
+        n_a - F.lit(1.0)
+    )
+    var_b = (F.col("sxx_b") - (F.col("sx_b") * F.col("sx_b")) / n_b) / (
+        n_b - F.lit(1.0)
+    )
+    se2a, se2b = var_a / n_a, var_b / n_b
+    return s.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        (mean_a - mean_b).alias("mean_diff"),
+        ((mean_a - mean_b) / F.sqrt(se2a + se2b)).alias("t_stat"),
+        (
+            ((se2a + se2b) * (se2a + se2b))
+            / (
+                se2a * se2a / (n_a - F.lit(1.0))
+                + se2b * se2b / (n_b - F.lit(1.0))
+            )
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_nationkey AS nationkey, 1 AS version,
+               TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+               CASE WHEN c_custkey % 50 = 0
+                    THEN TIMESTAMP '1998-01-01 00:00:00' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_nationkey + 1, 2,
+               TIMESTAMP '1998-01-01 00:00:00', NULL
+        FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT d.version, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o.o_custkey) AS n_customers
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+        AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+        AND (d.valid_to IS NULL
+             OR CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to)
+    GROUP BY d.version ORDER BY d.version
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time join against an SCD2 dimension: each order picks the
+    dimension version valid AT ITS ORDER DATE (v2 exists for every 50th
+    customer from 1998-01-01). The join is an equi-join on the key with a
+    residual validity-range predicate — a BroadcastHashJoin when the dim
+    fits (here) and a key-partitioned SMJ with the same residual at 100 TB;
+    never a range-only nested loop, because the equi-key carries the join.
+    Composes scd2_versions (sources/lakehouse.scd2_close_and_insert) with
+    the temporal-lookup read side every warehouse backfill needs."""
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(1).alias("version"),
+        F.lit("1995-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 50 == 0,
+            F.lit("1998-01-01 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        (F.col("c_nationkey") + 1).alias("nationkey"),
+        F.lit(2).alias("version"),
+        F.lit("1998-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("version")
+    )
+
+
 @query(
     "sequence_gaps",
     oracle="""
