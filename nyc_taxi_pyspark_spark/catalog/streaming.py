@@ -142,3 +142,58 @@ def stream_static_enrich(spark, sf_dir):
     from nyc_taxi_pyspark_spark.streaming.windows import enrich_static, severity_dim
 
     return enrich_static(load_table(spark, sf_dir, "events"), severity_dim(spark))
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_stateful_totals(spark, sf_dir):
+    """Custom stateful streaming operator REALLY run as a stream: per-user
+    running totals via applyInPandasWithState
+    (streaming/stateful.running_totals_per_user) driven through readStream →
+    update-mode memory sink, then reduced to each key's final state (the
+    max-n_events struct per user — robust to multi-batch update logs). The
+    oracle is the batch GROUP BY the final states must equal. State is
+    exact integer cents, so the streamed result is bit-portable. At 100 TB
+    this is the CDC/profile-maintenance shape: state store partitioned by
+    key, one Arrow batch per key per micro-batch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nyc_taxi_pyspark_spark.streaming.runner import run_stream_once
+    from nyc_taxi_pyspark_spark.streaming.stateful import (
+        running_totals_per_user,
+    )
+
+    # readStream wants a DIRECTORY source; expose the single-file table
+    # through a symlink dir (no data copy, testdata untouched).
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    d = tempfile.mkdtemp(prefix="stateful_stream_")
+    os.symlink(src, os.path.join(d, "events.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    updates = run_stream_once(
+        spark, d, schema, running_totals_per_user, output_mode="update"
+    )
+    final = (
+        updates.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value_cents")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.sum_value_cents").alias("sum_value_cents"),
+        )
+    )
+    return final.orderBy("user_id")
