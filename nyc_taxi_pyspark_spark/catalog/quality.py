@@ -685,6 +685,116 @@ def scd2_point_in_time_join(spark, sf_dir):
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"{oracle_dsum(c, 2)} AS s_{c}")
+        for d in _CORR_COLS:
+            if c <= d:
+                moments.append(
+                    f"{oracle_dsum_wide(f'{c} * {d}', 4)} AS s_{c}_{d}"
+                )
+    pairs = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1 :]:
+            xy = f"s_{min(x, y)}_{max(x, y)}"
+            cov = f"(n * {xy} - s_{x} * s_{y})"
+            vx = f"(n * s_{x}_{x} - s_{x} * s_{x})"
+            vy = f"(n * s_{y}_{y} - s_{y} * s_{y})"
+            pairs.append(
+                f"SELECT '{x}' AS var_x, '{y}' AS var_y, "
+                f"{cov} / (SQRT({vx}) * SQRT({vy})) AS corr FROM m"
+            )
+    return (
+        "WITH m AS (SELECT "
+        + ", ".join(moments)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(pairs)
+        + " ORDER BY var_x, var_y"
+    )
+
+
+@query("stats_corr_matrix", oracle=_corr_oracle())
+def stats_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the four lineitem measures from ONE
+    scan + one aggregate of exact moments (products in the wide portable
+    accumulator), unrolled to the 6-pair long form on the 1-row result.
+    The moment-matrix-then-arithmetic split is how a 100 TB correlation
+    matrix is actually computed — never 6 passes; mirrored expression
+    shapes keep every double bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(dsum(c, 2).alias(f"s_{c}"))
+        for d in _CORR_COLS:
+            if c <= d:
+                aggs.append(
+                    dsum_wide(F.col(c) * F.col(d), 4).alias(f"s_{c}_{d}")
+                )
+    m = li.agg(*aggs)
+    n = F.col("n")
+    structs = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1 :]:
+            xy = f"s_{min(x, y)}_{max(x, y)}"
+            cov = n * F.col(xy) - F.col(f"s_{x}") * F.col(f"s_{y}")
+            vx = n * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+            vy = n * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+            structs.append(
+                F.struct(
+                    F.lit(x).alias("var_x"),
+                    F.lit(y).alias("var_y"),
+                    (cov / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.var_x", "p.var_y", "p.corr")
+        .orderBy("var_x", "var_y")
+    )
+
+
+@query(
+    "histogram_equidepth",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           {oracle_dsum("o_totalprice", 2)} AS sum_price
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram — the optimizer-statistics twin of
+    histogram_totalprice's equi-width form: NTILE(10) with a key tiebreak
+    (deterministic bucketing on both engines), per-bucket count/bounds/
+    exact sum. The global sort is the honest exact-decile cost; at 100 TB
+    this runs on a range-partitioned sort (Spark's sort-based shuffle does
+    exactly this) or swaps to approx_percentile cutpoints."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @query(
     "sequence_gaps",
     oracle="""
