@@ -880,6 +880,73 @@ def benford_first_digit(spark, sf_dir):
 
 
 @query(
+    "orders_pareto_share",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                     AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rev_cents,
+               NTILE(10) OVER (ORDER BY rev_cents DESC, o_custkey)
+                   AS decile
+        FROM per_cust
+    )
+    SELECT decile, COUNT(*) AS n_customers,
+           CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS revenue,
+           CAST(SUM(rev_cents) AS DOUBLE)
+               / (SELECT CAST(SUM(rev_cents) AS DOUBLE) FROM per_cust)
+               AS revenue_share
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def orders_pareto_share(spark, sf_dir):
+    """Pareto concentration analysis: customers ranked into revenue
+    deciles (key-tie-broken NTILE over the customer-level aggregate),
+    each decile's exact revenue and share of total — the 80/20 check that
+    pairs with customer_rfm. Integer-cents totals end-to-end; the share
+    division is the only double op and is mirrored exactly. One scan, one
+    customer shuffle, windows over the small aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    tot = per_cust.agg(
+        F.sum("rev_cents").cast("double").alias("__tot_cents")
+    )
+    ranked = per_cust.select(
+        "rev_cents",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("rev_cents"), "o_custkey"))
+        .alias("decile"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum("rev_cents").cast("double") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+            F.sum("rev_cents").cast("double").alias("__dec_cents"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            (F.col("__dec_cents") / F.col("__tot_cents")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
     "skew_salted_agg",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n_events,
