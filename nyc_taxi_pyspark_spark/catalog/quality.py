@@ -17,10 +17,8 @@ from pyspark.sql import functions as F
 
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import (
-    dstddev,
     dsum,
     dsum_wide,
-    oracle_dstddev,
     oracle_dsum,
     oracle_dsum_wide,
 )
