@@ -346,3 +346,55 @@ def orders_content_fingerprint(spark, sf_dir):
         F.col("o_orderpriority"),
     )
     return content_fingerprint(o, key)
+
+
+@query(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(l.l_orderkey) AS BIGINT) AS sum_keys
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def bucketed_join_agg(spark, sf_dir):
+    """Co-located big-big join from bucketed storage: both fact tables are
+    written bucketBy(8, orderkey) + sortBy into managed tables, then joined
+    WITHOUT any Exchange — the bucket layout IS the shuffle, paid once at
+    write time and amortized over every later join (the
+    100 TB fact-to-fact pattern; plan-gated shuffle-free in
+    tests/test_scale_ops.py::test_bucketed_join_has_no_shuffle). The oracle
+    is the plain join on the original parquet, proving the bucketed
+    round trip changes nothing."""
+    from nyc_taxi_pyspark_spark.operators.storage import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_o, t_l = f"cat_orders_b_{tag}", f"cat_lineitem_b_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        t_o,
+        "o_orderkey",
+        8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+        t_l,
+        "o_orderkey",
+        8,
+    )
+    joined = bucketed_join(spark, t_o, t_l, "o_orderkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        )
+        .orderBy("o_orderpriority")
+    )
