@@ -373,6 +373,18 @@ def bucketed_join_agg(spark, sf_dir):
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_o, t_l = f"cat_orders_b_{tag}", f"cat_lineitem_b_{tag}"
+    # saveAsTable's managed location outlives the (in-memory) catalog of a
+    # fresh session: DROP clears a registered table, the rmtree clears an
+    # orphaned location left by a previous process.
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for t in (t_o, t_l):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        loc = os.path.join(wh, t)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"
