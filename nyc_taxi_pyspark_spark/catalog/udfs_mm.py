@@ -198,3 +198,57 @@ def multimodal_resize(spark, sf_dir):
 
     docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
     return with_resize_plan(extract_features(documents_as_media(docs)))
+
+
+@query(
+    "multimodal_dedup",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    g AS (
+        SELECT md5(text) AS checksum, COUNT(*) AS n_copies,
+               MIN(media_id) AS survivor_id
+        FROM media GROUP BY md5(text)
+    )
+    SELECT COUNT(*) AS n_unique_content,
+           CAST(SUM(n_copies) AS BIGINT) AS n_media,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant,
+           CAST(MIN(survivor_id) AS BIGINT) AS min_survivor
+    FROM g
+    """,
+)
+def multimodal_dedup(spark, sf_dir):
+    """Binary content-hash dedup — stage zero of every multimodal pipeline:
+    exact duplicate media detected by md5 over the OPAQUE binary column
+    (no decode needed), min-id survivor per checksum group. A re-crawled
+    stripe (every 20th doc re-ingested under a new media_id) provides the
+    planted duplicates; md5 of the UTF-8 bytes equals DuckDB's md5 of the
+    text, so the whole pipeline is hash-checked. One scan + one checksum
+    shuffle, map-side combined; at 100 TB the checksum is computed at
+    ingest and this query touches only the (checksum, id) index."""
+    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    media = documents_as_media(docs).unionByName(
+        documents_as_media(
+            docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+    )
+    g = media.groupBy(F.md5("content").alias("checksum")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("media_id").alias("survivor_id"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_unique_content"),
+        F.sum("n_copies").cast("bigint").alias("n_media"),
+        F.sum((F.col("n_copies") > 1).cast("int"))
+        .cast("bigint")
+        .alias("n_dup_groups"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_redundant"),
+        F.min("survivor_id").cast("bigint").alias("min_survivor"),
+    )
