@@ -794,6 +794,40 @@ def histogram_equidepth(spark, sf_dir):
 
 
 @query(
+    "group_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.50) / 100.0
+               AS p50,
+           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.90) / 100.0
+               AS p90,
+           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.99) / 100.0
+               AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def group_quantiles(spark, sf_dir):
+    """Per-group exact interpolated percentiles (p50/p90/p99 of event value
+    per type) — the latency-SLO observability staple. Values are scaled to
+    integer cents BEFORE the percentile so the interpolation runs between
+    integers (the engine-portable form proven by exact_quantiles and
+    events_anomaly_mad at both SFs), then scaled back. One shuffle on the
+    group key; at 100 TB swap to approx_percentile with the same output
+    schema when exactness isn't required."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    cents = "cast(round(value * 100.0) as bigint)"
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(f"percentile({cents}, 0.50) / 100.0").alias("p50"),
+            F.expr(f"percentile({cents}, 0.90) / 100.0").alias("p90"),
+            F.expr(f"percentile({cents}, 0.99) / 100.0").alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "sequence_gaps",
     oracle="""
     WITH ordered AS (
