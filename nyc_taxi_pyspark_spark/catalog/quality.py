@@ -828,6 +828,90 @@ def group_quantiles(spark, sf_dir):
 
 
 @query(
+    "basket_pair_lift",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey % 100 AS item
+        FROM lineitem
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n
+        FROM lineitem
+    ),
+    item_freq AS (
+        SELECT item, COUNT(*) AS n_item FROM items GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b, n_pair,
+           (CAST(n_pair AS DOUBLE) / n)
+               / ((CAST(fa.n_item AS DOUBLE) / n)
+                  * (CAST(fb.n_item AS DOUBLE) / n)) AS lift
+    FROM pairs
+    JOIN item_freq fa ON fa.item = item_a
+    JOIN item_freq fb ON fb.item = item_b
+    CROSS JOIN n_orders
+    ORDER BY n_pair DESC, item_a, item_b LIMIT 20
+    """,
+)
+def basket_pair_lift(spark, sf_dir):
+    """Market-basket co-occurrence: item pairs bought in the same order
+    with their lift (observed co-rate over independence). Items are
+    partkey buckets (raw partkeys rarely repeat at this SF). The pair join
+    is a SELF-EQUI-JOIN ON THE ORDER KEY — pair count per order is bounded
+    by basket size squared, never a catalog-wide cross join (the same
+    bounded-blowup discipline as the LSH band joins); frequencies join
+    back broadcast-size, and lift is deterministic division of exact
+    counts. Top-20 with full tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n_orders = li.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("__n")
+    )
+    item_freq = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("l_orderkey", F.col("item").alias("item_a"))
+    b = items.select("l_orderkey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    fa = item_freq.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("__na")
+    )
+    fb = item_freq.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("__nb")
+    )
+    n = F.col("__n")
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            (
+                (F.col("n_pair").cast("double") / n)
+                / (
+                    (F.col("__na").cast("double") / n)
+                    * (F.col("__nb").cast("double") / n)
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_pair"), "item_a", "item_b")
+        .limit(20)
+    )
+
+
+@query(
     "sequence_gaps",
     oracle="""
     WITH ordered AS (
