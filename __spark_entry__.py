@@ -26,15 +26,18 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver records correctness rows for ~50 queries/round. Order the
 # catalog so a bounded run always covers the weakest evidence first:
-#   1. queries with no driver row in ANY recorded round (registration order),
-#   2. checked queries, stalest round first (round-1-only before round-2, ...),
+#   1. queries whose LATEST recorded check failed (hash/row mismatch against
+#      an existing oracle, or a harness error other than the by-design
+#      "no_oracle") — a red row must be re-adjudicated before stale greens,
+#   2. queries with no driver row in ANY recorded round (registration order),
+#   3. checked queries, stalest round first (round-1-only before round-2, ...),
 #      registration order within a round.
-# The checked sets are read from the CORRECTNESS_r*.json artifacts committed
-# at the repo root, so this ordering auto-adapts as rounds accumulate. All
+# The records are read from the CORRECTNESS_r*.json artifacts committed at
+# the repo root, so this ordering auto-adapts as rounds accumulate. All
 # registered queries are emitted either way; only the dict order changes.
 
 
-def _checked_rounds() -> list[set]:
+def _checked_rounds() -> list[dict]:
     import glob
     import json
 
@@ -42,23 +45,40 @@ def _checked_rounds() -> list[set]:
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                rounds.append(set(json.load(fh)))
+                rounds.append(json.load(fh))
         except Exception:
             continue
     return rounds
 
 
+def _is_fail(rec: dict) -> bool:
+    err = rec.get("err")
+    if err is not None and err != "no_oracle":
+        return True  # harness crash (e.g. unhashable result column)
+    if rec.get("oracle_rows") is not None:
+        return not (
+            rec.get("rows_match") and rec.get("schema_match") and rec.get("hash_match")
+        )
+    return False  # rows-only-by-design checks never count as failures
+
+
 def _ordered(mapping: dict) -> dict:
     rounds = _checked_rounds()
     last_round = {}  # query -> latest round index in which it was checked
-    for i, names in enumerate(rounds):
-        for n in names:
+    last_fail = {}  # query -> did its latest check fail
+    for i, recs in enumerate(rounds):
+        for n, rec in recs.items():
             last_round[n] = i
-    order = sorted(
-        range(len(QUERIES)),
-        key=lambda i: (last_round.get(list(QUERIES)[i], -1), i),
-    )
+            last_fail[n] = _is_fail(rec) if isinstance(rec, dict) else False
     names = list(QUERIES)
+    order = sorted(
+        range(len(names)),
+        key=lambda i: (
+            0 if last_fail.get(names[i], False) else 1,
+            last_round.get(names[i], -1),
+            i,
+        ),
+    )
     return {names[i]: mapping[names[i]] for i in order if names[i] in mapping}
 
 
