@@ -26,6 +26,7 @@ from nyc_taxi_pyspark_spark.functions.exact import (
 from nyc_taxi_pyspark_spark.operators.quality import (
     dq_audit,
     fill_group_mean,
+    key_sequence_gaps,
     table_diff,
 )
 from nyc_taxi_pyspark_spark.operators.skew import salted_aggregate
@@ -97,19 +98,19 @@ def dq_audit_orders(spark, sf_dir):
     "table_diff_orders",
     oracle="""
     WITH old AS (
-        SELECT o_orderkey, o_orderstatus, o_totalprice
+        SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS in_old
         FROM orders WHERE o_orderkey % 97 <> 0
     ),
     new AS (
         SELECT o_orderkey, o_orderstatus,
                CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice * 2
-                    ELSE o_totalprice END AS o_totalprice
+                    ELSE o_totalprice END AS o_totalprice, TRUE AS in_new
         FROM orders WHERE o_orderkey % 89 <> 0
     ),
     d AS (
         SELECT CASE
-            WHEN old.o_orderkey IS NULL THEN 'added'
-            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.in_old IS NULL THEN 'added'
+            WHEN new.in_new IS NULL THEN 'removed'
             WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
               OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
               THEN 'changed'
@@ -200,20 +201,25 @@ def null_fill_group_mean(spark, sf_dir):
                date_diff('day', MAX(CAST(o_orderdate AS DATE)),
                          (SELECT max_d FROM anchor)) AS recency_days,
                COUNT(*) AS frequency,
-               (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
-                     AS DOUBLE) / 100.0) AS monetary
+               SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                   AS monetary_cents
         FROM orders GROUP BY o_custkey
     ),
-    scored AS (
-        SELECT o_custkey, monetary,
-               NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
-               NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
-               NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    cuts AS (
+        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+               quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mc
         FROM per_cust
+    ),
+    scored AS (
+        SELECT o_custkey, monetary_cents,
+               1 + len(list_filter(rc, c -> recency_days > c)) AS r_score,
+               1 + len(list_filter(fc, c -> frequency < c)) AS f_score,
+               1 + len(list_filter(mc, c -> monetary_cents < c)) AS m_score
+        FROM per_cust CROSS JOIN cuts
     )
     SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
-           (CAST(SUM(CAST(ROUND(monetary * 100.0) AS BIGINT)) AS DOUBLE)
-            / 100.0) AS total_monetary
+           CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 AS total_monetary
     FROM scored
     GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score
@@ -222,13 +228,17 @@ def null_fill_group_mean(spark, sf_dir):
 def customer_rfm(spark, sf_dir):
     """RFM segmentation — the classic customer-value rollup the reference's
     KPI jobs (spark_jobs/03_kpis.py) stop short of: per-customer recency/
-    frequency/monetary, quartile scores via deterministic NTILE (tie-broken
-    on the key so both engines bucket identically), segment counts.
+    frequency/monetary, quartile scores (1 = best: most recent, most
+    frequent, highest spend), segment counts.
 
-    Scale note: the three NTILEs are global sorts of the CUSTOMER-level
-    aggregate (|customers| ≪ |orders|); at 100 TB you'd swap exact NTILE
-    for approx-percentile cutpoints and a broadcast range lookup — same
-    output schema, no global sort."""
+    The quartile scores come from three cutpoint triples computed in ONE
+    aggregate over the per-customer rollup and broadcast as a range
+    lookup — never unpartitioned NTILE, whose single-task global sort
+    (three of them, previously) dies at billions of customers. Ties at a
+    cutpoint share a score. Percentiles run on integers (days / counts /
+    cents — the engine-portable interpolation proven by group_quantiles);
+    at 100 TB the one-line swap is percentile → approx_percentile with
+    the identical plan shape."""
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(
         F.max(F.to_date("o_orderdate")).alias("__max_d")
@@ -238,29 +248,49 @@ def customer_rfm(spark, sf_dir):
         .agg(
             F.max(F.to_date("o_orderdate")).alias("__last_d"),
             F.count(F.lit(1)).alias("frequency"),
-            dsum("o_totalprice", 2).alias("monetary"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+            ).alias("monetary_cents"),
         )
         .join(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("__max_d", "__last_d"))
     )
-    scored = per_cust.select(
+    cuts = per_cust.agg(
+        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias(
+            "__rc"
+        ),
+        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias(
+            "__fc"
+        ),
+        F.expr(
+            "percentile(monetary_cents, array(0.25, 0.5, 0.75))"
+        ).alias("__mc"),
+    )
+    rec, freq, mon = (
+        F.col("recency_days"),
+        F.col("frequency"),
+        F.col("monetary_cents"),
+    )
+    scored = per_cust.join(F.broadcast(cuts)).select(
         "o_custkey",
-        "monetary",
-        F.ntile(4)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .alias("m_score"),
+        "monetary_cents",
+        (
+            F.lit(1) + F.size(F.filter(F.col("__rc"), lambda c: rec > c))
+        ).alias("r_score"),
+        (
+            F.lit(1) + F.size(F.filter(F.col("__fc"), lambda c: freq < c))
+        ).alias("f_score"),
+        (
+            F.lit(1) + F.size(F.filter(F.col("__mc"), lambda c: mon < c))
+        ).alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            dsum("monetary", 2).alias("total_monetary"),
+            (F.sum("monetary_cents").cast("double") / 100.0).alias(
+                "total_monetary"
+            ),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -756,8 +786,72 @@ def stats_corr_matrix(spark, sf_dir):
     )
 
 
+_DECILE_PS = [i / 10.0 for i in range(1, 10)]
+
+
 @query(
     "histogram_equidepth",
+    oracle=f"""
+    WITH cuts AS (
+        SELECT quantile_cont(CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
+                             [{", ".join(str(p) for p in _DECILE_PS)}]) AS cs
+        FROM orders
+    ),
+    b AS (
+        SELECT o_totalprice,
+               1 + len(list_filter(cs,
+                     c -> CAST(ROUND(o_totalprice * 100.0) AS BIGINT) > c))
+                   AS bucket
+        FROM orders CROSS JOIN cuts
+    )
+    SELECT bucket, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+           {oracle_dsum("o_totalprice", 2)} AS sum_price
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram — the optimizer-statistics twin of
+    histogram_totalprice's equi-width form, built the way it must be at
+    100 TB: ONE aggregate computes the nine decile cutpoints, the tiny
+    1-row result broadcasts, and every row buckets with a range lookup
+    (1 + number of cutpoints strictly below it). No unpartitioned
+    WindowExec anywhere — the former NTILE form funneled the whole table
+    through a single task (Spark moves ALL rows to one partition for an
+    unpartitioned window) and is kept as histogram_equidepth_exact for
+    small inputs. Percentiles run on integer cents (the engine-portable
+    interpolation proven by group_quantiles); at 100 TB the one-line swap
+    is percentile → approx_percentile, same plan shape. Ties at a
+    cutpoint share a bucket, so depths are near-equal, not exact — the
+    honest semantics of any statistics-based equi-depth histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents_sql = "cast(round(o_totalprice * 100.0) as bigint)"
+    ps = ", ".join(str(p) for p in _DECILE_PS)
+    cuts = orders.agg(
+        F.expr(f"percentile({cents_sql}, array({ps}))").alias("__cs")
+    )
+    cents = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
+    b = orders.join(F.broadcast(cuts)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("__cs"), lambda c: cents > c))
+        ).alias("bucket"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice", 2).alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "histogram_equidepth_exact",
     oracle=f"""
     WITH b AS (
         SELECT o_totalprice,
@@ -770,13 +864,12 @@ def stats_corr_matrix(spark, sf_dir):
     FROM b GROUP BY bucket ORDER BY bucket
     """,
 )
-def histogram_equidepth(spark, sf_dir):
-    """Equi-depth (decile) histogram — the optimizer-statistics twin of
-    histogram_totalprice's equi-width form: NTILE(10) with a key tiebreak
-    (deterministic bucketing on both engines), per-bucket count/bounds/
-    exact sum. The global sort is the honest exact-decile cost; at 100 TB
-    this runs on a range-partitioned sort (Spark's sort-based shuffle does
-    exactly this) or swaps to approx_percentile cutpoints."""
+def histogram_equidepth_exact(spark, sf_dir):
+    """Exact-depth variant: NTILE(10) with a key tiebreak gives buckets
+    whose sizes differ by at most one. The unpartitioned window is a
+    DELIBERATE single-task global sort — correct but only usable on
+    inputs that fit one task (a pre-aggregated or sampled table); the
+    scalable production form is histogram_equidepth."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     b = orders.select(
@@ -938,25 +1031,14 @@ def basket_pair_lift(spark, sf_dir):
     """,
 )
 def sequence_gaps(spark, sf_dir):
-    """Key-sequence integrity audit: ranges of missing o_orderkey values
-    found with a single LEAD over the sorted key. The global sort is the
-    honest cost of a total-order audit; at 100 TB run it per range
-    partition (sort within partitions + boundary handoff) or on the
-    min/max page index alone. The first-50 cap is TakeOrdered, not a full
-    materialization."""
+    """Key-sequence integrity audit: ranges of missing o_orderkey values,
+    computed partition-parallel (operators/quality.py key_sequence_gaps:
+    range-partitioned in-partition LEAD + O(partitions) boundary handoff —
+    never the single-task global LEAD of the naive form). The first-50
+    cap is TakeOrdered, not a full materialization."""
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    gaps = (
-        orders.select("o_orderkey")
-        .withColumn("next_key", F.lead("o_orderkey").over(w))
-        .filter(F.col("next_key") - F.col("o_orderkey") > 1)
-    )
     return (
-        gaps.select(
-            (F.col("o_orderkey") + 1).alias("gap_start"),
-            (F.col("next_key") - 1).alias("gap_end"),
-            (F.col("next_key") - F.col("o_orderkey") - 1).alias("n_missing"),
-        )
+        key_sequence_gaps(orders, "o_orderkey")
         .orderBy("gap_start")
         .limit(50)
     )
@@ -1008,18 +1090,22 @@ def benford_first_digit(spark, sf_dir):
 
 @query(
     "orders_pareto_share",
-    oracle="""
+    oracle=f"""
     WITH per_cust AS (
         SELECT o_custkey,
                (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
                      AS BIGINT)) AS rev_cents
         FROM orders GROUP BY o_custkey
     ),
+    cuts AS (
+        SELECT quantile_cont(rev_cents,
+                             [{", ".join(str(p) for p in _DECILE_PS)}]) AS cs
+        FROM per_cust
+    ),
     ranked AS (
         SELECT rev_cents,
-               NTILE(10) OVER (ORDER BY rev_cents DESC, o_custkey)
-                   AS decile
-        FROM per_cust
+               1 + len(list_filter(cs, c -> rev_cents < c)) AS decile
+        FROM per_cust CROSS JOIN cuts
     )
     SELECT decile, COUNT(*) AS n_customers,
            CAST(SUM(rev_cents) AS DOUBLE) / 100.0 AS revenue,
@@ -1030,29 +1116,38 @@ def benford_first_digit(spark, sf_dir):
     """,
 )
 def orders_pareto_share(spark, sf_dir):
-    """Pareto concentration analysis: customers ranked into revenue
-    deciles (key-tie-broken NTILE over the customer-level aggregate),
-    each decile's exact revenue and share of total — the 80/20 check that
-    pairs with customer_rfm. Integer-cents totals end-to-end; the share
-    division is the only double op and is mirrored exactly. One scan, one
-    customer shuffle, windows over the small aggregate."""
+    """Pareto concentration analysis: customers bucketed into revenue
+    deciles (decile 1 = highest revenue), each decile's exact revenue and
+    share of total — the 80/20 check that pairs with customer_rfm. The
+    decile comes from nine quantile cutpoints computed in ONE aggregate
+    over the per-customer rollup and broadcast as a range lookup
+    (1 + number of cutpoints strictly above the customer's revenue) —
+    never an unpartitioned NTILE, which would funnel every customer row
+    (billions at 100×) through a single task. Ties at a cutpoint share a
+    decile. Integer-cents totals end-to-end; the share division is the
+    only double op and is mirrored exactly. At 100 TB the one-line swap
+    is percentile → approx_percentile, same plan."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
             "rev_cents"
         )
     )
-    tot = per_cust.agg(
-        F.sum("rev_cents").cast("double").alias("__tot_cents")
+    ps = ", ".join(str(p) for p in _DECILE_PS)
+    stats = per_cust.agg(
+        F.expr(f"percentile(rev_cents, array({ps}))").alias("__cs"),
+        F.sum("rev_cents").cast("double").alias("__tot_cents"),
     )
-    ranked = per_cust.select(
+    rev = F.col("rev_cents")
+    ranked = per_cust.join(F.broadcast(stats)).select(
         "rev_cents",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("rev_cents"), "o_custkey"))
-        .alias("decile"),
+        "__tot_cents",
+        (
+            F.lit(1) + F.size(F.filter(F.col("__cs"), lambda c: rev < c))
+        ).alias("decile"),
     )
     return (
-        ranked.groupBy("decile")
+        ranked.groupBy("decile", "__tot_cents")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             (F.sum("rev_cents").cast("double") / F.lit(100.0)).alias(
@@ -1060,7 +1155,6 @@ def orders_pareto_share(spark, sf_dir):
             ),
             F.sum("rev_cents").cast("double").alias("__dec_cents"),
         )
-        .join(F.broadcast(tot))
         .select(
             "decile",
             "n_customers",

@@ -46,10 +46,12 @@ def dq_audit(
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, pred in checks:
+        # coalesce: SUM over zero rows is NULL — an empty input must report
+        # 0 violations / passed=true, not passed=NULL
         aggs.append(
-            F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))).alias(
-                f"__v_{name}"
-            )
+            F.coalesce(
+                F.sum(F.when(pred, F.lit(0)).otherwise(F.lit(1))), F.lit(0)
+            ).alias(f"__v_{name}")
         )
     for name, keys in unique_keys:
         aggs.append(
@@ -104,10 +106,12 @@ def table_diff(
     o = old.select(
         *[F.col(k).alias(f"__ok_{k}") for k in keys],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk_{k}") for k in keys],
         *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
     )
     cond = None
     for k in keys:
@@ -117,9 +121,12 @@ def table_diff(
     differs = F.lit(False)
     for c in compare_cols:
         differs = differs | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    # presence markers, not key-null checks: a NULL-keyed row never joins,
+    # so testing the opposite side's key would misreport an old-side
+    # NULL-keyed row as 'added' instead of 'removed'
     status = (
-        F.when(F.col(f"__ok_{keys[0]}").isNull(), F.lit("added"))
-        .when(F.col(f"__nk_{keys[0]}").isNull(), F.lit("removed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
         .when(differs, F.lit("changed"))
         .otherwise(F.lit("same"))
     )
@@ -129,6 +136,44 @@ def table_diff(
             for k in keys
         ],
         status.alias("status"),
+    )
+
+
+def key_sequence_gaps(df: DataFrame, key: str) -> DataFrame:
+    """Ranges of missing values in an integer key sequence, computed
+    partition-parallel.
+
+    Never a single-task global LEAD: ``repartitionByRange`` on the key,
+    LEAD *within* each range partition, then a boundary handoff — each
+    partition's last row (in-partition LEAD is NULL) takes the NEXT
+    partition's minimum key as its successor. The handoff table is one row
+    per non-empty partition (bounded by the shuffle-partition count, never
+    by data volume), so its own LEAD window and the broadcast join back
+    are O(partitions). Output — ``(gap_start, gap_end, n_missing)`` — is
+    identical to the global form for ANY boundary placement, so the range
+    partitioner's sampling nondeterminism is invisible. Assumes distinct
+    keys (duplicates are never reported as gaps either way).
+    """
+    keys = (
+        df.select(key)
+        .repartitionByRange(key)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("__pid").orderBy(key)
+    with_lead = keys.withColumn("__next_in", F.lead(key).over(w_in))
+    # range partitions are monotone in partition id, so LEAD over this
+    # tiny per-partition table is the next non-empty range's minimum
+    bounds = keys.groupBy("__pid").agg(F.min(key).alias("__pmin"))
+    handoff = bounds.select(
+        "__pid",
+        F.lead("__pmin").over(Window.orderBy("__pid")).alias("__next_min"),
+    )
+    joined = with_lead.join(F.broadcast(handoff), "__pid", "left")
+    next_key = F.coalesce(F.col("__next_in"), F.col("__next_min"))
+    return joined.filter(next_key - F.col(key) > 1).select(
+        (F.col(key) + 1).alias("gap_start"),
+        (next_key - 1).alias("gap_end"),
+        (next_key - F.col(key) - 1).alias("n_missing"),
     )
 
 

@@ -295,18 +295,54 @@ def test_feature_scaling_broadcasts_fitted_stats(spark):
     assert "Python" not in formatted_plan(df)
 
 
-def test_rfm_windows_over_aggregate_not_base(spark):
-    """RFM: two scan nodes only — the main aggregate plus the anchor-date
-    pass (column-pruned to o_orderdate alone, broadcast as 1 row); NTILEs
-    run over the customer-level aggregate."""
-    import re
-
+def test_rfm_is_cutpoint_buckets_no_window(spark):
+    """RFM: quartile scores come from broadcast cutpoints (one percentile
+    aggregate over the customer rollup), NEVER an unpartitioned NTILE —
+    no Window node may appear anywhere in the plan."""
     df = QUERIES["customer_rfm"](spark, SF)
     p = formatted_plan(df)
-    assert len(set(re.findall(r"\(\d+\) Scan parquet", p))) == 2
+    assert "Window" not in p
     assert "BroadcastExchange" in p
     # the anchor scan reads only the date column
     assert "ReadSchema: struct<o_orderdate" in p
+    assert "Python" not in p
+
+
+def test_equidepth_histogram_is_cutpoint_buckets_no_window(spark):
+    """histogram_equidepth: decile boundaries from ONE percentile
+    aggregate, broadcast range lookup per row — no Window (the former
+    NTILE funneled the whole table through one task)."""
+    df = QUERIES["histogram_equidepth"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
+    assert "Python" not in p
+
+
+def test_pareto_share_is_cutpoint_buckets_no_window(spark):
+    """orders_pareto_share: revenue deciles from broadcast cutpoints over
+    the per-customer aggregate — no Window node."""
+    df = QUERIES["orders_pareto_share"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
+    assert "Python" not in p
+
+
+def test_sequence_gaps_windows_are_partitioned_or_bounded(spark):
+    """sequence_gaps: the data-volume window must be partitioned by the
+    range-partition id (RangePartitioning shuffle feeds it); the only
+    unpartitioned window runs over the per-partition bounds AGGREGATE
+    (one row per partition), never over base rows."""
+    import re
+
+    df = QUERIES["sequence_gaps"](spark, SF)
+    p = formatted_plan(df)
+    assert "rangepartitioning(" in p  # repartitionByRange on the key
+    # every SinglePartition exchange must sit on the handoff side, whose
+    # input is the bounded per-partition min aggregate — the base-data
+    # window partitions by __pid (hashpartitioning), not SinglePartition
+    assert re.search(r"hashpartitioning\(__pid", p)
     assert "Python" not in p
 
 

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from nyc_taxi_pyspark_spark.operators.quality import (
     dq_audit,
     fill_group_mean,
+    key_sequence_gaps,
     table_diff,
 )
 from nyc_taxi_pyspark_spark.operators.skew import salted_aggregate
@@ -60,6 +61,61 @@ def test_table_diff_statuses(spark):
         4: "same",  # null-safe compare: None == None is same, not changed
         5: "added",
     }
+
+
+def test_dq_audit_empty_input_reports_zero_violations(spark):
+    df = spark.createDataFrame([], "id bigint, x double")
+    rows = dq_audit(
+        df, checks=[("x_positive", F.col("x") > 0)]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # SUM over zero rows is NULL; the audit must still report a verdict
+    assert r["n_rows"] == 0
+    assert r["n_violations"] == 0
+    assert r["passed"] is True
+
+
+def test_table_diff_null_keyed_rows_report_their_own_side(spark):
+    # a NULL key never joins: the old-side row must be 'removed' and the
+    # new-side row 'added', not both 'added' (the key-null-check bug)
+    old = spark.createDataFrame(
+        [(None, "x", 1.0), (1, "y", 2.0)], "k bigint, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(None, "z", 3.0), (1, "y", 2.0)], "k bigint, s string, v double"
+    )
+    rows = table_diff(old, new, ["k"], ["s", "v"]).collect()
+    statuses = sorted(
+        r["status"] for r in rows if r["k"] is None
+    )
+    assert statuses == ["added", "removed"]
+    assert [r["status"] for r in rows if r["k"] == 1] == ["same"]
+
+
+def test_key_sequence_gaps_matches_global_lead_across_boundaries(spark):
+    # keys with gaps placed so that (at 8 range partitions over 0..4000)
+    # several gaps straddle partition boundaries; compare against the
+    # naive global-LEAD form
+    present = [
+        k
+        for k in range(0, 4001)
+        if not (500 <= k < 510 or k % 997 == 0 or 2999 <= k <= 3001)
+    ]
+    df = spark.createDataFrame([(k,) for k in present], "k bigint")
+    got = sorted(
+        map(tuple, key_sequence_gaps(df.repartition(8), "k").collect())
+    )
+    expect = []
+    for a, b in zip(present, present[1:]):
+        if b - a > 1:
+            expect.append((a + 1, b - 1, b - a - 1))
+    assert got == sorted(expect)
+    # layout-independent: different input partitioning, same gaps
+    again = sorted(
+        map(tuple, key_sequence_gaps(df.repartition(1), "k").collect())
+    )
+    assert again == got
 
 
 def test_fill_group_mean_imputes_group_mean_only_for_nulls(spark):
