@@ -8,6 +8,8 @@ otherwise-stable query), materializing each plan fully through the noop
 sink (no collect cost, no pruned work). Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "queries_cold": {...}, "sf": ...}
+and writes the same line to BENCH_SUMMARY.json (stdout capture can
+truncate; the file is the authoritative copy).
 
 Cold/warm split (BASELINE.md §5): `queries` (warm medians, gating the 2×
 rule) exclude one-time layout builds; `queries_cold` is each query's FIRST
@@ -223,7 +225,16 @@ def main() -> None:
     }
     if iso_reruns:
         out["iso_reruns"] = iso_reruns
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # the driver parses captured stdout, which can truncate a long tail —
+    # persist the summary to a standalone file as the authoritative copy
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SUMMARY.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

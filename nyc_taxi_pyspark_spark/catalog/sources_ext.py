@@ -374,17 +374,30 @@ def bucketed_join_agg(spark, sf_dir):
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     t_o, t_l = f"cat_orders_b_{tag}", f"cat_lineitem_b_{tag}"
     # saveAsTable's managed location outlives the (in-memory) catalog of a
-    # fresh session: DROP clears a registered table, the rmtree clears an
-    # orphaned location left by a previous process.
+    # fresh session: DROP clears a registered table, and for a LOCAL
+    # warehouse an orphaned location left by a previous process is swept
+    # directly. Remote warehouses (hdfs://, s3a://) go through Hadoop's
+    # FileSystem API instead — rmtree on a config-derived URI would
+    # otherwise silently no-op (or worse, hit an unrelated local path).
     import shutil
+    from urllib.parse import urlparse
 
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    wh = wh.removeprefix("file:")
+    parsed = urlparse(wh)
+    is_local = parsed.scheme in ("", "file")
     for t in (t_o, t_l):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        loc = os.path.join(wh, t)
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        if is_local:
+            loc = os.path.join(wh.removeprefix("file:"), t)
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+        else:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            path = jvm.org.apache.hadoop.fs.Path(wh + "/" + t)
+            fs = path.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(path):
+                fs.delete(path, True)
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"

@@ -174,10 +174,22 @@ def stream_stateful_totals(spark, sf_dir):
     )
 
     # readStream wants a DIRECTORY source; expose the single-file table
-    # through a symlink dir (no data copy, testdata untouched).
+    # through a symlink dir (no data copy, testdata untouched). The dir is
+    # deterministic per source path — repeated invocations (parity runs,
+    # benches, plan dumps) reuse it instead of leaking one mkdtemp each.
     src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
-    d = tempfile.mkdtemp(prefix="stateful_stream_")
-    os.symlink(src, os.path.join(d, "events.parquet"))
+    import hashlib
+
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    d = os.path.join(
+        tempfile.gettempdir(), f"stateful_stream_{tag}"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if os.path.islink(link) and os.path.realpath(link) != src:
+        os.unlink(link)  # stale link from a regenerated source file
+    if not os.path.exists(link):
+        os.symlink(src, link)
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),

@@ -84,7 +84,9 @@ _WIDE_SPLIT = 1_000_000_000  # 1e9: per-row cents split into hi/lo int64 sums
 
 def dsum_wide(col: Column | str, scale: int = 4) -> Column:
     """:func:`dsum` for totals past int64 range (squared-moment sums — x²,
-    x·y — overflow ~sf0.1 at scale 4). NONNEGATIVE inputs only.
+    x·y — overflow ~sf0.1 at scale 4). Sign-safe: floor division pairs with
+    the always-non-negative pmod (c = floor(c/W)·W + pmod(c,W) holds for
+    negative c too), and the oracle twin mirrors both choices.
 
     A wide decimal/hugeint accumulator alone is NOT portable: the final
     big-integer→double cast rounds differently across engines past 2^63
@@ -130,12 +132,15 @@ def oracle_present_round(expr: str, digits: int = 2) -> str:
 
 def oracle_dsum_wide(expr: str, scale: int = 4) -> str:
     """DuckDB SQL text twin of :func:`dsum_wide` — same hi/lo split sums,
-    same recombination op sequence."""
+    same recombination op sequence. The low word uses the pmod idiom
+    ``((c % W) + W) % W`` (DuckDB's ``%`` takes the dividend's sign, Spark's
+    pmod never does) so the hi·W + lo recombination reconstructs the total
+    for negative inputs too, matching the Spark side's floor-div/pmod pair."""
     s = float(10**scale)
     w = float(_WIDE_SPLIT)
     c = f"CAST(ROUND(({expr}) * {s}) AS BIGINT)"
     hi = f"SUM(CAST(FLOOR({c} / {w}) AS BIGINT))"
-    lo = f"SUM({c} % {_WIDE_SPLIT})"
+    lo = f"SUM((({c} % {_WIDE_SPLIT}) + {_WIDE_SPLIT}) % {_WIDE_SPLIT})"
     return (
         f"((CAST({hi} AS DOUBLE) * {w} + CAST({lo} AS DOUBLE)) / {s})"
     )

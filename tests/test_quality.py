@@ -178,6 +178,31 @@ def test_dsum_wide_matches_dsum_and_is_layout_independent(spark):
     assert abs(c - exact) < 1e-6
 
 
+def test_dsum_wide_sign_safe_and_oracle_twin_agrees_on_negatives(spark):
+    import duckdb
+    import pandas as pd
+
+    from nyc_taxi_pyspark_spark.functions.exact import (
+        dsum_wide,
+        oracle_dsum_wide,
+    )
+
+    # mixed-sign values: the hi*W + lo recombination must reconstruct the
+    # exact total on BOTH engines (DuckDB's % takes the dividend's sign;
+    # the oracle twin's pmod idiom compensates)
+    vals = [((-1) ** i) * (i + 0.25) * 12345.0 for i in range(1, 2001)]
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = sdf.agg(dsum_wide("v", 2).alias("w")).collect()[0]["w"]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    want = con.execute(
+        f"SELECT {oracle_dsum_wide('v', 2)} AS w FROM t"
+    ).fetchone()[0]
+    assert got == want  # bit-identical
+    exact = sum(round(v * 100) for v in vals) / 100.0
+    assert abs(got - exact) < 1e-6
+
+
 def test_weighted_sample_exact_k_deterministic_and_weight_biased(spark):
     from nyc_taxi_pyspark_spark.operators.corpus import weighted_sample
 
