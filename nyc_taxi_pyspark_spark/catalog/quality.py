@@ -921,6 +921,51 @@ def group_quantiles(spark, sf_dir):
     )
 
 
+@query(
+    "group_quantiles_approx",
+    oracle="""
+    SELECT event_type,
+           CAST(qs[1] AS DOUBLE) / 100.0 AS p50,
+           CAST(qs[2] AS DOUBLE) / 100.0 AS p90,
+           CAST(qs[3] AS DOUBLE) / 100.0 AS p99
+    FROM (
+        SELECT event_type,
+               quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT),
+                             [0.5, 0.9, 0.99]) AS qs
+        FROM events GROUP BY event_type
+    ) ORDER BY event_type
+    """,
+)
+def group_quantiles_approx(spark, sf_dir):
+    """Per-group percentiles via the MERGEABLE sketch (approx_percentile /
+    Greenwald-Khanna) — the form that survives both failure modes of exact
+    percentile at 100 TB: exact `percentile` partials buffer every value
+    (no map-side reduction, reducer memory scales with group size), and a
+    low-cardinality group key caps parallelism at #groups. The sketch is
+    bounded-size and merges associatively, so map-side partials do real
+    work and the reducer sees O(accuracy) state per group. At test SF the
+    accuracy bound (1e5) exceeds every group's row count, so the sketch is
+    EXACT and hash-checkable against DuckDB's discrete quantile — the same
+    plan that would run at scale, adjudicated exactly where it can be."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    cents = "cast(round(value * 100.0) as bigint)"
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile({cents}, array(0.5, 0.9, 0.99), 100000)"
+            ).alias("__qs")
+        )
+        .select(
+            "event_type",
+            (F.col("__qs")[0].cast("double") / 100.0).alias("p50"),
+            (F.col("__qs")[1].cast("double") / 100.0).alias("p90"),
+            (F.col("__qs")[2].cast("double") / 100.0).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _BASKET_CACHE = SessionLayoutCache()
 
 

@@ -544,57 +544,20 @@ def embed_mrl_recall(spark, sf_dir):
     discipline as ``embed_ann_recall``: recall is a quality metric of the
     approximation itself. Both sides use the production tie-break; the
     panel is broadcast-sized, so this is the recurring sampled eval job at
-    scale.""".format(short=_MRL_SHORTLIST)
-    from pyspark.sql import Window
+    scale. On these isotropic synthetic embeddings the prefix carries
+    ~1/4 of the signal so recall is honestly modest; the MRL-spectrum
+    fixture test (tests/test_text_similarity.py) shows the same operator
+    at >0.9 recall on prefix-concentrated embeddings.""".format(
+        short=_MRL_SHORTLIST
+    )
+    from nyc_taxi_pyspark_spark.operators.similarity import mrl_recall_panel
 
-    n_queries, k = 20, 10
-    b = _bucketed(spark, sf_dir)
-    queries = F.broadcast(
-        b.filter(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").alias("q_vec"),
-            F.col("nrm").alias("q_nrm"),
-        )
-    )
-    joined = b.join(queries, how="cross")
-    full_sim = (
-        dot(F.col("embedding"), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
-    ).alias("sim")
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
-    exact = (
-        joined.select("q_id", "vec_id", full_sim)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id")
-    )
-    e16 = F.slice(F.col("embedding"), 1, _MRL_DIM)
-    q16 = F.slice(F.col("q_vec"), 1, _MRL_DIM)
-    coarse_sim = (dot(e16, q16) / (l2_norm(e16) * l2_norm(q16))).alias("sim")
-    shortlist = (
-        joined.select(
-            "q_id", "vec_id", "embedding", "nrm", "q_vec", "q_nrm", coarse_sim
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _MRL_SHORTLIST)
-        .drop("sim", "rk")
-    )
-    mrl = (
-        shortlist.select("q_id", "vec_id", full_sim)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "vec_id")
-    )
-    per_q = (
-        exact.join(mrl, ["q_id", "vec_id"])
-        .groupBy("q_id")
-        .agg((F.count("*") / k).alias("recall"))
-    )
-    return per_q.agg(
-        F.lit(n_queries).alias("n_queries"),
-        F.lit(k).alias("k"),
-        F.lit(_MRL_SHORTLIST).alias("shortlist"),
-        F.round(F.avg("recall"), 4).alias("mean_recall_at_k"),
-        F.round(F.min("recall"), 4).alias("min_recall_at_k"),
+    return mrl_recall_panel(
+        _bucketed(spark, sf_dir),
+        n_queries=20,
+        k=10,
+        shortlist=_MRL_SHORTLIST,
+        mrl_dim=_MRL_DIM,
     )
 
 

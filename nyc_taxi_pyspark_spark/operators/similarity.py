@@ -338,6 +338,86 @@ def ann_recall_at_k(
     )
 
 
+def mrl_recall_panel(
+    df: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    shortlist: int = 50,
+    mrl_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the Matryoshka two-stage path (``mrl_dim``-prefix coarse
+    shortlist → full-dim exact re-rank) against brute-force full-dim ground
+    truth, over the first ``n_queries`` corpus vectors as the query panel.
+
+    ``df`` needs ``id_col``, ``vec_col``, and a precomputed ``nrm`` (full
+    L2 norm). Both sides use the production tie-break (sim desc, id asc).
+    Recall is a property of the EMBEDDING SPECTRUM, not of the operator:
+    on MRL-trained embeddings (energy concentrated in the prefix) the
+    prefix ranking approximates the full ranking and recall is high; on
+    isotropic noise the prefix carries 1/4 of the information and recall
+    is honestly low (tests/test_text_similarity.py pins both regimes on
+    synthetic spectra).
+
+    Returns ONE row:
+    (n_queries, k, shortlist, mean_recall_at_k, min_recall_at_k).
+    """
+    from pyspark.sql import Window
+
+    queries = F.broadcast(
+        df.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    joined = df.join(queries, how="cross")
+    full_sim = (
+        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+    ).alias("sim")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
+    exact = (
+        joined.select("q_id", id_col, full_sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col)
+    )
+    e_pre = F.slice(F.col(vec_col), 1, mrl_dim)
+    q_pre = F.slice(F.col("q_vec"), 1, mrl_dim)
+    coarse_sim = (dot(e_pre, q_pre) / (l2_norm(e_pre) * l2_norm(q_pre))).alias(
+        "sim"
+    )
+    short = (
+        joined.select(
+            "q_id", id_col, vec_col, "nrm", "q_vec", "q_nrm", coarse_sim
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .drop("sim", "rk")
+    )
+    mrl = (
+        short.select("q_id", id_col, full_sim)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", id_col)
+    )
+    per_q = (
+        exact.join(mrl.withColumn("hit", F.lit(1)), ["q_id", id_col], "left")
+        .groupBy("q_id")
+        .agg(
+            (F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k)).alias("recall")
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.lit(k).cast("long").alias("k"),
+        F.lit(shortlist).cast("long").alias("shortlist"),
+        F.round(F.avg("recall"), 4).alias("mean_recall_at_k"),
+        F.round(F.min("recall"), 4).alias("min_recall_at_k"),
+    )
+
+
 def hyperplane_signs_salted(
     salt: str, n_planes: int = N_PLANES, dim: int = DIM
 ) -> list[list[int]]:
