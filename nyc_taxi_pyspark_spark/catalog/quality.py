@@ -966,6 +966,202 @@ def group_quantiles_approx(spark, sf_dir):
     )
 
 
+@query(
+    "events_distribution_drift",
+    oracle="""
+    WITH banded AS (
+        SELECT event_type,
+               CASE WHEN CAST(FLOOR(value / CAST(50.0 AS DOUBLE)) AS BIGINT) > 9
+                    THEN 9
+                    ELSE CAST(FLOOR(value / CAST(50.0 AS DOUBLE)) AS BIGINT)
+               END AS band,
+               CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_first
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, band,
+               CAST(SUM(is_first) AS BIGINT) AS o1,
+               CAST(SUM(1 - is_first) AS BIGINT) AS o2
+        FROM banded GROUP BY event_type, band
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(o1) AS BIGINT) AS n1,
+               CAST(SUM(o2) AS BIGINT) AS n2
+        FROM cells GROUP BY event_type
+    ),
+    terms AS (
+        SELECT c.event_type, n1, n2,
+               CAST(FLOOR((
+                 (CAST(o1 AS DOUBLE)
+                  - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(o1 AS DOUBLE)
+                    - CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE))
+                 + (CAST(o2 AS DOUBLE)
+                    - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(o2 AS DOUBLE)
+                    - CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE))
+                 / (CAST(n2 AS DOUBLE) * CAST(o1 + o2 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE))
+               ) * CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               AS BIGINT) AS tq
+        FROM cells c JOIN tot USING (event_type)
+    )
+    SELECT event_type, n1 AS n_first_half, n2 AS n_second_half,
+           CAST(COUNT(*) AS BIGINT) AS n_bands,
+           CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS chi_square
+    FROM terms GROUP BY event_type, n1, n2 ORDER BY event_type
+    """,
+)
+def events_distribution_drift(spark, sf_dir):
+    """Distribution-drift monitor: two-sample chi-square homogeneity
+    statistic per event type between the first and second half of the
+    month, over 10 equal-width value bands — the recurring data-quality
+    job that catches a silently shifted upstream before it poisons a
+    training corpus. PSI wants ln() (libm, not bit-portable); the
+    chi-square statistic is the same drift signal in PURE rational
+    arithmetic of integer counts, so it hash-checks. Per-band terms are
+    quantized to 1e-9 fixed point before the cross-band sum, making the
+    only double summation order-independent (exact int64). Plan: one
+    scan, one (type, band) aggregate, one type-level rollup — both keyed
+    shuffles with map-side combine, no windows, no collects."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    band = F.least(
+        F.floor(F.col("value") / F.lit(50.0)).cast("bigint"), F.lit(9)
+    )
+    banded = ev.select(
+        "event_type",
+        band.alias("band"),
+        F.when(F.dayofmonth("ts") <= 15, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_first"),
+    )
+    cells = banded.groupBy("event_type", "band").agg(
+        F.sum("is_first").cast("bigint").alias("o1"),
+        F.sum(F.lit(1) - F.col("is_first")).cast("bigint").alias("o2"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("o1").cast("bigint").alias("n1"),
+        F.sum("o2").cast("bigint").alias("n2"),
+    )
+    o1, o2 = F.col("o1").cast("double"), F.col("o2").cast("double")
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    row_tot = (F.col("o1") + F.col("o2")).cast("double")
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    e1 = n1 * row_tot / nn
+    e2 = n2 * row_tot / nn
+    term = (o1 - e1) * (o1 - e1) / e1 + (o2 - e2) * (o2 - e2) / e2
+    tq = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
+    terms = cells.join(tot, "event_type").select(
+        "event_type", "n1", "n2", tq.alias("tq")
+    )
+    return (
+        terms.groupBy("event_type", "n1", "n2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+            (F.sum("tq").cast("double") / F.lit(1e9)).alias("chi_square"),
+        )
+        .select(
+            "event_type",
+            F.col("n1").alias("n_first_half"),
+            F.col("n2").alias("n_second_half"),
+            "n_bands",
+            "chi_square",
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_value_winsorized",
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.05)
+                   AS lo_c,
+               quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.95)
+                   AS hi_c
+        FROM events GROUP BY event_type
+    ),
+    clipped AS (
+        SELECT e.event_type,
+               CAST(ROUND(value * 100.0) AS BIGINT) AS c, lo_c, hi_c,
+               CASE
+                 WHEN CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE)
+                      < lo_c THEN CAST(FLOOR(lo_c + CAST(0.5 AS DOUBLE))
+                                       AS BIGINT)
+                 WHEN CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE)
+                      > hi_c THEN CAST(FLOOR(hi_c + CAST(0.5 AS DOUBLE))
+                                       AS BIGINT)
+                 ELSE CAST(ROUND(value * 100.0) AS BIGINT)
+               END AS wc
+        FROM events e JOIN cuts USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(c AS DOUBLE) < lo_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(SUM(CASE WHEN CAST(c AS DOUBLE) > hi_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high,
+           (CAST(SUM(wc) AS DOUBLE) / 100.0) / COUNT(*)
+               AS winsorized_mean
+    FROM clipped GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_winsorized(spark, sf_dir):
+    """Per-group winsorization — the robust-stats preprocessing step a
+    feature pipeline applies before scaling: per-type p05/p95 cutpoints
+    (exact interpolated percentile on integer cents, the portable form
+    proven by group_quantiles) computed in ONE grouped aggregate, joined
+    back broadcast-size (one row per type), values clamped, and the
+    winsorized mean reported from an exact integer-cents sum. Same
+    cutpoints-as-a-dim shape as histogram_equidepth/customer_rfm, here
+    keyed per group; at 100 TB swap percentile → approx_percentile and
+    the plan is unchanged. Clamped values are rounded to whole cents
+    (floor(x+0.5) of the identical double) so the post-clamp sum stays
+    an exact int64."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    cents_sql = "cast(round(value * 100.0) as bigint)"
+    cuts = ev.groupBy("event_type").agg(
+        F.expr(f"percentile({cents_sql}, 0.05)").alias("lo_c"),
+        F.expr(f"percentile({cents_sql}, 0.95)").alias("hi_c"),
+    )
+    c = F.round(F.col("value") * 100.0).cast("bigint")
+    cd = c.cast("double")
+    wc = (
+        F.when(cd < F.col("lo_c"),
+               F.floor(F.col("lo_c") + F.lit(0.5)).cast("bigint"))
+        .when(cd > F.col("hi_c"),
+              F.floor(F.col("hi_c") + F.lit(0.5)).cast("bigint"))
+        .otherwise(c)
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        (cd < F.col("lo_c")).cast("int").alias("is_lo"),
+        (cd > F.col("hi_c")).cast("int").alias("is_hi"),
+        wc.alias("wc"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("is_lo").cast("bigint").alias("n_clipped_low"),
+            F.sum("is_hi").cast("bigint").alias("n_clipped_high"),
+            (
+                (F.sum("wc").cast("double") / F.lit(100.0))
+                / F.count(F.lit(1))
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _BASKET_CACHE = SessionLayoutCache()
 
 

@@ -1502,3 +1502,162 @@ def corpus_incremental_dedup(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+_TFIDF_TOPM = 32  # truncated sparse vector: top-m terms per doc by weight
+_TFIDF_DF_FRAC = 20.0  # drop terms appearing in more than N/20 docs
+_TFIDF_MIN_COS = 0.5
+_TFIDF_CACHE = SessionLayoutCache()
+
+
+def _tfidf_vectors(spark, sf_dir):
+    """Truncated quantized TF-IDF vectors — the shared postings layout.
+
+    Weight = FLOOR(tf·N/df · 100 + 0.5) as int64 (the rational-idf family
+    of text_tficf_topk: no ln(), so the quantized weight is the identical
+    double→floor on both engines). Terms with df > N/20 are dropped — the
+    stop-term postings lists are exactly the ones whose self-join blows up
+    quadratically at scale, and their idf weight is near-zero anyway. Each
+    doc then keeps its top-32 terms (weight desc, token asc): bounded
+    postings per doc, bounded docs per term ⇒ the pair join is bounded on
+    both sides. Built once per session (ingest-time layout at 100 TB)."""
+
+    def build():
+        d = _docs(spark, sf_dir)
+        nn = d.count()
+        toks = d.select("doc_id", F.explode(tokens()).alias("token"))
+        tf = toks.groupBy("doc_id", "token").agg(
+            F.count("*").cast("bigint").alias("tfc")
+        )
+        df_ = tf.groupBy("token").agg(
+            F.count("*").cast("bigint").alias("dfc")
+        )
+        w = (
+            tf.join(df_, "token")
+            .filter(
+                F.col("dfc").cast("double")
+                <= F.lit(float(nn)) / F.lit(_TFIDF_DF_FRAC)
+            )
+            .select(
+                "doc_id",
+                "token",
+                F.floor(
+                    (F.col("tfc") * F.lit(nn)).cast("double")
+                    / F.col("dfc").cast("double")
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("wq"),
+            )
+        )
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("wq"), "token")
+        )
+        return w.withColumn("__rk", rk).filter(
+            F.col("__rk") <= _TFIDF_TOPM
+        ).drop("__rk")
+
+    return _TFIDF_CACHE.get_or_build(spark, sf_dir, build)
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(w) AS token
+        FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tfc
+        FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS dfc FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    w AS (
+        SELECT doc_id, token,
+               CAST(FLOOR(CAST(tfc * nn AS DOUBLE) / CAST(dfc AS DOUBLE)
+                          * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                    AS BIGINT) AS wq
+        FROM tf JOIN df USING (token), n
+        WHERE CAST(dfc AS DOUBLE)
+              <= CAST(nn AS DOUBLE) / CAST({_TFIDF_DF_FRAC} AS DOUBLE)
+    ),
+    top AS (
+        SELECT doc_id, token, wq FROM (
+            SELECT doc_id, token, wq,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY wq DESC, token) AS rk
+            FROM w
+        ) WHERE rk <= {_TFIDF_TOPM}
+    ),
+    nrm AS (SELECT doc_id, SUM(wq * wq) AS sq FROM top GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.wq * b.wq) AS dt
+        FROM top a JOIN top b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(dt AS DOUBLE) / (SQRT(CAST(na.sq AS DOUBLE))
+                                 * SQRT(CAST(nb.sq AS DOUBLE)))
+               AS cosine_sim
+    FROM dots
+    JOIN nrm na ON na.doc_id = doc_a
+    JOIN nrm nb ON nb.doc_id = doc_b
+    WHERE CAST(dt AS DOUBLE) / (SQRT(CAST(na.sq AS DOUBLE))
+                                * SQRT(CAST(nb.sq AS DOUBLE)))
+          >= CAST({_TFIDF_MIN_COS} AS DOUBLE)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def text_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine document pairs via the inverted index — the
+    embedding-free near-dup/similarity path that scales when vectors
+    don't exist yet: postings self-join on the TERM (an equi-join, never
+    a doc×doc cross), partial dot products aggregated per pair, norms
+    joined back, threshold at {mincos}.
+
+    Scale discipline (all in the shared _tfidf_vectors layout): stop
+    terms (df > N/{frac:.0f}) are dropped BEFORE the join — a term in k
+    docs contributes k² pair terms, so the head of the df distribution
+    is precisely what must not reach the self-join; each doc keeps its
+    top-{topm} weighted terms, bounding the other side. dot and norms
+    are exact int64 sums of quantized weights (order-independent), the
+    one cosine division is mirrored, so the hash gate applies end to
+    end.""".format(
+        mincos=_TFIDF_MIN_COS, frac=_TFIDF_DF_FRAC, topm=_TFIDF_TOPM
+    )
+    top = _tfidf_vectors(spark, sf_dir)
+    nrm = top.groupBy("doc_id").agg(
+        F.sum(F.col("wq") * F.col("wq")).alias("sq")
+    )
+    a = top.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("wq").alias("wa")
+    )
+    b = top.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("wq").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dt"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sqa"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("sq").alias("sqb"))
+    cos = F.col("dt").cast("double") / (
+        F.sqrt(F.col("sqa").cast("double"))
+        * F.sqrt(F.col("sqb").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= F.lit(_TFIDF_MIN_COS))
+        .select("doc_a", "doc_b", cos.alias("cosine_sim"))
+        .orderBy("doc_a", "doc_b")
+    )

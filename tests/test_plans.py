@@ -346,6 +346,17 @@ def test_sequence_gaps_windows_are_partitioned_or_bounded(spark):
     assert "Python" not in p
 
 
+def test_tfidf_pairs_no_cartesian_term_equijoin(spark):
+    """Sparse cosine pairs: the doc-pair blowup must come only from a
+    TERM equi-join over truncated postings — never a cartesian — and the
+    per-doc truncation window partitions by doc_id (scales with docs)."""
+    df = QUERIES["text_tfidf_cosine_pairs"](spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+    assert "Exchange SinglePartition" not in p
+
+
 def test_benford_broadcasts_total(spark):
     df = QUERIES["benford_first_digit"](spark, SF)
     assert has_broadcast_join(df)
