@@ -29,15 +29,35 @@ SF0001 = "/root/testdata/sf0.001"
 #   1. queries whose LATEST recorded check failed (hash/row mismatch against
 #      an existing oracle, or a harness error other than the by-design
 #      "no_oracle") — a red row must be re-adjudicated before stale greens,
-#   2. queries with no driver row in ANY recorded round (registration order),
-#   3. checked queries, stalest round first (round-1-only before round-2, ...),
+#   2. events-reading queries whose latest green predates the driver's
+#      events.parquet regeneration (observed between r04 and r05,
+#      BASELINE.md §6) — their evidence is on superseded data, so it ranks
+#      as invalidated, not merely stale,
+#   3. queries with no driver row in ANY recorded round (registration order),
+#   4. checked queries, stalest round first (round-1-only before round-2, ...),
 #      registration order within a round.
 # The records are read from the CORRECTNESS_r*.json artifacts committed at
 # the repo root, so this ordering auto-adapts as rounds accumulate. All
 # registered queries are emitted either way; only the dict order changes.
 
+# Correctness files at or after this name were recorded on the regenerated
+# (TIMESTAMP-MICROS) events.parquet; events-dependent greens from older
+# files are treated as invalidated evidence.
+_EVENTS_DATA_EPOCH = "CORRECTNESS_r05.json"
 
-def _checked_rounds() -> list[dict]:
+
+def _reads_events(name: str) -> bool:
+    import inspect
+
+    src = ""
+    try:
+        src = inspect.getsource(QUERIES[name])
+    except Exception:
+        pass
+    return "events" in src or "events" in (ORACLES.get(name) or "").lower()
+
+
+def _checked_rounds() -> list[tuple[str, dict]]:
     import glob
     import json
 
@@ -45,7 +65,7 @@ def _checked_rounds() -> list[dict]:
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                rounds.append(json.load(fh))
+                rounds.append((os.path.basename(path), json.load(fh)))
         except Exception:
             continue
     return rounds
@@ -65,19 +85,29 @@ def _is_fail(rec: dict) -> bool:
 def _ordered(mapping: dict) -> dict:
     rounds = _checked_rounds()
     last_round = {}  # query -> latest round index in which it was checked
+    last_file = {}  # query -> filename of that round's artifact
     last_fail = {}  # query -> did its latest check fail
-    for i, recs in enumerate(rounds):
+    for i, (fname, recs) in enumerate(rounds):
         for n, rec in recs.items():
             last_round[n] = i
+            last_file[n] = fname
             last_fail[n] = _is_fail(rec) if isinstance(rec, dict) else False
     names = list(QUERIES)
+
+    def tier(n: str) -> int:
+        if last_fail.get(n, False):
+            return 0
+        if (
+            n in last_file
+            and last_file[n] < _EVENTS_DATA_EPOCH
+            and _reads_events(n)
+        ):
+            return 1  # green, but on pre-regeneration events data
+        return 2
+
     order = sorted(
         range(len(names)),
-        key=lambda i: (
-            0 if last_fail.get(names[i], False) else 1,
-            last_round.get(names[i], -1),
-            i,
-        ),
+        key=lambda i: (tier(names[i]), last_round.get(names[i], -1), i),
     )
     return {names[i]: mapping[names[i]] for i in order if names[i] in mapping}
 
