@@ -504,3 +504,65 @@ def events_rolling_wau(spark, sf_dir):
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    outs AS (
+        SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out FROM pairs
+        GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS prob
+    FROM pairs p JOIN outs o USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user — the
+    sequence-statistics prep step behind next-event models and synthetic
+    session generation. LEAD partitions by user_id (parallelism scales
+    with users, never a global window); the 5×5 transition counts reduce
+    with map-side combine, and the row-normalizing out-degree joins back
+    at broadcast size. prob is one deterministic division of exact
+    counts, so the matrix hash-checks."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = (
+        o.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    outs = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_out")
+    )
+    return (
+        pairs.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("n_out").cast("double")).alias(
+                "prob"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

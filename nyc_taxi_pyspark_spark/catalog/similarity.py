@@ -1334,3 +1334,63 @@ def embed_ivfpq_search(spark, sf_dir):
     query_xq = [int(x) for x in vq.filter(F.col("vec_id") == 0).first()["xq"]]
     pruned = vq.filter(F.col("cell") == F.lit(qcell))
     return pq_adc_topk(pq_assign(pruned, books), pq_adc_lut(query_xq, books))
+
+
+@query(
+    "embed_dim_stats",
+    oracle=f"""
+    WITH v AS (
+        SELECT i AS dim, {_DUCK_X} AS x
+        FROM embeddings e, generate_series(1, {DIM}) AS g(i)
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(SUM(CAST(FLOOR(x * 1e14) AS BIGINT)) AS DOUBLE) / 1e14)
+               / COUNT(*) AS mean,
+           SQRT(
+             (CAST(SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                 / COUNT(*)
+             - ((CAST(SUM(CAST(FLOOR(x * 1e14) AS BIGINT)) AS DOUBLE) / 1e14)
+                 / COUNT(*))
+               * ((CAST(SUM(CAST(FLOOR(x * 1e14) AS BIGINT)) AS DOUBLE) / 1e14)
+                 / COUNT(*))
+           ) AS std,
+           MIN(x) AS min_val, MAX(x) AS max_val
+    FROM v GROUP BY dim ORDER BY dim
+    """,
+)
+def embed_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health check — the QA scan that catches
+    collapsed dimensions (std ≈ 0), dead dimensions (all zeros), and
+    mean drift before vectors poison an index build. posexplode keys the
+    aggregate by dimension index (64 groups, map-side combined in one
+    pass); sums use the operator family's integer micro-quantization
+    (1e14 for means, 1e12 for squared moments — headroom documented
+    against row count × value bound; past that, dsum_wide's hi/lo
+    split), so mean and std are bit-identical across engines. min/max
+    of the identical cast doubles are exact."""
+    e = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    x = F.col("x")
+    q_mean = F.sum(F.floor(x * F.lit(1e14)).cast("bigint")).cast(
+        "double"
+    ) / F.lit(1e14)
+    q_sq = F.sum(
+        F.floor(x * x * F.lit(1e12)).cast("bigint")
+    ).cast("double") / F.lit(1e12)
+    n = F.count(F.lit(1))
+    mean = q_mean / n
+    return (
+        e.select(
+            F.posexplode("embedding").alias("pos", "xf")
+        )
+        .select((F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+        .groupBy("dim")
+        .agg(
+            n.cast("bigint").alias("n"),
+            mean.alias("mean"),
+            F.sqrt(q_sq / n - mean * mean).alias("std"),
+            F.min(x).alias("min_val"),
+            F.max(x).alias("max_val"),
+        )
+        .orderBy("dim")
+    )

@@ -357,6 +357,24 @@ def test_tfidf_pairs_no_cartesian_term_equijoin(spark):
     assert "Exchange SinglePartition" not in p
 
 
+def test_markov_transitions_user_partitioned_window(spark):
+    """Sequence stats: LEAD must partition by user_id (scales with users);
+    the out-degree normalizer joins back broadcast."""
+    df = QUERIES["events_markov_transitions"](spark, SF)
+    p = formatted_plan(df)
+    assert "Exchange SinglePartition" not in p
+    assert has_broadcast_join(df)
+    assert "Python" not in p
+
+
+def test_embed_dim_stats_single_pass_no_window(spark):
+    df = QUERIES["embed_dim_stats"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "Python" not in p
+
+
 def test_benford_broadcasts_total(spark):
     df = QUERIES["benford_first_digit"](spark, SF)
     assert has_broadcast_join(df)
