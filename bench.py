@@ -76,6 +76,9 @@ HEADLINE = [
     "events_distribution_drift",
     "events_value_winsorized",
     "sequence_gaps",
+    "events_markov_transitions",
+    "embed_dim_stats",
+    "source_syndication_rank",
 ]
 
 
@@ -129,6 +132,9 @@ EXPECTED = {
     "events_distribution_drift": 0.83,
     "events_value_winsorized": 0.85,
     "sequence_gaps": 0.69,
+    "events_markov_transitions": 0.83,
+    "embed_dim_stats": 0.74,
+    "source_syndication_rank": 3.85,
 }
 ISO_RERUN_FACTOR = 1.8
 

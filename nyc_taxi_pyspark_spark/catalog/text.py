@@ -131,7 +131,11 @@ def text_minhash_signature(spark, sf_dir):
     return with_minhash_signature(d).drop("text")
 
 
-def _near_dup_oracle() -> str:
+def _near_dup_pairs_cte() -> str:
+    """CTE chain ``sets, sigs, bands, cands, ndpairs`` — the MinHash-LSH
+    pair extraction (band candidates + exact-Jaccard ≥ 0.5 verification),
+    shared by the pair oracle and every downstream oracle that consumes
+    the pair set (clusters, syndication graph)."""
     hcols = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS h{i}"
         for i in range(N_HASHES)
@@ -145,8 +149,7 @@ def _near_dup_oracle() -> str:
         )
         for b in range(N_BANDS)
     )
-    return f"""
-    WITH sets AS (
+    return f"""sets AS (
         SELECT doc_id, sh
         FROM (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents)
         WHERE len(sh) > 0
@@ -165,16 +168,26 @@ def _near_dup_oracle() -> str:
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
          AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-             AS jaccard
-    FROM cands
-    JOIN sets sa ON sa.doc_id = doc_a
-    JOIN sets sb ON sb.doc_id = doc_b
-    WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    ),
+    ndpairs AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh)))
+                 AS jaccard
+        FROM cands
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh)
+                 - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+    )"""
+
+
+def _near_dup_oracle() -> str:
+    return f"""
+    WITH {_near_dup_pairs_cte()}
+    SELECT doc_a, doc_b, jaccard FROM ndpairs
     """
 
 
@@ -1661,3 +1674,116 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", cos.alias("cosine_sim"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SYNDICATION_CACHE = SessionLayoutCache()
+
+
+def _syndication_oracle() -> str:
+    from nyc_taxi_pyspark_spark.operators.graph import oracle_pagerank_cte
+
+    n_expr = "(SELECT COUNT(DISTINCT source) FROM documents)"
+    return f"""
+    WITH {_near_dup_pairs_cte()},
+    srcmap AS (SELECT doc_id, source FROM documents),
+    cross_pairs AS (
+        SELECT sa.source AS s_a, sb.source AS s_b
+        FROM ndpairs p
+        JOIN srcmap sa ON sa.doc_id = p.doc_a
+        JOIN srcmap sb ON sb.doc_id = p.doc_b
+        WHERE sa.source <> sb.source
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+            SELECT s_a AS src, s_b AS dst FROM cross_pairs
+            UNION ALL
+            SELECT s_b AS src, s_a AS dst FROM cross_pairs
+        ) GROUP BY src, dst
+    ),
+    gnodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM documents),
+    {oracle_pagerank_cte("edges", "gnodes", n_expr, iterations=5)}
+    SELECT node AS source, ru AS rank_micro,
+           CAST(ru AS DOUBLE) / 1e12 AS rank
+    FROM r5 ORDER BY rank_micro DESC, source
+    """
+
+
+@query("source_syndication_rank", oracle=_syndication_oracle())
+def source_syndication_rank(spark, sf_dir):
+    """Domain centrality over the content-syndication graph — the
+    crawl-curation ranking step (CommonCrawl-style pipelines rank domains
+    by link/duplication centrality before sampling): near-duplicate doc
+    pairs (the persisted MinHash-LSH pair layout) aggregate to a weighted
+    cross-source graph, and 5 iterations of weighted PageRank (d=0.85)
+    rank the sources. A source that repeatedly shares content with many
+    well-connected sources ranks high — a syndication hub.
+
+    Scale + determinism: each iteration is one edges⋈ranks join + one
+    keyed aggregate — O(edges) shuffle work, no driver state beyond the
+    node count (operators/graph.pagerank_int). Ranks live in int64
+    micro-units with truncating integer division at every step, so five
+    iterations stay bit-identical across engines and partitionings; the
+    oracle unrolls the same five updates as CTEs (the embed_ivf_train
+    discipline applied to PageRank)."""
+    from nyc_taxi_pyspark_spark.operators.graph import pagerank_int
+
+    # Persist the (tiny) graph before iterating: each unrolled PageRank
+    # iteration references edges and nodes once, and without a persisted
+    # cut-point Spark would replay the whole LSH pair pipeline 5× over
+    # (measured 222 s → ~2 s). At 100 TB this is the materialized domain
+    # graph every downstream ranking job shares.
+    def build_graph():
+        pairs = _near_dup_pairs_cached(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        )
+        srcmap = _docs(spark, sf_dir).select("doc_id", "source")
+        sa = srcmap.select(
+            F.col("doc_id").alias("doc_a"), F.col("source").alias("s_a")
+        )
+        sb = srcmap.select(
+            F.col("doc_id").alias("doc_b"), F.col("source").alias("s_b")
+        )
+        cross = (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(F.col("s_a") != F.col("s_b"))
+            .select("s_a", "s_b")
+        )
+        edges = (
+            cross.select(
+                F.col("s_a").alias("src"), F.col("s_b").alias("dst")
+            )
+            .unionAll(
+                cross.select(
+                    F.col("s_b").alias("src"), F.col("s_a").alias("dst")
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        )
+        nodes = (
+            srcmap.select(F.col("source").alias("node"))
+            .distinct()
+            .select("node", F.lit(None).cast("bigint").alias("w"))
+        )
+        # one persisted frame holds both: edge rows (dst non-null) and
+        # node rows (dst null) — a SessionLayoutCache holds ONE DataFrame
+        return edges.select(
+            "src", "dst", "w", F.lit(False).alias("is_node")
+        ).unionByName(
+            nodes.select(
+                F.col("node").alias("src"),
+                F.lit(None).cast("string").alias("dst"),
+                "w",
+                F.lit(True).alias("is_node"),
+            )
+        )
+
+    g = _SYNDICATION_CACHE.get_or_build(spark, sf_dir, build_graph)
+    edges = g.filter(~F.col("is_node")).select("src", "dst", "w")
+    nodes = g.filter(F.col("is_node")).select(F.col("src").alias("node"))
+    n_nodes = nodes.count()
+    ranks = pagerank_int(edges, nodes, n_nodes, iterations=5)
+    return ranks.select(
+        F.col("node").alias("source"), "rank_micro", "rank"
+    ).orderBy(F.desc("rank_micro"), "source")

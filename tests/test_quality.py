@@ -219,3 +219,46 @@ def test_weighted_sample_exact_k_deterministic_and_weight_biased(spark):
     # deterministic and layout-independent
     again = weighted_sample(df.repartition(7), "id", F.col("w"), 40).collect()
     assert sorted(r["id"] for r in again) == sorted(r["id"] for r in out)
+
+
+def test_pagerank_int_matches_python_mirror_and_is_deterministic(spark):
+    from nyc_taxi_pyspark_spark.operators.graph import PR_SCALE, pagerank_int
+
+    edge_list = [
+        ("a", "b", 2), ("b", "a", 2), ("b", "c", 1),
+        ("c", "b", 1), ("a", "c", 3), ("c", "a", 3),
+    ]  # d and e isolated (dangling)
+    node_list = ["a", "b", "c", "d", "e"]
+    edges = spark.createDataFrame(edge_list, "src string, dst string, w bigint")
+    nodes = spark.createDataFrame([(n,) for n in node_list], "node string")
+    K, D = 4, 85
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_int(edges, nodes, 5, iterations=K,
+                              damping_pct=D).collect()
+    }
+
+    # pure-Python mirror of the exact integer update rule
+    out_w = {}
+    for s, _, w in edge_list:
+        out_w[s] = out_w.get(s, 0) + w
+    rank = {n: PR_SCALE // 5 for n in node_list}
+    base = ((100 - D) * PR_SCALE) // 100 // 5
+    for _ in range(K):
+        in_w = {n: 0 for n in node_list}
+        for s, d, w in edge_list:
+            in_w[d] += (rank[s] * w) // out_w[s]
+        dang = sum(rank[n] for n in node_list if n not in out_w)
+        rank = {
+            n: base + (D * (in_w[n] + dang // 5)) // 100 for n in node_list
+        }
+    assert got == rank
+    # dangling nodes share only the teleport + dangling mass
+    assert got["d"] == got["e"] < min(got["a"], got["b"], got["c"])
+    # deterministic across partitionings
+    again = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_int(edges.repartition(7), nodes.repartition(3), 5,
+                              iterations=K, damping_pct=D).collect()
+    }
+    assert again == got
