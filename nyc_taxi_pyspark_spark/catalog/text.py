@@ -1787,3 +1787,70 @@ def source_syndication_rank(spark, sf_dir):
     return ranks.select(
         F.col("node").alias("source"), "rank_micro", "rank"
     ).orderBy(F.desc("rank_micro"), "source")
+
+
+def _minhash_calibration_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_near_dup_pairs_cte()}
+    SELECT p.doc_a, p.doc_b,
+           CAST({agree} AS BIGINT) AS n_agree,
+           CAST({agree} AS DOUBLE) / CAST({N_HASHES} AS DOUBLE)
+               AS est_jaccard,
+           p.jaccard AS exact_jaccard,
+           ABS(CAST({agree} AS DOUBLE) / CAST({N_HASHES} AS DOUBLE)
+               - p.jaccard) AS abs_err
+    FROM ndpairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """
+
+
+@query("text_minhash_calibration", oracle=_minhash_calibration_oracle())
+def text_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: for every verified near-dup pair,
+    the signature-agreement estimate of Jaccard (matching lanes /
+    N_HASHES — the unbiased MinHash estimator) beside the exact shingle
+    Jaccard, with the absolute error. This is the measurement that tells
+    a dedup operator whether the 8-lane signature is discriminative
+    enough before trusting signature-only shortcuts at 100 TB (where
+    exact verification is the expensive step you want to skip for
+    obvious duplicates). The pair set is the persisted LSH layout; the
+    signature scan is one narrow projection; the (bounded) pair set
+    broadcasts into both signature joins. Agreement counts are exact
+    integers, the estimate an exact small rational — hash-checkable end
+    to end."""
+    pairs = _near_dup_pairs_cached(spark, sf_dir)
+    sigs = with_minhash_signature(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    ).drop("text")
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_HASHES)],
+    )
+    agree = None
+    for i in range(N_HASHES):
+        t = F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    est = agree.cast("double") / F.lit(float(N_HASHES))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("n_agree"),
+            est.alias("est_jaccard"),
+            F.col("jaccard").alias("exact_jaccard"),
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
