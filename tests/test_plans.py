@@ -375,6 +375,17 @@ def test_embed_dim_stats_single_pass_no_window(spark):
     assert "Python" not in p
 
 
+def test_syndication_rank_no_cartesian_no_python(spark):
+    """PageRank over the syndication graph: every iteration is a keyed
+    join + aggregate over the checkpointed rank frame — no cartesian
+    blowup, no Python in the plan (the 1-row dangling-mass broadcast is
+    the only nested-loop, same shape as the broadcast-stats queries)."""
+    df = QUERIES["source_syndication_rank"](spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
 def test_benford_broadcasts_total(spark):
     df = QUERIES["benford_first_digit"](spark, SF)
     assert has_broadcast_join(df)
