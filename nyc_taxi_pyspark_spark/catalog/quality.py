@@ -1441,3 +1441,46 @@ def skew_salted_agg(spark, sf_dir):
         n_salt=16,
     )
     return out.orderBy("event_type")
+
+
+@query(
+    "join_skew_audit",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_key_rows,
+           CAST(MAX(c) AS DOUBLE)
+               / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_ratio,
+           quantile_cont(c, 0.99) AS p99_key_rows
+    FROM per_key
+    """,
+)
+def join_skew_audit(spark, sf_dir):
+    """Pre-join skew diagnostic on the fact join key (lineitem.l_orderkey):
+    per-key cardinality profile — max / mean / p99 rows per key and the
+    skew ratio — the measurement that decides BEFORE a big join whether
+    plain hash partitioning suffices, AQE's skew split will cope, or the
+    explicit salted path (operators/skew.salted_join) is required. One
+    keyed aggregate (map-side combined) + one scalar rollup; the per-key
+    counts are integers, so mean/ratio/percentile are deterministic
+    mirrored arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n_rows = F.sum("c").cast("bigint")
+    n_keys = F.count(F.lit(1))
+    mean = F.sum("c").cast("double") / n_keys
+    return per_key.agg(
+        n_rows.alias("n_rows"),
+        n_keys.cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        mean.alias("mean_key_rows"),
+        (F.max("c").cast("double") / mean).alias("skew_ratio"),
+        F.expr("percentile(c, 0.99)").alias("p99_key_rows"),
+    )
