@@ -379,3 +379,117 @@ def corpus_shard_manifest(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "corpus_budget_select",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens,
+               (CAST(len(list_distinct({_DUCK_WORDS})) AS BIGINT) * 1000)
+                   // CAST(len({_DUCK_WORDS}) AS BIGINT) AS q_permille
+        FROM documents
+        WHERE len({_DUCK_WORDS}) > 0
+    ),
+    budget AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_tokens) AS BIGINT) // 4 AS token_budget
+        FROM scored
+    ),
+    buckets AS (
+        SELECT q_permille, CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+               CAST(COUNT(*) AS BIGINT) AS bucket_docs
+        FROM scored GROUP BY q_permille
+    ),
+    running AS (
+        SELECT q_permille, bucket_tokens, bucket_docs,
+               SUM(bucket_tokens) OVER (
+                   ORDER BY q_permille DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM buckets
+    ),
+    cut AS (
+        SELECT COALESCE(MIN(q_permille), 1001) AS threshold
+        FROM running, budget WHERE cum_tokens <= token_budget
+    )
+    SELECT cut.threshold AS threshold_permille,
+           CAST(COALESCE(SUM(bucket_docs), 0) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(bucket_tokens), 0) AS BIGINT)
+               AS tokens_selected,
+           budget.total_tokens, budget.token_budget
+    FROM budget, cut
+    LEFT JOIN running ON running.q_permille >= cut.threshold
+    GROUP BY cut.threshold, budget.total_tokens, budget.token_budget
+    """,
+)
+def corpus_budget_select(spark, sf_dir):
+    """Budget-constrained quality selection — "take the best documents
+    until the token budget is spent" WITHOUT the global sort + running
+    cumsum that kills at scale. Docs score an integer lexical-diversity
+    permille (distinct/total tokens · 1000, integer division — no
+    doubles); per-permille-bucket token sums (≤1001 groups) take a
+    bounded cumulative window from the top bucket down; the selection
+    threshold is the lowest bucket that still fits the budget (25 % of
+    corpus tokens), and whole buckets are taken — the documented
+    coarseness of any histogram-based selection (refine by re-running
+    inside the threshold bucket if exactness matters). One doc-level
+    aggregate + O(1001)-row window + broadcast threshold: the same
+    cutpoint-as-a-dim shape as histogram_equidepth, applied to corpus
+    curation."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+
+    w_ = F.split(F.col("text"), r"\s+")
+    scored = d.select(
+        "doc_id",
+        F.size(w_).cast("bigint").alias("n_tokens"),
+        F.expr(
+            "(cast(size(array_distinct(split(text, '\\\\s+'))) as bigint)"
+            " * 1000) div cast(size(split(text, '\\\\s+')) as bigint)"
+        ).alias("q_permille"),
+    ).filter(F.col("n_tokens") > 0)
+    budget = scored.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("sum(n_tokens) div 4").cast("bigint").alias("token_budget"),
+    )
+    buckets = scored.groupBy("q_permille").agg(
+        F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("bucket_docs"),
+    )
+    running = buckets.withColumn(
+        "cum_tokens",
+        F.sum("bucket_tokens").over(
+            Window.orderBy(F.desc("q_permille")).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    cut = (
+        running.join(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("token_budget"))
+        .agg(F.coalesce(F.min("q_permille"), F.lit(1001)).alias("threshold"))
+    )
+    return (
+        running.join(F.broadcast(cut))
+        .join(F.broadcast(budget))
+        .filter(F.col("q_permille") >= F.col("threshold"))
+        .groupBy("threshold", "total_tokens", "token_budget")
+        .agg(
+            F.coalesce(F.sum("bucket_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_selected"),
+            F.coalesce(F.sum("bucket_tokens"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_selected"),
+        )
+        .select(
+            F.col("threshold").alias("threshold_permille"),
+            "n_selected",
+            "tokens_selected",
+            "total_tokens",
+            "token_budget",
+        )
+    )
