@@ -1456,7 +1456,7 @@ def skew_salted_agg(spark, sf_dir):
            CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_key_rows,
            CAST(MAX(c) AS DOUBLE)
                / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_ratio,
-           quantile_cont(c, 0.99) AS p99_key_rows
+           CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_key_rows
     FROM per_key
     """,
 )
@@ -1466,9 +1466,13 @@ def join_skew_audit(spark, sf_dir):
     skew ratio — the measurement that decides BEFORE a big join whether
     plain hash partitioning suffices, AQE's skew split will cope, or the
     explicit salted path (operators/skew.salted_join) is required. One
-    keyed aggregate (map-side combined) + one scalar rollup; the per-key
-    counts are integers, so mean/ratio/percentile are deterministic
-    mirrored arithmetic."""
+    keyed aggregate (map-side combined) + one scalar rollup; counts are
+    integers, so mean/ratio are deterministic mirrored arithmetic. The
+    p99 uses the MERGEABLE approx_percentile sketch — exact `percentile`
+    would buffer one value per join key in the final reducer (billions at
+    scale); at accuracy 1e6 the sketch is exact (and hash-adjudicated
+    against quantile_disc) up to a million keys, then degrades gracefully
+    with bounded memory."""
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -1482,5 +1486,7 @@ def join_skew_audit(spark, sf_dir):
         F.max("c").cast("bigint").alias("max_key_rows"),
         mean.alias("mean_key_rows"),
         (F.max("c").cast("double") / mean).alias("skew_ratio"),
-        F.expr("percentile(c, 0.99)").alias("p99_key_rows"),
+        F.expr("approx_percentile(c, 0.99, 1000000)")
+        .cast("bigint")
+        .alias("p99_key_rows"),
     )
