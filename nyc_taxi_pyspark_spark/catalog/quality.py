@@ -206,9 +206,9 @@ def null_fill_group_mean(spark, sf_dir):
         FROM orders GROUP BY o_custkey
     ),
     cuts AS (
-        SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
-               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
-               quantile_cont(monetary_cents, [0.25, 0.5, 0.75]) AS mc
+        SELECT quantile_disc(recency_days, [0.25, 0.5, 0.75]) AS rc,
+               quantile_disc(frequency, [0.25, 0.5, 0.75]) AS fc,
+               quantile_disc(monetary_cents, [0.25, 0.5, 0.75]) AS mc
         FROM per_cust
     ),
     scored AS (
@@ -235,10 +235,12 @@ def customer_rfm(spark, sf_dir):
     aggregate over the per-customer rollup and broadcast as a range
     lookup — never unpartitioned NTILE, whose single-task global sort
     (three of them, previously) dies at billions of customers. Ties at a
-    cutpoint share a score. Percentiles run on integers (days / counts /
-    cents — the engine-portable interpolation proven by group_quantiles);
-    at 100 TB the one-line swap is percentile → approx_percentile with
-    the identical plan shape."""
+    cutpoint share a score. The cutpoints are MERGEABLE approx_percentile
+    sketches (bounded partials — exact `percentile` would buffer every
+    customer row in the final reducer), exact and quantile_disc-
+    adjudicated up to the 1e6-value accuracy bound, graceful past it; as
+    discrete data values they are integers, so every bucket comparison
+    is int-vs-int."""
     orders = load_table(spark, sf_dir, "orders")
     anchor = orders.agg(
         F.max(F.to_date("o_orderdate")).alias("__max_d")
@@ -255,15 +257,16 @@ def customer_rfm(spark, sf_dir):
         .join(F.broadcast(anchor))
         .withColumn("recency_days", F.datediff("__max_d", "__last_d"))
     )
+    acc = 1000000
     cuts = per_cust.agg(
-        F.expr("percentile(recency_days, array(0.25, 0.5, 0.75))").alias(
-            "__rc"
-        ),
-        F.expr("percentile(frequency, array(0.25, 0.5, 0.75))").alias(
-            "__fc"
-        ),
         F.expr(
-            "percentile(monetary_cents, array(0.25, 0.5, 0.75))"
+            f"approx_percentile(recency_days, array(0.25, 0.5, 0.75), {acc})"
+        ).alias("__rc"),
+        F.expr(
+            f"approx_percentile(frequency, array(0.25, 0.5, 0.75), {acc})"
+        ).alias("__fc"),
+        F.expr(
+            f"approx_percentile(monetary_cents, array(0.25, 0.5, 0.75), {acc})"
         ).alias("__mc"),
     )
     rec, freq, mon = (
@@ -793,7 +796,7 @@ _DECILE_PS = [i / 10.0 for i in range(1, 10)]
     "histogram_equidepth",
     oracle=f"""
     WITH cuts AS (
-        SELECT quantile_cont(CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
+        SELECT quantile_disc(CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
                              [{", ".join(str(p) for p in _DECILE_PS)}]) AS cs
         FROM orders
     ),
@@ -819,16 +822,19 @@ def histogram_equidepth(spark, sf_dir):
     WindowExec anywhere — the former NTILE form funneled the whole table
     through a single task (Spark moves ALL rows to one partition for an
     unpartitioned window) and is kept as histogram_equidepth_exact for
-    small inputs. Percentiles run on integer cents (the engine-portable
-    interpolation proven by group_quantiles); at 100 TB the one-line swap
-    is percentile → approx_percentile, same plan shape. Ties at a
+    small inputs. Cutpoints come from the MERGEABLE approx_percentile
+    sketch over integer cents (bounded partials; exact and
+    quantile_disc-adjudicated up to the 1e6-value accuracy bound,
+    graceful past it), so bucket comparisons are int-vs-int. Ties at a
     cutpoint share a bucket, so depths are near-equal, not exact — the
     honest semantics of any statistics-based equi-depth histogram."""
     orders = load_table(spark, sf_dir, "orders")
     cents_sql = "cast(round(o_totalprice * 100.0) as bigint)"
     ps = ", ".join(str(p) for p in _DECILE_PS)
     cuts = orders.agg(
-        F.expr(f"percentile({cents_sql}, array({ps}))").alias("__cs")
+        F.expr(
+            f"approx_percentile({cents_sql}, array({ps}), 1000000)"
+        ).alias("__cs")
     )
     cents = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
     b = orders.join(F.broadcast(cuts)).select(
@@ -1083,9 +1089,9 @@ def events_distribution_drift(spark, sf_dir):
     oracle="""
     WITH cuts AS (
         SELECT event_type,
-               quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.05)
+               quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT), 0.05)
                    AS lo_c,
-               quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.95)
+               quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT), 0.95)
                    AS hi_c
         FROM events GROUP BY event_type
     ),
@@ -1093,21 +1099,17 @@ def events_distribution_drift(spark, sf_dir):
         SELECT e.event_type,
                CAST(ROUND(value * 100.0) AS BIGINT) AS c, lo_c, hi_c,
                CASE
-                 WHEN CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE)
-                      < lo_c THEN CAST(FLOOR(lo_c + CAST(0.5 AS DOUBLE))
-                                       AS BIGINT)
-                 WHEN CAST(CAST(ROUND(value * 100.0) AS BIGINT) AS DOUBLE)
-                      > hi_c THEN CAST(FLOOR(hi_c + CAST(0.5 AS DOUBLE))
-                                       AS BIGINT)
+                 WHEN CAST(ROUND(value * 100.0) AS BIGINT) < lo_c THEN lo_c
+                 WHEN CAST(ROUND(value * 100.0) AS BIGINT) > hi_c THEN hi_c
                  ELSE CAST(ROUND(value * 100.0) AS BIGINT)
                END AS wc
         FROM events e JOIN cuts USING (event_type)
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN CAST(c AS DOUBLE) < lo_c THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c < lo_c THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clipped_low,
-           CAST(SUM(CASE WHEN CAST(c AS DOUBLE) > hi_c THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN c > hi_c THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_clipped_high,
            (CAST(SUM(wc) AS DOUBLE) / 100.0) / COUNT(*)
                AS winsorized_mean
@@ -1117,34 +1119,34 @@ def events_distribution_drift(spark, sf_dir):
 def events_value_winsorized(spark, sf_dir):
     """Per-group winsorization — the robust-stats preprocessing step a
     feature pipeline applies before scaling: per-type p05/p95 cutpoints
-    (exact interpolated percentile on integer cents, the portable form
-    proven by group_quantiles) computed in ONE grouped aggregate, joined
+    from the MERGEABLE approx_percentile sketch over integer cents
+    (bounded partials, exact and quantile_disc-adjudicated up to the
+    1e6-value accuracy bound) computed in ONE grouped aggregate, joined
     back broadcast-size (one row per type), values clamped, and the
     winsorized mean reported from an exact integer-cents sum. Same
     cutpoints-as-a-dim shape as histogram_equidepth/customer_rfm, here
-    keyed per group; at 100 TB swap percentile → approx_percentile and
-    the plan is unchanged. Clamped values are rounded to whole cents
-    (floor(x+0.5) of the identical double) so the post-clamp sum stays
-    an exact int64."""
+    keyed per group. Discrete cutpoints are themselves whole cents, so
+    the clamp and the post-clamp sum stay in exact int64 end to end."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
     cents_sql = "cast(round(value * 100.0) as bigint)"
     cuts = ev.groupBy("event_type").agg(
-        F.expr(f"percentile({cents_sql}, 0.05)").alias("lo_c"),
-        F.expr(f"percentile({cents_sql}, 0.95)").alias("hi_c"),
+        F.expr(f"approx_percentile({cents_sql}, 0.05, 1000000)").alias(
+            "lo_c"
+        ),
+        F.expr(f"approx_percentile({cents_sql}, 0.95, 1000000)").alias(
+            "hi_c"
+        ),
     )
     c = F.round(F.col("value") * 100.0).cast("bigint")
-    cd = c.cast("double")
     wc = (
-        F.when(cd < F.col("lo_c"),
-               F.floor(F.col("lo_c") + F.lit(0.5)).cast("bigint"))
-        .when(cd > F.col("hi_c"),
-              F.floor(F.col("hi_c") + F.lit(0.5)).cast("bigint"))
+        F.when(c < F.col("lo_c"), F.col("lo_c"))
+        .when(c > F.col("hi_c"), F.col("hi_c"))
         .otherwise(c)
     )
     clipped = ev.join(F.broadcast(cuts), "event_type").select(
         "event_type",
-        (cd < F.col("lo_c")).cast("int").alias("is_lo"),
-        (cd > F.col("hi_c")).cast("int").alias("is_hi"),
+        (c < F.col("lo_c")).cast("int").alias("is_lo"),
+        (c > F.col("hi_c")).cast("int").alias("is_hi"),
         wc.alias("wc"),
     )
     return (
@@ -1339,7 +1341,7 @@ def benford_first_digit(spark, sf_dir):
         FROM orders GROUP BY o_custkey
     ),
     cuts AS (
-        SELECT quantile_cont(rev_cents,
+        SELECT quantile_disc(rev_cents,
                              [{", ".join(str(p) for p in _DECILE_PS)}]) AS cs
         FROM per_cust
     ),
@@ -1366,8 +1368,10 @@ def orders_pareto_share(spark, sf_dir):
     never an unpartitioned NTILE, which would funnel every customer row
     (billions at 100×) through a single task. Ties at a cutpoint share a
     decile. Integer-cents totals end-to-end; the share division is the
-    only double op and is mirrored exactly. At 100 TB the one-line swap
-    is percentile → approx_percentile, same plan."""
+    only double op and is mirrored exactly. Cutpoints are the MERGEABLE
+    approx_percentile sketch (bounded partials — exact percentile would
+    buffer every customer; exact and quantile_disc-adjudicated up to the
+    1e6-value accuracy bound), so decile comparisons are int-vs-int."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
@@ -1376,7 +1380,9 @@ def orders_pareto_share(spark, sf_dir):
     )
     ps = ", ".join(str(p) for p in _DECILE_PS)
     stats = per_cust.agg(
-        F.expr(f"percentile(rev_cents, array({ps}))").alias("__cs"),
+        F.expr(
+            f"approx_percentile(rev_cents, array({ps}), 1000000)"
+        ).alias("__cs"),
         F.sum("rev_cents").cast("double").alias("__tot_cents"),
     )
     rev = F.col("rev_cents")
