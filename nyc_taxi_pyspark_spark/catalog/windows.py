@@ -185,16 +185,39 @@ def window_range_frame(spark, sf_dir):
     trailing-7-day totals keyed on days-since-epoch. RANGE windows over an
     int day index are the portable form — Spark's rangeBetween needs a
     numeric ordering column, and the int key sidesteps both engines'
-    interval-frame quirks. The trailing sum is exact int cents (every row
-    with the same day gets the identical frame, so the value hash is
-    order-free)."""
+    interval-frame quirks.
+
+    Scale shape: a RANGE frame's value depends only on the ORDER BY key,
+    so the window runs over the per-DAY aggregate (bounded by the
+    calendar — ~2 500 rows for the whole TPC-H date range — never by row
+    count) and the day-level trailing sums broadcast-join back to the
+    rows. The naive form put every base row through one unpartitioned
+    WindowExec task; this plan's only window input is the tiny day
+    rollup. Identical output: every row of the same day had the
+    identical frame anyway. Exact int-cents sums keep the value hash
+    order-free."""
     o = load_table(spark, sf_dir, "orders")
-    days = F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date"))
-    w = Window.orderBy(days).rangeBetween(-6, 0)
+    days = F.datediff(
+        F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+    )
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    return o.select(
-        "o_orderkey",
-        "o_orderdate",
-        F.sum(cents).over(w).alias("trailing7d_cents"),
-        F.count("*").over(w).alias("trailing7d_orders"),
+    day_agg = o.groupBy(days.alias("__day")).agg(
+        F.sum(cents).alias("__day_cents"),
+        F.count("*").alias("__day_orders"),
+    )
+    wd = Window.orderBy("__day").rangeBetween(-6, 0)
+    trailing = day_agg.select(
+        "__day",
+        F.sum("__day_cents").over(wd).alias("trailing7d_cents"),
+        F.sum("__day_orders").over(wd).alias("trailing7d_orders"),
+    )
+    return (
+        o.select("o_orderkey", "o_orderdate", days.alias("__day"))
+        .join(F.broadcast(trailing), "__day")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "trailing7d_cents",
+            "trailing7d_orders",
+        )
     )

@@ -386,6 +386,23 @@ def test_syndication_rank_no_cartesian_no_python(spark):
     assert "Python" not in p
 
 
+def test_range_frame_windows_over_day_rollup_not_base(spark):
+    """window_range_frame: the RANGE window's input must be the per-day
+    AGGREGATE (calendar-bounded), broadcast-joined back to rows — never
+    an unpartitioned window over the base table. The plan therefore has
+    a HashAggregate feeding the Window and a broadcast join."""
+    import re
+
+    df = QUERIES["window_range_frame"](spark, SF)
+    p = formatted_plan(df)
+    assert has_broadcast_join(df)
+    # the Window's subtree contains the day HashAggregate: in the
+    # formatted tree the Window node appears after an Aggregate on the
+    # broadcast side, and only one Window exists
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert "Python" not in p
+
+
 def test_benford_broadcasts_total(spark):
     df = QUERIES["benford_first_digit"](spark, SF)
     assert has_broadcast_join(df)
