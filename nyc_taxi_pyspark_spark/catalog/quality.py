@@ -1496,3 +1496,68 @@ def join_skew_audit(spark, sf_dir):
         .cast("bigint")
         .alias("p99_key_rows"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+        SELECT o_custkey,
+               MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+        SELECT f.cohort_month,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (year(f.cohort_month) * 12 + month(f.cohort_month))
+                   AS months_since,
+               o.o_custkey,
+               CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT) AS cents
+        FROM orders o JOIN first_order f USING (o_custkey)
+    )
+    SELECT cohort_month, CAST(months_since AS BIGINT) AS months_since,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+    FROM joined
+    GROUP BY cohort_month, months_since
+    ORDER BY cohort_month, months_since
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value matrix — the revenue twin of the
+    events_retention cohort grid: customers grouped by first-order month,
+    each cohort's active-customer count, order count, and exact-cents
+    revenue tracked per months-since-acquisition. Plan: one per-customer
+    MIN aggregate, one keyed join back on the customer key (AQE-handled
+    skew), one (cohort, month-offset) aggregate with map-side combine —
+    every stage keyed, nothing global. Month arithmetic stays in
+    integers (year*12+month), so the matrix hash-checks."""
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate"))
+        .cast("date")
+        .alias("cohort_month")
+    )
+    om = F.to_date("o_orderdate")
+    months_since = (
+        F.year(om) * 12
+        + F.month(om)
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    )
+    joined = orders.join(first, "o_custkey").select(
+        "cohort_month",
+        months_since.cast("bigint").alias("months_since"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+    )
+    return (
+        joined.groupBy("cohort_month", "months_since")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )

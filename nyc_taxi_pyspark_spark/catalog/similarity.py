@@ -1394,3 +1394,84 @@ def embed_dim_stats(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "embed_outlier_docs",
+    oracle=f"""
+    WITH sums AS (
+        SELECT i AS dim,
+               CAST(SUM(CAST(FLOOR({_DUCK_X} * 1e14) AS BIGINT)) AS BIGINT)
+                   AS s_q,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings e, generate_series(1, {DIM}) AS g(i)
+        GROUP BY i
+    ),
+    centroid AS (
+        SELECT dim, (CAST(s_q AS DOUBLE) / 1e14) / n AS m FROM sums
+    ),
+    dists AS (
+        SELECT e.vec_id,
+               CAST(SUM(CAST(FLOOR(
+                   ({_DUCK_X} - c.m) * ({_DUCK_X} - c.m) * 1e12
+               ) AS BIGINT)) AS DOUBLE) / 1e12 AS dist2
+        FROM embeddings e, generate_series(1, {DIM}) AS g(i)
+        JOIN centroid c ON c.dim = i
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, dist2 FROM dists
+    ORDER BY dist2 DESC, vec_id LIMIT 10
+    """,
+)
+def embed_outlier_docs(spark, sf_dir):
+    """Embedding outlier sweep: the 10 vectors farthest (squared L2) from
+    the corpus centroid — the QA pass that surfaces mis-embedded,
+    truncated, or poisoned vectors before they enter an index or a
+    training mix. Two bounded passes: per-dimension quantized-integer
+    sums build the centroid (64 rows → a broadcast literal-sized dim
+    table), then one scan folds each vector's distance with the same
+    1e12 micro-quantization (order-independent int64 per row) and
+    TakeOrdered keeps the top-10. No joins wider than the 64-row
+    centroid; deterministic ties on vec_id."""
+    e = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    x = F.col("xf").cast("double")
+    sums = (
+        e.select(F.posexplode("embedding").alias("pos", "xf"))
+        .select((F.col("pos") + 1).alias("dim"), x.alias("x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.floor(F.col("x") * F.lit(1e14)).cast("bigint")).alias(
+                "s_q"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    centroid = sums.select(
+        "dim", ((F.col("s_q").cast("double") / F.lit(1e14)) / F.col("n")).alias("m")
+    )
+    # 64-row centroid → ordered array literal via a 1-row broadcast
+    cvec = centroid.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s.getField("m"),
+        ).alias("__c")
+    )
+    diff = F.zip_with(
+        F.col("embedding"),
+        F.col("__c"),
+        lambda a, b: F.floor(
+            (a.cast("double") - b) * (a.cast("double") - b) * F.lit(1e12)
+        ).cast("bigint"),
+    )
+    dist2 = (
+        F.aggregate(
+            diff, F.lit(0).cast("bigint"), lambda acc, t: acc + t
+        ).cast("double")
+        / F.lit(1e12)
+    )
+    return (
+        e.join(F.broadcast(cvec))
+        .select("vec_id", dist2.alias("dist2"))
+        .orderBy(F.desc("dist2"), "vec_id")
+        .limit(10)
+    )
