@@ -1854,3 +1854,67 @@ def text_minhash_calibration(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def _dedup_by_source_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({_near_dup_oracle()})
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS t FROM pairs
+    ),
+    gnodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM gnodes
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id
+    ),
+    clusters AS (
+        SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL
+                          AND c.cluster_id <> d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN c.cluster_id IS NOT NULL
+                          AND c.cluster_id <> d.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS drop_rate
+    FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query("text_dedup_rate_by_source", oracle=_dedup_by_source_oracle())
+def text_dedup_rate_by_source(spark, sf_dir):
+    """Per-source dedup report: for every source (domain), how many docs
+    the near-dup cluster-and-drop pass removes (non-canonical cluster
+    members) and the resulting drop rate — the crawl-QA rollup that flags
+    boilerplate-heavy or mirrored domains before sampling weights are
+    set. The (tiny) cluster assignment left-joins the doc→source
+    projection (Spark broadcasts the cluster side); one source-keyed
+    aggregate. Exact counts, one deterministic division."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    clusters = text_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    dropped = (
+        F.col("cluster_id").isNotNull()
+        & (F.col("cluster_id") != F.col("doc_id"))
+    ).cast("int")
+    return (
+        docs.join(clusters, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            (F.sum(dropped).cast("double") / F.count(F.lit(1))).alias(
+                "drop_rate"
+            ),
+        )
+        .orderBy("source")
+    )
