@@ -293,3 +293,65 @@ def join_cross(spark, sf_dir):
         F.col("o_orderstatus").alias("status")
     ).distinct()
     return r.crossJoin(s).groupBy("r_name", "status").agg(F.count("*").alias("n"))
+
+
+@query(
+    "tpch_q5_local_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {oracle_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)}
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def tpch_q5_local_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-table join with the
+    correlated locality predicate (customer and supplier share a nation)
+    — the classic composite-plan benchmark. Catalyst's job here is the
+    point: the region filter prunes before joining, nation/region/
+    supplier broadcast as dims, the orders date range pushes to the
+    scan, and only the customer⋈orders⋈lineitem chain shuffles on its
+    keys. Revenue is the exact 4-decimal discounted-price sum, so the
+    DESC ordering (tie-broken on nation) hash-checks."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    joined = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )

@@ -403,6 +403,18 @@ def test_range_frame_windows_over_day_rollup_not_base(spark):
     assert "Python" not in p
 
 
+def test_tpch_q5_pushes_filters_and_broadcasts_dims(spark):
+    """Q5: the order-date range and region name must reach the scans as
+    pushed filters; dims broadcast; no cartesian."""
+    df = QUERIES["tpch_q5_local_volume"](spark, SF)
+    p = formatted_plan(df)
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "EqualTo(r_name,ASIA)" in p
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
 def test_benford_broadcasts_total(spark):
     df = QUERIES["benford_first_digit"](spark, SF)
     assert has_broadcast_join(df)
