@@ -355,3 +355,50 @@ def tpch_q5_local_volume(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               (CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT))
+                     AS DOUBLE) / 100.0) / COUNT(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           {oracle_dsum("l.l_extendedprice", 2)} / CAST(7.0 AS DOUBLE)
+               AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN per_part a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < CAST(0.2 AS DOUBLE) * a.avg_qty
+    """,
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated-scalar-
+    subquery benchmark — "lines whose quantity is below 20 % of that
+    part's average" — written the way Catalyst decorrelates it: the
+    per-part average becomes a keyed aggregate joined back on the part
+    key (one shuffle each side, AQE-broadcast when small), never a
+    per-row subquery execution. The average is the exact integer-cents
+    form (functions/exact.davg) so the 0.2·avg threshold is the
+    identical double on both engines, and revenue/7 is one mirrored
+    division of an exact sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#12"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        davg("l_quantity", 2).alias("avg_qty")
+    )
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(per_part, li["l_partkey"] == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        (dsum("l_extendedprice", 2) / F.lit(7.0)).alias("avg_yearly"),
+    )
