@@ -972,9 +972,7 @@ def group_quantiles_approx(spark, sf_dir):
     )
 
 
-@query(
-    "events_distribution_drift",
-    oracle="""
+_DRIFT_ORACLE = """
     WITH banded AS (
         SELECT event_type,
                CASE WHEN CAST(FLOOR(value / CAST(50.0 AS DOUBLE)) AS BIGINT) > 9
@@ -1023,7 +1021,12 @@ def group_quantiles_approx(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_bands,
            CAST(SUM(tq) AS DOUBLE) / 1000000000.0 AS chi_square
     FROM terms GROUP BY event_type, n1, n2 ORDER BY event_type
-    """,
+    """
+
+
+@query(
+    "events_distribution_drift",
+    oracle=_DRIFT_ORACLE,
 )
 def events_distribution_drift(spark, sf_dir):
     """Distribution-drift monitor: two-sample chi-square homogeneity
@@ -1038,20 +1041,32 @@ def events_distribution_drift(spark, sf_dir):
     scan, one (type, band) aggregate, one type-level rollup — both keyed
     shuffles with map-side combine, no windows, no collects."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    cells = _drift_banded(ev).groupBy("event_type", "band").agg(
+        F.sum("is_first").cast("bigint").alias("o1"),
+        F.sum(F.lit(1) - F.col("is_first")).cast("bigint").alias("o2"),
+    )
+    return _chi2_report(cells)
+
+
+def _drift_banded(ev):
+    """(event_type, band, is_first) projection shared by the batch and
+    streaming drift monitors — 10 equal-width value bands, month split."""
     band = F.least(
         F.floor(F.col("value") / F.lit(50.0)).cast("bigint"), F.lit(9)
     )
-    banded = ev.select(
+    return ev.select(
         "event_type",
         band.alias("band"),
         F.when(F.dayofmonth("ts") <= 15, F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_first"),
     )
-    cells = banded.groupBy("event_type", "band").agg(
-        F.sum("is_first").cast("bigint").alias("o1"),
-        F.sum(F.lit(1) - F.col("is_first")).cast("bigint").alias("o2"),
-    )
+
+
+def _chi2_report(cells):
+    """Chi-square homogeneity rollup from (event_type, band, o1, o2)
+    cells — per-band terms nano-quantized so the cross-band sum is an
+    exact, order-independent int64."""
     tot = cells.groupBy("event_type").agg(
         F.sum("o1").cast("bigint").alias("n1"),
         F.sum("o2").cast("bigint").alias("n2"),

@@ -164,32 +164,21 @@ def stream_stateful_totals(spark, sf_dir):
     this is the CDC/profile-maintenance shape: state store partitioned by
     key, one Arrow batch per key per micro-batch."""
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
-    from nyc_taxi_pyspark_spark.streaming.runner import run_stream_once
+    from nyc_taxi_pyspark_spark.streaming.runner import (
+        parquet_stream_dir,
+        run_stream_once,
+    )
     from nyc_taxi_pyspark_spark.streaming.stateful import (
         running_totals_per_user,
     )
 
     # readStream wants a DIRECTORY source; expose the single-file table
-    # through a symlink dir (no data copy, testdata untouched). The dir is
-    # deterministic per source path — repeated invocations (parity runs,
-    # benches, plan dumps) reuse it instead of leaking one mkdtemp each.
-    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
-    import hashlib
-
-    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
-    d = os.path.join(
-        tempfile.gettempdir(), f"stateful_stream_{tag}"
-    )
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if os.path.islink(link) and os.path.realpath(link) != src:
-        os.unlink(link)  # stale link from a regenerated source file
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # through a deterministic symlink dir (no data copy, reused across
+    # invocations — see streaming/runner.parquet_stream_dir).
+    d = parquet_stream_dir(os.path.join(sf_dir, "events.parquet"))
     schema = T.StructType(
         [
             T.StructField("user_id", T.LongType()),
@@ -209,3 +198,70 @@ def stream_stateful_totals(spark, sf_dir):
         )
     )
     return final.orderBy("user_id")
+
+
+from nyc_taxi_pyspark_spark.catalog.quality import _DRIFT_ORACLE  # noqa: E402
+
+
+@query("stream_distribution_drift", oracle=_DRIFT_ORACLE)
+def stream_distribution_drift(spark, sf_dir):
+    """The chi-square drift monitor REALLY run as a stream: the banded
+    (event_type, band, half) cell counts are maintained by a streaming
+    aggregation driven through readStream → update-mode memory sink
+    (state grows with cells — 5×10×2 keys — never with events), the
+    final per-cell states are reduced from the update log (max count per
+    key: counts only grow), and the chi-square rollup runs on the
+    50-cell result. This is the production telemetry shape: the stream
+    keeps tiny sufficient statistics, the expensive statistic is
+    computed on demand from them. Oracle = the batch drift query —
+    proving stream state equals the batch aggregate."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from nyc_taxi_pyspark_spark.catalog.quality import (
+        _chi2_report,
+        _drift_banded,
+    )
+    from nyc_taxi_pyspark_spark.streaming.runner import (
+        parquet_stream_dir,
+        run_stream_once,
+    )
+
+    d = parquet_stream_dir(os.path.join(sf_dir, "events.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+    def transform(stream):
+        return (
+            _drift_banded(stream)
+            .groupBy("event_type", "band", "is_first")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+
+    updates = run_stream_once(
+        spark, d, schema, transform, output_mode="update"
+    )
+    finals = updates.groupBy("event_type", "band", "is_first").agg(
+        F.max("n").alias("n")
+    )
+    cells = finals.groupBy("event_type", "band").agg(
+        F.sum(F.when(F.col("is_first") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("o1"),
+        F.sum(F.when(F.col("is_first") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("o2"),
+    )
+    # the rollup self-joins cells with its own aggregate; through the
+    # memory-sink view the two branches share attribute ids, so cut the
+    # lineage on the (50-row) cell table first
+    return _chi2_report(cells.localCheckpoint(eager=True))

@@ -39,3 +39,24 @@ def run_stream_once(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def parquet_stream_dir(src_file: str) -> str:
+    """Expose a single parquet FILE as a readStream-able DIRECTORY via a
+    deterministic per-source symlink dir (no data copy; reused across
+    invocations instead of leaking a mkdtemp per run; stale links from a
+    regenerated source are replaced)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.realpath(src_file)
+    tag = hashlib.sha1(src.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"stateful_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(src))
+    if os.path.islink(link) and os.path.realpath(link) != src:
+        os.unlink(link)
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
