@@ -79,6 +79,12 @@ HEADLINE = [
     "events_markov_transitions",
     "embed_dim_stats",
     "source_syndication_rank",
+    "tpch_q5_local_volume",
+    "tpch_q17_small_qty_revenue",
+    "orders_cohort_ltv",
+    "text_dedup_rate_by_source",
+    "embed_outlier_docs",
+    "stream_distribution_drift",
 ]
 
 
@@ -135,6 +141,12 @@ EXPECTED = {
     "events_markov_transitions": 0.83,
     "embed_dim_stats": 0.74,
     "source_syndication_rank": 3.85,
+    "tpch_q5_local_volume": 0.91,
+    "tpch_q17_small_qty_revenue": 0.74,
+    "orders_cohort_ltv": 0.84,
+    "text_dedup_rate_by_source": 1.34,
+    "embed_outlier_docs": 0.84,
+    "stream_distribution_drift": 1.72,
 }
 ISO_RERUN_FACTOR = 1.8
 
