@@ -493,3 +493,69 @@ def corpus_budget_select(spark, sf_dir):
             "token_budget",
         )
     )
+
+
+@query(
+    "corpus_training_order",
+    oracle="""
+    WITH keyed AS (
+        SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || '|'
+                   || CAST(d.doc_id AS VARCHAR)) AS k
+        FROM documents d, (VALUES (0), (1)) AS e(epoch)
+    ),
+    placed AS (
+        SELECT epoch, doc_id,
+               CAST(('0x' || substr(k, 1, 2))::BIGINT % 4 AS BIGINT)
+                   AS shard,
+               k
+        FROM keyed
+    )
+    SELECT epoch, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                                   ORDER BY k, doc_id) AS BIGINT)
+               AS position,
+           doc_id
+    FROM placed
+    ORDER BY epoch, shard, position
+    """,
+)
+def corpus_training_order(spark, sf_dir):
+    """Reproducible multi-epoch training order: every epoch gets its own
+    deterministic pseudo-random permutation (md5 of epoch|doc_id — a new
+    independent order per epoch, bit-stable across engines, layouts, and
+    reruns), docs land in md5-bucket shards, and position is the within-
+    shard rank. This is the data-loader contract a large training run
+    needs — resume from (epoch, shard, position) exactly, re-generate
+    any shard independently — without ever materializing a global
+    shuffle: the only shuffle is the (epoch, shard)-keyed window, whose
+    partition count scales with shards × epochs."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    from pyspark.sql import Window
+
+    epochs = d.sparkSession.range(2).select(
+        F.col("id").cast("int").alias("epoch")
+    )
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws("|", F.col("epoch"), F.col("doc_id"))
+        ).alias("k"),
+    )
+    placed = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 2), 16, 10).cast("bigint") % 4).alias(
+            "shard"
+        ),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return (
+        placed.select(
+            "epoch",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("position"),
+            "doc_id",
+        )
+        .orderBy("epoch", "shard", "position")
+    )
