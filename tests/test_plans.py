@@ -415,6 +415,26 @@ def test_tpch_q5_pushes_filters_and_broadcasts_dims(spark):
     assert "Python" not in p
 
 
+def test_tpch_q17_decorrelated_no_python(spark):
+    """Q17: the per-part average must be a keyed aggregate joined back —
+    exactly 2 joins (part dim + average), no cartesian, no Python."""
+    import re
+
+    df = QUERIES["tpch_q17_small_qty_revenue"](spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) (?:BroadcastHash|SortMerge|ShuffledHash)Join", p)) == 2
+    assert "Python" not in p
+
+
+def test_cohort_ltv_keyed_stages_only(spark):
+    df = QUERIES["orders_cohort_ltv"](spark, SF)
+    p = formatted_plan(df)
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
 def test_benford_broadcasts_total(spark):
     df = QUERIES["benford_first_digit"](spark, SF)
     assert has_broadcast_join(df)
