@@ -559,3 +559,126 @@ def corpus_training_order(spark, sf_dir):
         )
         .orderBy("epoch", "shard", "position")
     )
+
+
+@query(
+    "corpus_domain_relevance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(w) AS token
+        FROM (SELECT doc_id, source, {_DUCK_WORDS} AS w FROM documents)
+    ),
+    tgt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t FROM toks
+        WHERE source = 'src0' GROUP BY token
+    ),
+    corp AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c_all FROM toks
+        GROUP BY token
+    ),
+    totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_t
+        FROM toks
+    ),
+    weights AS (
+        SELECT corp.token,
+               CAST(FLOOR(
+                   CAST(1000000 AS BIGINT)
+                   * (CAST(COALESCE(tgt.c_t, 0) + 1 AS DOUBLE)
+                      * CAST(totals.n_all AS DOUBLE))
+                   / (CAST(corp.c_all + 1 AS DOUBLE)
+                      * CAST(totals.n_t AS DOUBLE))
+               ) AS BIGINT) AS w_q
+        FROM corp LEFT JOIN tgt USING (token), totals
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(SUM(w.w_q) AS BIGINT) AS score_q,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM toks t JOIN weights w USING (token)
+        GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, d.source, s.n_tokens,
+           CAST(s.score_q AS DOUBLE) / (1000000.0 * s.n_tokens)
+               AS mean_relevance
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.score_q // s.n_tokens DESC, s.score_q DESC, s.doc_id
+    LIMIT 20
+    """,
+)
+def corpus_domain_relevance(spark, sf_dir):
+    """DSIR-style domain-targeted selection with RATIONAL weights: rank
+    docs by affinity to a target domain (source 'src0' as the proxy)
+    using add-1-smoothed unigram likelihood ratios — the importance-
+    resampling scorer of Xie et al., with the log-likelihood replaced by
+    a floor-quantized per-token ratio sum so the score is an exact int64
+    (ln() is libm and never hash-portable). Plan: token explode → target
+    and corpus count aggregates → weight table joined back to the token
+    stream (token-keyed equi-joins, map-side combined counts), per-doc
+    int sum, TakeOrdered top-20 with full tie-breaks. The mean ratio per
+    token is reported for interpretability; selection rank uses the
+    integer score, never the double."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", "source", F.explode(tokens()).alias("token"))
+    tgt = (
+        toks.filter(F.col("source") == "src0")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    )
+    corp = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_all")
+    )
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum((F.col("source") == "src0").cast("int"))
+        .cast("bigint")
+        .alias("n_t"),
+    )
+    weights = (
+        corp.join(tgt, "token", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "token",
+            F.floor(
+                F.lit(1000000)
+                * (
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+                    * F.col("n_all").cast("double")
+                )
+                / (
+                    (F.col("c_all") + 1).cast("double")
+                    * F.col("n_t").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("w_q"),
+        )
+    )
+    scored = (
+        toks.join(weights, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w_q").cast("bigint").alias("score_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (
+                F.col("score_q").cast("double")
+                / (F.lit(1000000.0) * F.col("n_tokens"))
+            ).alias("mean_relevance"),
+        )
+        .orderBy(
+            F.desc(F.expr("score_q div n_tokens")),
+            F.desc("score_q"),
+            "doc_id",
+        )
+        .limit(20)
+    )
