@@ -566,3 +566,74 @@ def events_markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "events_user_features",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
+           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value,
+           CAST(date_diff('day', CAST(MAX(ts) AS DATE),
+                          CAST((SELECT max_ts FROM anchor) AS DATE))
+                AS BIGINT) AS recency_days
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_user_features(spark, sf_dir):
+    """Feature-store build: one per-user feature vector from a single
+    scan — per-type counts (conditional sums, not five passes or a
+    pivot shuffle), active-day distinct count, exact-cents monetary
+    total, and recency against the corpus max timestamp (1-row
+    broadcast anchor). This is the table a training pipeline joins
+    labels onto; at 100 TB it is one user-keyed aggregate with map-side
+    combine plus the anchor pass, nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("__max_ts"))
+
+    def n_type(t):
+        return (
+            F.sum((F.col("event_type") == t).cast("int"))
+            .cast("bigint")
+            .alias(f"n_{t}")
+        )
+
+    return (
+        ev.join(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            n_type("view"),
+            n_type("click"),
+            n_type("signup"),
+            n_type("purchase"),
+            n_type("error"),
+            F.count_distinct(F.to_date("ts"))
+            .cast("bigint")
+            .alias("days_active"),
+            (
+                F.sum(F.round(F.col("value") * 100.0).cast("bigint")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_value"),
+            F.datediff(F.to_date(F.max("__max_ts")), F.to_date(F.max("ts")))
+            .cast("bigint")
+            .alias("recency_days"),
+        )
+        .orderBy("user_id")
+    )
