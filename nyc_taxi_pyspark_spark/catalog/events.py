@@ -637,3 +637,75 @@ def events_user_features(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_leakfree_labels",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, ts, event_type,
+               COUNT(*) OVER pre AS n_prior_events,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER pre AS n_prior_purchases,
+               SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER pre
+                   AS prior_cents
+        FROM events
+        WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CAST(COALESCE(n_prior_events, 0) AS BIGINT) AS n_prior_events,
+           CAST(COALESCE(n_prior_purchases, 0) AS BIGINT)
+               AS n_prior_purchases,
+           CAST(COALESCE(prior_cents, 0) AS DOUBLE) / 100.0
+               AS prior_total_value
+    FROM w WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def events_leakfree_labels(spark, sf_dir):
+    """Point-in-time-correct training examples — the leakage guard every
+    supervised pipeline over event data needs: for each label event
+    (purchase), the feature values computed from that user's history
+    STRICTLY BEFORE the label timestamp (ROWS ... 1 PRECEDING frames,
+    tie-broken on event_id), never from the future and never from the
+    label row itself. One user-partitioned window (parallelism scales
+    with users), exact integer-cents running sums, label filter after
+    the frame so features see the full history. The companion
+    events_user_features table is what you must NOT join onto labels —
+    it aggregates over all time."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100.0).cast("bigint")
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("__n_prior"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .over(w)
+        .alias("__n_prior_p"),
+        F.sum(cents).over(w).alias("__prior_cents"),
+    )
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("__n_prior", F.lit(0))
+            .cast("bigint")
+            .alias("n_prior_events"),
+            F.coalesce("__n_prior_p", F.lit(0))
+            .cast("bigint")
+            .alias("n_prior_purchases"),
+            (
+                F.coalesce("__prior_cents", F.lit(0)).cast("double")
+                / 100.0
+            ).alias("prior_total_value"),
+        )
+        .orderBy("event_id")
+    )
