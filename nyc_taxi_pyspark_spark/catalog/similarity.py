@@ -1475,3 +1475,113 @@ def embed_outlier_docs(spark, sf_dir):
         .orderBy(F.desc("dist2"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "embed_contrastive_pairs",
+    oracle=f"""
+    WITH anchors AS (
+        SELECT vec_id AS a_id, embedding AS a_vec FROM embeddings
+        WHERE vec_id < 8
+    ),
+    sims AS (
+        SELECT a.a_id, e.vec_id,
+               {_duck_acc(f'{_DUCK_X} * CAST(a.a_vec[i] AS DOUBLE)')}
+                 / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                    * SQRT({_duck_acc('CAST(a.a_vec[i] AS DOUBLE) * CAST(a.a_vec[i] AS DOUBLE)')}))
+                 AS cosine_sim
+        FROM embeddings e, anchors a, generate_series(1, {DIM}) AS g(i)
+        WHERE e.vec_id <> a.a_id
+        GROUP BY a.a_id, e.vec_id
+    ),
+    pos AS (
+        SELECT a_id, vec_id, cosine_sim, 'positive' AS role FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                                         ORDER BY cosine_sim DESC, vec_id)
+                          AS rk
+            FROM sims
+        ) WHERE rk = 1
+    ),
+    negs AS (
+        SELECT a_id, vec_id, cosine_sim, 'negative' AS role FROM (
+            SELECT s.*, ROW_NUMBER() OVER (
+                       PARTITION BY s.a_id
+                       ORDER BY md5(CAST(s.a_id AS VARCHAR) || '|'
+                                    || CAST(s.vec_id AS VARCHAR)), s.vec_id)
+                       AS rk
+            FROM sims s
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.a_id = s.a_id
+                                AND p.vec_id = s.vec_id)
+        ) WHERE rk <= 3
+    )
+    SELECT a_id AS anchor_id, role, vec_id, cosine_sim
+    FROM (SELECT * FROM pos UNION ALL SELECT * FROM negs)
+    ORDER BY anchor_id, role DESC, vec_id
+    """,
+)
+def embed_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair generation: for each of 8 anchor
+    vectors, the hardest positive (exact-cosine nearest neighbor,
+    deterministic tie-break) and 3 reproducible random negatives
+    (md5(anchor|candidate) rank — layout- and engine-stable, excluding
+    self and the positive). This is the batch job that feeds embedding-
+    model fine-tuning. The anchor panel broadcasts; similarity is one
+    corpus scan per panel (the recall-panel shape); negative sampling at
+    100 TB would pre-filter candidates by an md5-prefix stripe before
+    ranking instead of ranking the full corpus. All ordering keys are
+    exact (quantized cosine, md5 strings, ids), so the emitted pair set
+    hash-checks."""
+    from pyspark.sql import Window
+
+    b = _bucketed(spark, sf_dir)
+    anchors = F.broadcast(
+        b.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").alias("a_vec"),
+            F.col("nrm").alias("a_nrm"),
+        )
+    )
+    sims = (
+        b.join(anchors, how="cross")
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("a_vec"))
+                / (F.col("nrm") * F.col("a_nrm"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w_pos = Window.partitionBy("a_id").orderBy(
+        F.desc("cosine_sim"), "vec_id"
+    )
+    pos = (
+        sims.withColumn("rk", F.row_number().over(w_pos))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+        .withColumn("role", F.lit("positive"))
+    )
+    w_neg = Window.partitionBy("a_id").orderBy(
+        F.md5(F.concat_ws("|", F.col("a_id"), F.col("vec_id"))), "vec_id"
+    )
+    negs = (
+        sims.join(
+            pos.select("a_id", F.col("vec_id").alias("__pv")),
+            "a_id",
+        )
+        .filter(F.col("vec_id") != F.col("__pv"))
+        .drop("__pv")
+        .withColumn("rk", F.row_number().over(w_neg))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+        .withColumn("role", F.lit("negative"))
+    )
+    return (
+        pos.unionByName(negs)
+        .select(
+            F.col("a_id").alias("anchor_id"), "role", "vec_id", "cosine_sim"
+        )
+        .orderBy("anchor_id", F.desc("role"), "vec_id")
+    )
