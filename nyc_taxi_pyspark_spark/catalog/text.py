@@ -1918,3 +1918,47 @@ def text_dedup_rate_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query("sql_dup_clusters_recursive", oracle=_dup_clusters_oracle())
+def sql_dup_clusters_recursive(spark, sf_dir):
+    """Near-dup cluster assignment via Spark 4's native RECURSIVE CTE —
+    the same min-reachable-id fixpoint as text_dup_clusters, written as
+    declarative SQL recursion instead of the hand-rolled large/small-star
+    loop, and checked against the identical recursive DuckDB oracle. The
+    pair graph is the persisted LSH layout registered as a temp view; the
+    recursion's frontier is bounded by component diameter. The iterative
+    operator (operators/text.connected_components, O(log n) rounds)
+    remains the 100 TB path — naive reachability recursion materializes
+    O(nodes x component-size) rows — but the SQL surface now covers
+    recursion for the bounded-graph case."""
+    pairs = _near_dup_pairs_cached(spark, sf_dir).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("__dup_pairs")
+    # Spark's recursive CTEs require UNION ALL, so naive reachability
+    # would loop forever on this (undirected, hence cyclic) graph. Two
+    # guards make it terminate: labels only propagate DOWNWARD
+    # (reach.r < e.s — the min label is below every node on its path,
+    # so min-propagation is unaffected) and a depth bound well past the
+    # planted components' diameter. The oracle disagreeing would expose
+    # a too-small bound.
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(id, r, lvl) AS (
+            SELECT id, id, 0 FROM (
+                SELECT DISTINCT doc_a AS id FROM __dup_pairs
+                UNION
+                SELECT DISTINCT doc_b AS id FROM __dup_pairs
+            )
+            UNION ALL
+            SELECT e.s, reach.r, reach.lvl + 1 FROM (
+                SELECT doc_a AS s, doc_b AS t FROM __dup_pairs
+                UNION
+                SELECT doc_b AS s, doc_a AS t FROM __dup_pairs
+            ) e JOIN reach ON e.t = reach.id
+            WHERE reach.r < e.s AND reach.lvl < 12
+        )
+        SELECT id AS doc_id, MIN(r) AS cluster_id,
+               CAST(id = MIN(r) AS INT) AS is_canonical
+        FROM reach GROUP BY id
+        """
+    )
