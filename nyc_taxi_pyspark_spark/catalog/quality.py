@@ -1576,3 +1576,94 @@ def orders_cohort_ltv(spark, sf_dir):
         )
         .orderBy("cohort_month", "months_since")
     )
+
+
+@query(
+    "orders_forecast_linear",
+    oracle="""
+    WITH monthly AS (
+        SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(mi) AS DOUBLE) AS sx,
+               CAST(SUM(rev_cents) AS DOUBLE) AS sy,
+               CAST(SUM(mi * rev_cents) AS DOUBLE) AS sxy,
+               CAST(SUM(mi * mi) AS DOUBLE) AS sxx,
+               CAST(MAX(mi) AS BIGINT) AS max_mi
+        FROM monthly
+    ),
+    grid AS (
+        SELECT mi, rev_cents, 0 AS is_forecast FROM monthly
+        UNION ALL
+        SELECT max_mi + h, NULL, 1
+        FROM fit, (VALUES (1), (2), (3)) AS v(h)
+    )
+    SELECT g.mi AS month_index,
+           CAST(g.rev_cents AS DOUBLE) / 100.0 AS actual,
+           ((((f.n * f.sxy) - (f.sx * f.sy))
+             / ((f.n * f.sxx) - (f.sx * f.sx))) * g.mi
+            + ((f.sy - (((f.n * f.sxy) - (f.sx * f.sy))
+                        / ((f.n * f.sxx) - (f.sx * f.sx))) * f.sx) / f.n))
+               / 100.0 AS fitted,
+           CAST(g.is_forecast AS INTEGER) AS is_forecast
+    FROM grid g, fit f
+    ORDER BY month_index
+    """,
+)
+def orders_forecast_linear(spark, sf_dir):
+    """Linear trend forecast: monthly revenue fitted with closed-form OLS
+    over the integer month index and projected 3 months past the data —
+    the capacity-planning staple. The fit consumes ONE aggregate of exact
+    integer moments over the ~80-row monthly rollup (the
+    stats_regression discipline applied to a time series; no ML library,
+    no iterative solver), broadcast to the month grid; the three future
+    rows come from a constant-width union, not a window. Every double op
+    is the mirrored expression tree, so actual/fitted hash-check."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = F.to_date("o_orderdate")
+    monthly = orders.groupBy(
+        (F.year(om) * 12 + F.month(om)).alias("mi")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    fit = monthly.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("mi").cast("double").alias("sx"),
+        F.sum("rev_cents").cast("double").alias("sy"),
+        F.sum(F.col("mi") * F.col("rev_cents")).cast("double").alias("sxy"),
+        F.sum(F.col("mi") * F.col("mi")).cast("double").alias("sxx"),
+        F.max("mi").cast("bigint").alias("max_mi"),
+    )
+    future = fit.select(
+        F.explode(
+            F.array(F.lit(1), F.lit(2), F.lit(3))
+        ).alias("h"),
+        "max_mi",
+    ).select(
+        (F.col("max_mi") + F.col("h")).alias("mi"),
+        F.lit(None).cast("bigint").alias("rev_cents"),
+        F.lit(1).alias("is_forecast"),
+    )
+    grid = monthly.select(
+        "mi", "rev_cents", F.lit(0).alias("is_forecast")
+    ).unionByName(future)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
+    intercept = (sy - slope * sx) / n
+    return (
+        grid.join(F.broadcast(fit.drop("max_mi")))
+        .select(
+            F.col("mi").alias("month_index"),
+            (F.col("rev_cents").cast("double") / 100.0).alias("actual"),
+            ((slope * F.col("mi") + intercept) / 100.0).alias("fitted"),
+            F.col("is_forecast").cast("int").alias("is_forecast"),
+        )
+        .orderBy("month_index")
+    )
