@@ -85,6 +85,10 @@ HEADLINE = [
     "text_dedup_rate_by_source",
     "embed_outlier_docs",
     "stream_distribution_drift",
+    "events_user_features",
+    "events_leakfree_labels",
+    "embed_contrastive_pairs",
+    "orders_forecast_linear",
 ]
 
 
@@ -147,6 +151,10 @@ EXPECTED = {
     "text_dedup_rate_by_source": 1.34,
     "embed_outlier_docs": 0.84,
     "stream_distribution_drift": 1.72,
+    "events_user_features": 0.78,
+    "events_leakfree_labels": 0.58,
+    "embed_contrastive_pairs": 0.71,
+    "orders_forecast_linear": 0.62,
 }
 ISO_RERUN_FACTOR = 1.8
 
