@@ -1585,3 +1585,40 @@ def embed_contrastive_pairs(spark, sf_dir):
         )
         .orderBy("anchor_id", F.desc("role"), "vec_id")
     )
+
+
+@query(
+    "embed_filtered_topk",
+    oracle=_COSINE_CTE.replace(
+        "FROM embeddings e, q,",
+        "FROM (SELECT * FROM embeddings WHERE label IN (2, 3)) e, q,",
+    )
+    + """
+    SELECT vec_id, cosine_sim FROM sims
+    ORDER BY cosine_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embed_filtered_topk(spark, sf_dir):
+    """Filtered vector search — top-10 by cosine among vectors whose
+    metadata passes a predicate (label ∈ {2,3}), the production shape
+    behind 'nearest docs in THIS language/domain/license'. Done as
+    pre-filter + exact scan + TakeOrderedAndProject: the predicate lands
+    on the scan (pushed filter / partition prune when label is a
+    partition column — the layout embed_lsh_buckets defines), so cost
+    scales with the FILTERED corpus, and recall is exact by
+    construction — the known failure mode of post-filtering an ANN
+    shortlist (selective predicates empty the shortlist) never occurs.
+    When the predicate passes most of the corpus, compose the bucket
+    prune WITH the filter instead (same plan with the bucket equi-join
+    added); this query pins the exact-path contract."""
+    b = _bucketed(spark, sf_dir).filter(F.col("label").isin(2, 3))
+    qvec, _qb, qnorm = _query_param(spark, sf_dir)
+    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+        "cosine_sim"
+    )
+    return (
+        b.select("vec_id", sim)
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(10)
+    )
