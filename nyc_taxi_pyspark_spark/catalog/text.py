@@ -1962,3 +1962,106 @@ def sql_dup_clusters_recursive(spark, sf_dir):
         FROM reach GROUP BY id
         """
     )
+
+
+def _dedup_funnel_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_near_dup_pairs_cte()},
+    exact_survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    edges AS (
+        SELECT p.doc_a AS s, p.doc_b AS t FROM ndpairs p
+        JOIN exact_survivors a ON a.doc_id = p.doc_a
+        JOIN exact_survivors b ON b.doc_id = p.doc_b
+        UNION
+        SELECT p.doc_b AS s, p.doc_a AS t FROM ndpairs p
+        JOIN exact_survivors a ON a.doc_id = p.doc_a
+        JOIN exact_survivors b ON b.doc_id = p.doc_b
+    ),
+    gnodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM gnodes
+        UNION
+        SELECT e.s, reach.r FROM edges e JOIN reach ON e.t = reach.id
+    ),
+    clusters AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id),
+    near_dropped AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM clusters WHERE id <> lbl
+    ),
+    counts AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS raw,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM exact_survivors)
+                   AS after_exact,
+               (SELECT n FROM near_dropped) AS near_drop
+    )
+    SELECT stage, n_docs, dropped FROM (
+        SELECT 1 AS ord, 'raw' AS stage, raw AS n_docs,
+               CAST(0 AS BIGINT) AS dropped FROM counts
+        UNION ALL
+        SELECT 2, 'exact_dedup', after_exact, raw - after_exact FROM counts
+        UNION ALL
+        SELECT 3, 'near_dedup', after_exact - near_drop, near_drop
+        FROM counts
+    ) ORDER BY ord
+    """
+
+
+@query("corpus_dedup_funnel", oracle=_dedup_funnel_oracle())
+def corpus_dedup_funnel(spark, sf_dir):
+    """End-to-end dedup funnel report: raw docs → exact-md5 survivors →
+    MinHash-LSH near-dup survivors, with per-stage drop counts — the
+    one-look observability table a dedup pipeline publishes after every
+    run (stage ordering matters: near-dup clustering runs on the EXACT
+    survivors, so the two stages never double-count a drop). Composes
+    the existing stage operators: exact_dedup's min-id survivors filter
+    both ends of the persisted pair layout, then the connected-components
+    drop count. Output is three rows of exact integers."""
+    from nyc_taxi_pyspark_spark.operators.text import connected_components
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.agg(F.count(F.lit(1)).cast("bigint").alias("raw"))
+    survivors = exact_dedup(docs).select("doc_id")
+    after_exact = survivors.agg(
+        F.count(F.lit(1)).cast("bigint").alias("after_exact")
+    )
+    pairs = (
+        _near_dup_pairs_cached(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .join(survivors.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    cc = connected_components(pairs)
+    near_drop = cc.filter(F.col("id") != F.col("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("near_drop")
+    )
+    counts = raw.join(F.broadcast(after_exact)).join(F.broadcast(near_drop))
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("ord"),
+                    F.lit("raw").alias("stage"),
+                    F.col("raw").alias("n_docs"),
+                    F.lit(0).cast("bigint").alias("dropped"),
+                ),
+                F.struct(
+                    F.lit(2).alias("ord"),
+                    F.lit("exact_dedup").alias("stage"),
+                    F.col("after_exact").alias("n_docs"),
+                    (F.col("raw") - F.col("after_exact")).alias("dropped"),
+                ),
+                F.struct(
+                    F.lit(3).alias("ord"),
+                    F.lit("near_dedup").alias("stage"),
+                    (F.col("after_exact") - F.col("near_drop")).alias(
+                        "n_docs"
+                    ),
+                    F.col("near_drop").alias("dropped"),
+                ),
+            )
+        ).alias("s")
+    )
+    return stages.select(
+        F.col("s.ord").alias("__ord"), "s.stage", "s.n_docs", "s.dropped"
+    ).orderBy("__ord").drop("__ord")
