@@ -1667,3 +1667,73 @@ def orders_forecast_linear(spark, sf_dir):
         )
         .orderBy("month_index")
     )
+
+
+@query(
+    "events_qq_compare",
+    oracle="""
+    WITH a AS (
+        SELECT quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT),
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                   AS qs
+        FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+        SELECT quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT),
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                   AS qs
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT (g.i) AS decile,
+           CAST(a.qs[g.i] AS DOUBLE) / 100.0 AS q_purchase,
+           CAST(b.qs[g.i] AS DOUBLE) / 100.0 AS q_view,
+           CAST(a.qs[g.i] - b.qs[g.i] AS DOUBLE) / 100.0 AS q_diff
+    FROM a, b, generate_series(1, 9) AS g(i)
+    ORDER BY decile
+    """,
+)
+def events_qq_compare(spark, sf_dir):
+    """Quantile-quantile comparison of two segments' value distributions
+    (purchase vs view) — the QQ-plot table that localizes WHERE two
+    distributions diverge, where the chi-square drift monitor only says
+    THAT they do. Both quantile vectors come from one mergeable
+    approx_percentile sketch each (exact and quantile_disc-adjudicated
+    at the 1e6 accuracy bound), cross-joined as two 1-row frames and
+    unrolled to nine decile rows with exact integer-cents differences."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    cents_sql = "cast(round(value * 100.0) as bigint)"
+    ps = "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)"
+
+    def qvec(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .agg(
+                F.expr(
+                    f"approx_percentile({cents_sql}, {ps}, 1000000)"
+                ).alias(f"__q_{t}")
+            )
+        )
+
+    joined = qvec("purchase").join(F.broadcast(qvec("view")))
+    return (
+        joined.select(
+            F.posexplode(
+                F.zip_with(
+                    F.col("__q_purchase"),
+                    F.col("__q_view"),
+                    lambda x, y: F.struct(
+                        x.alias("qa"), y.alias("qb")
+                    ),
+                )
+            ).alias("pos", "z")
+        )
+        .select(
+            (F.col("pos") + 1).cast("bigint").alias("decile"),
+            (F.col("z.qa").cast("double") / 100.0).alias("q_purchase"),
+            (F.col("z.qb").cast("double") / 100.0).alias("q_view"),
+            (
+                (F.col("z.qa") - F.col("z.qb")).cast("double") / 100.0
+            ).alias("q_diff"),
+        )
+        .orderBy("decile")
+    )
