@@ -2065,3 +2065,76 @@ def corpus_dedup_funnel(spark, sf_dir):
     return stages.select(
         F.col("s.ord").alias("__ord"), "s.stage", "s.n_docs", "s.dropped"
     ).orderBy("__ord").drop("__ord")
+
+
+@query(
+    "text_code_detection",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[{};()=\\[\\]<>]', '', 'g'))
+                    AS BIGINT) AS n_syntax,
+               CAST(len(regexp_extract_all(text, '[a-z][A-Z]')) AS BIGINT)
+                   AS n_camel,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z_]+_[a-zA-Z_]+'))
+                    AS BIGINT) AS n_snake
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_syntax, n_camel, n_snake,
+           CAST(n_syntax * 1000 // n_chars AS BIGINT) AS syntax_permille,
+           CAST(CASE WHEN (n_syntax * 1000 // n_chars) >= 20
+                      AND (n_camel + n_snake) >= 3
+                     THEN 1 ELSE 0 END AS INTEGER) AS looks_like_code
+    FROM feats ORDER BY doc_id
+    """,
+)
+def text_code_detection(spark, sf_dir):
+    """Code-vs-prose detection — the corpus-curation signal that routes
+    documents to a code pipeline (different dedup granularity, different
+    quality rules) or filters them from a prose corpus: syntax-character
+    density (braces/semicolons/brackets per mille, integer division) and
+    identifier-convention counts (camelCase, snake_case) from regexp
+    counts. Pure row-local integer features — one scan, no shuffle
+    before the ORDER BY — and the rule threshold is integer arithmetic,
+    so the verdict column hash-checks. On this synthetic corpus nothing
+    should fire; the thresholds are the real ones (≈2 % syntax chars +
+    ≥3 identifiers), so the query doubles as a false-positive audit."""
+    d = _docs(spark, sf_dir).filter(F.length("text") > 0)
+    n_chars = F.length("text").cast("bigint")
+    n_syntax = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[{};()=\[\]<>]", ""))
+    ).cast("bigint")
+    n_camel = F.size(
+        F.expr(r"regexp_extract_all(text, '[a-z][A-Z]', 0)")
+    ).cast("bigint")
+    n_snake = F.size(
+        F.expr(r"regexp_extract_all(text, '[a-zA-Z_]+_[a-zA-Z_]+', 0)")
+    ).cast("bigint")
+    feats = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_syntax.alias("n_syntax"),
+        n_camel.alias("n_camel"),
+        n_snake.alias("n_snake"),
+    )
+    permille = F.expr("(n_syntax * 1000) div n_chars")
+    return (
+        feats.select(
+            "doc_id",
+            "n_syntax",
+            "n_camel",
+            "n_snake",
+            permille.cast("bigint").alias("syntax_permille"),
+            F.when(
+                (permille >= 20) & ((F.col("n_camel") + F.col("n_snake")) >= 3),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("looks_like_code"),
+        )
+        .orderBy("doc_id")
+    )
