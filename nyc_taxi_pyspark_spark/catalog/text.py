@@ -2138,3 +2138,30 @@ def text_code_detection(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    SELECT lang AS true_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({_lang_id_oracle()})
+    GROUP BY lang, predicted_lang
+    ORDER BY true_lang, predicted_lang
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Classifier-eval rollup: the language-ID confusion matrix
+    (true × predicted counts) over the stopword-profile classifier — the
+    table that tells a curation pipeline WHICH language pairs leak into
+    each other before it trusts per-language routing. One extra 25-cell
+    aggregate on top of the row-level predictions; deterministic because
+    the classifier's argmax tie order is fixed."""
+    preds = text_lang_id(spark, sf_dir)
+    return (
+        preds.groupBy(
+            F.col("lang").alias("true_lang"), "predicted_lang"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("true_lang", "predicted_lang")
+    )
