@@ -709,3 +709,71 @@ def events_leakfree_labels(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "events_watermark_tuning",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS run_max
+        FROM events
+    ),
+    lat AS (
+        SELECT CASE WHEN run_max IS NULL OR run_max <= us THEN 0
+                    ELSE run_max - us END AS late_us
+        FROM o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS late_share,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+           CAST(quantile_disc(late_us, 0.99) AS BIGINT) AS p99_late_us
+    FROM lat
+    """,
+)
+def events_watermark_tuning(spark, sf_dir):
+    """Watermark sizing from data, not guesswork: per-user out-of-order
+    lateness (running max of event time over ARRIVAL order — event_id is
+    the arrival sequence — minus the event's own time), rolled up to the
+    late share, max, and p99 lateness. p99_late_us IS the watermark you
+    configure: a delay covering 99 % of disorder with bounded state,
+    with max_late_us showing what the last 1 % would cost. One
+    user-partitioned window (scales with users) + one global rollup; the
+    p99 uses the mergeable approx_percentile sketch (exact and
+    quantile_disc-adjudicated at the 1e6 accuracy bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros("ts")
+    run_max = F.max(us).over(w)
+    late = (
+        F.when(
+            run_max.isNull() | (run_max <= us), F.lit(0).cast("bigint")
+        )
+        .otherwise(run_max - us)
+        .alias("late_us")
+    )
+    lat = ev.select(late)
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_late"),
+        (
+            F.sum((F.col("late_us") > 0).cast("int")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("late_share"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        F.expr("approx_percentile(late_us, 0.99, 1000000)")
+        .cast("bigint")
+        .alias("p99_late_us"),
+    )
