@@ -2165,3 +2165,49 @@ def text_langid_confusion(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+@query(
+    "text_dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_near_dup_pairs_cte()},
+    th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+    SELECT th.threshold,
+           CAST(SUM(CASE WHEN p.jaccard >= th.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.jaccard >= th.threshold
+                                    THEN p.doc_b END) AS BIGINT)
+               AS n_docs_droppable
+    FROM th, ndpairs p
+    GROUP BY th.threshold ORDER BY th.threshold
+    """,
+)
+def text_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup threshold tuning table: how many near-dup pairs (and how
+    many higher-id docs become droppable) survive at each Jaccard cutoff
+    from 0.5 to 0.9 — the sweep an operator reads before committing to a
+    threshold, computed from ONE persisted pair layout instead of five
+    re-runs (the layout's band join has a 0.5 floor, so the sweep covers
+    thresholds at or above it; lower floors need wider LSH bands by
+    design). The droppable-doc count uses the conservative
+    keep-the-smaller-id rule pairwise; exact cluster-based drops at each
+    threshold come from re-running the components (text_dup_clusters) at
+    that cutoff."""
+    pairs = _near_dup_pairs_cached(spark, sf_dir)
+    th = F.explode(
+        F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    ).alias("threshold")
+    crossed = pairs.select("doc_b", "jaccard").crossJoin(
+        pairs.sparkSession.range(1).select(th)
+    )
+    hit = F.col("jaccard") >= F.col("threshold")
+    return (
+        crossed.groupBy("threshold")
+        .agg(
+            F.sum(hit.cast("int")).cast("bigint").alias("n_pairs"),
+            F.count_distinct(F.when(hit, F.col("doc_b")))
+            .cast("bigint")
+            .alias("n_docs_droppable"),
+        )
+        .orderBy("threshold")
+    )
