@@ -1622,3 +1622,44 @@ def embed_filtered_topk(spark, sf_dir):
         .orderBy(F.desc("cosine_sim"), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "embed_ivf_balance",
+    oracle=_duck_ivf_cells()
+    + """
+    , sizes AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM cells GROUP BY cell
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(n) AS BIGINT) AS n_vectors,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_cell,
+           CAST(MAX(n) AS DOUBLE)
+               / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS imbalance
+    FROM sizes
+    """,
+)
+def embed_ivf_balance(spark, sf_dir):
+    """IVF index-maintenance audit: cell-size balance of the coarse
+    quantizer — max/min/mean cell population and the imbalance ratio.
+    Imbalance is the IVF latency killer (a probe into a hot cell scans
+    many times the average), and the number that schedules a centroid
+    RETRAIN (embed_ivf_train) or a split of the hot cells. One keyed
+    aggregate over the persisted cell assignment + a scalar rollup;
+    the same audit shape as join_skew_audit, pointed at the index."""
+    sizes = (
+        _ivf(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    mean = F.sum("n").cast("double") / F.count(F.lit(1))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        mean.alias("mean_cell"),
+        (F.max("n").cast("double") / mean).alias("imbalance"),
+    )
