@@ -1737,3 +1737,56 @@ def events_qq_compare(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "orders_open_interval_count",
+    oracle="""
+    WITH deltas AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS d, 1 AS delta
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT CAST(l.l_shipdate AS DATE) + INTERVAL 1 DAY, -1
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    day_agg AS (
+        SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+    )
+    SELECT d AS day,
+           CAST(SUM(net) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_open
+    FROM day_agg ORDER BY day
+    """,
+)
+def orders_open_interval_count(spark, sf_dir):
+    """Concurrent-interval counting by SWEEP LINE — 'how many line items
+    were open (ordered, not yet shipped) on each day' — the pattern that
+    replaces the quadratic day⋈interval range join at scale: every
+    interval becomes a +1 delta at its start and a -1 the day after its
+    end, deltas aggregate per day (one keyed shuffle over the fact), and
+    the running sum runs over the per-DAY aggregate — a calendar-bounded
+    window (~2.5k rows), never a window over base rows. The same
+    delta-encode/prefix-sum trick serves concurrent sessions, active
+    subscriptions, and GPU-reservation overlap."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.to_date("l_shipdate").alias("sd"),
+    )
+    j = li.join(orders, "o_orderkey")
+    deltas = j.select(
+        F.col("od").alias("d"), F.lit(1).alias("delta")
+    ).unionAll(
+        j.select(F.date_add("sd", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    day_agg = deltas.groupBy("d").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return day_agg.select(
+        F.col("d").alias("day"),
+        F.sum("net").over(w).cast("bigint").alias("n_open"),
+    ).orderBy("day")
