@@ -46,6 +46,21 @@ SF0001 = "/root/testdata/sf0.001"
 _EVENTS_DATA_EPOCH = "CORRECTNESS_r05.json"
 
 
+_EVENTS_LOAD_RE = __import__("re").compile(
+    # an actual events-table load, not an incidental mention (comments,
+    # identifiers like n_events): load_table(..., "events"), the shared
+    # _events()/ _ev() helpers, or a direct events.parquet path
+    r"""load_table\([^)]*['"]events['"]\s*\)"""
+    r"""|\b_events\s*\(|['"]events\.parquet['"]"""
+)
+_EVENTS_SQL_RE = __import__("re").compile(
+    # events as a relation in the oracle SQL: FROM/JOIN events or a
+    # comma-list member — never a column/alias substring like n_events
+    r"\b(?:from|join)\s+events\b|,\s*events\s+(?:as\s+)?[a-z_]|,\s*events\s*$",
+    __import__("re").IGNORECASE | __import__("re").MULTILINE,
+)
+
+
 def _reads_events(name: str) -> bool:
     import inspect
 
@@ -54,7 +69,9 @@ def _reads_events(name: str) -> bool:
         src = inspect.getsource(QUERIES[name])
     except Exception:
         pass
-    return "events" in src or "events" in (ORACLES.get(name) or "").lower()
+    return bool(_EVENTS_LOAD_RE.search(src)) or bool(
+        _EVENTS_SQL_RE.search(ORACLES.get(name) or "")
+    )
 
 
 def _checked_rounds() -> list[tuple[str, dict]]:

@@ -472,11 +472,20 @@ def corpus_budget_select(spark, sf_dir):
         .filter(F.col("cum_tokens") <= F.col("token_budget"))
         .agg(F.coalesce(F.min("q_permille"), F.lit(1001)).alias("threshold"))
     )
+    # Mirror the oracle's OUTER shape: the always-1-row budget×cut frame
+    # LEFT JOINs the selected buckets, so the degenerate no-bucket-fits
+    # case (top bucket alone exceeds the budget → threshold 1001 selects
+    # nothing) still emits the single zeroed summary row instead of an
+    # empty result. The left side is 1 row and the right ≤1001, so this
+    # is a broadcast nested-loop join over constants, never a data scan.
+    base = budget.crossJoin(cut)
+    selected = base.join(
+        F.broadcast(running),
+        F.col("q_permille") >= F.col("threshold"),
+        "left",
+    )
     return (
-        running.join(F.broadcast(cut))
-        .join(F.broadcast(budget))
-        .filter(F.col("q_permille") >= F.col("threshold"))
-        .groupBy("threshold", "total_tokens", "token_budget")
+        selected.groupBy("threshold", "total_tokens", "token_budget")
         .agg(
             F.coalesce(F.sum("bucket_docs"), F.lit(0))
             .cast("bigint")

@@ -1783,6 +1783,9 @@ def source_syndication_rank(spark, sf_dir):
     edges = g.filter(~F.col("is_node")).select("src", "dst", "w")
     nodes = g.filter(F.col("is_node")).select(F.col("src").alias("node"))
     n_nodes = nodes.count()
+    # local[32] uses the default localCheckpoint lineage cut; a real
+    # 1000-executor run passes checkpoint_dir=<hdfs/s3 URI> so per-round
+    # state survives executor loss (operators/iterative.py).
     ranks = pagerank_int(edges, nodes, n_nodes, iterations=5)
     return ranks.select(
         F.col("node").alias("source"), "rank_micro", "rank"

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
+
 PR_SCALE = 10**12
 
 
@@ -31,6 +33,7 @@ def pagerank_int(
     iterations: int = 5,
     damping_pct: int = 85,
     checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank in exact integer micro-units.
 
@@ -51,12 +54,16 @@ def pagerank_int(
     deterministic, mirrored in the oracle twin. Returns (node, rank_micro,
     rank) with rank = rank_micro / SCALE as double.
 
-    ``checkpoint`` (default on) localCheckpoints the rank frame after each
+    ``checkpoint`` (default on) cuts the rank frame's lineage after each
     iteration — the standard iterative-DataFrame discipline: without a
     lineage cut, every iteration doubles plan references back through the
     edge pipeline and Catalyst analysis time explodes (measured 48 s → ~2 s
     on a 20-node graph). Pass False only for plan-inspection of a single
-    symbolic iteration.
+    symbolic iteration. ``checkpoint_dir`` selects the cut strategy
+    (operators/iterative.py): None → localCheckpoint (executor-pinned,
+    lost on executor failure — local-mode default); a durable URI →
+    reliable ``checkpoint``, the 1000-executor mode where one executor
+    loss costs a reread instead of the whole run.
     """
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     base = F.lit(((100 - damping_pct) * PR_SCALE) // 100 // n_nodes)
@@ -98,7 +105,7 @@ def pagerank_int(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = cut_lineage(ranks, checkpoint_dir)
     return ranks.select(
         "node",
         F.col("ru").alias("rank_micro"),

@@ -151,13 +151,21 @@ def key_sequence_gaps(df: DataFrame, key: str) -> DataFrame:
     by data volume), so its own LEAD window and the broadcast join back
     are O(partitions). Output — ``(gap_start, gap_end, n_missing)`` — is
     identical to the global form for ANY boundary placement, so the range
-    partitioner's sampling nondeterminism is invisible. Assumes distinct
-    keys (duplicates are never reported as gaps either way).
+    partitioner's sampling nondeterminism is invisible — PROVIDED both
+    physical subtrees below (the in-partition LEAD and the boundary min
+    aggregate) read the SAME placement. Exchange reuse usually guarantees
+    that, but it is an optimizer courtesy, not a contract (AQE can re-plan
+    one branch; RangePartitioner sampling is nondeterministic per run), so
+    the keyed frame is pinned with an eager ``localCheckpoint`` before
+    branching: one materialization, lineage cut, and both branches provably
+    consume the identical pid→range mapping. Assumes distinct keys
+    (duplicates are never reported as gaps either way).
     """
     keys = (
         df.select(key)
         .repartitionByRange(key)
         .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w_in = Window.partitionBy("__pid").orderBy(key)
     with_lead = keys.withColumn("__next_in", F.lead(key).over(w_in))

@@ -25,6 +25,8 @@ import logging
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
+
 N_HASHES = 8
 N_BANDS = 4
 ROWS_PER_BAND = 2
@@ -698,6 +700,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by min-label
     propagation: every node's label converges to the smallest id reachable
@@ -724,17 +727,17 @@ def connected_components(
     # Eager localCheckpoint (not persist): each round's frame must TRUNCATE
     # lineage, or the logical plan nests the whole iteration history and the
     # driver OOMs analyzing round ~20's plan even on tiny graphs.
-    und = (
+    und = cut_lineage(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("t"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("t")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
-    cur = (
+    cur = cut_lineage(
         und.select(F.col("s").alias("id"))
         .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .withColumn("label", F.col("id")),
+        checkpoint_dir,
     )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     prev_sum = cur.agg(label_sum).head()[0]
@@ -749,15 +752,14 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("s", "id")
         )
-        nxt = (
-            cur.join(nbr, "id", "left")
-            .select(
+        nxt = cut_lineage(
+            cur.join(nbr, "id", "left").select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            checkpoint_dir,
         )
         cur_sum = nxt.agg(label_sum).head()[0]
         cur = nxt
@@ -772,7 +774,9 @@ def connected_components(
             "small-star.",
             max_iter,
         )
-        return connected_components_star(edges, src, dst)
+        return connected_components_star(
+            edges, src, dst, checkpoint_dir=checkpoint_dir
+        )
     return cur
 
 
@@ -791,6 +795,7 @@ def connected_components_star(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star rounds
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -819,7 +824,7 @@ def connected_components_star(
     # whole history) and the driver OOMs analyzing round ~10's plan long
     # before any executor works. Checkpoint blocks are reclaimed by the
     # ContextCleaner once unreferenced.
-    cur = _und_edges(edges, src, dst).localCheckpoint(eager=True)
+    cur = cut_lineage(_und_edges(edges, src, dst), checkpoint_dir)
     cur_count = cur.count()
     converged = False
     for _ in range(max_rounds):
@@ -842,12 +847,12 @@ def connected_components_star(
         )
         m_small = F.min("v").over(w)  # all neighbors here are < u
         nb = directed.select("u", "v", m_small.alias("m"))
-        nxt = (
+        nxt = cut_lineage(
             nb.select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(nb.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            checkpoint_dir,
         )
         # Fixpoint = identical edge SET: equal counts AND no new edges.
         # (Both probes are needed — the set both gains and loses edges on

@@ -55,8 +55,28 @@ def parquet_stream_dir(src_file: str) -> str:
     d = os.path.join(tempfile.gettempdir(), f"stateful_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(src))
-    if os.path.islink(link) and os.path.realpath(link) != src:
-        os.unlink(link)
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    # Replace anything at the link path that is not a symlink resolving to
+    # src: a stale symlink (source regenerated), but also a plain file or
+    # directory squatting there — lexists catches dangling symlinks that
+    # exists() would miss. Creation races with a concurrent session: both
+    # can pass the lexists check, so the loser's symlink() raises
+    # FileExistsError — benign iff what won resolves to src (re-validated
+    # below), one retry covers the unlink/symlink interleave.
+    for _ in range(2):
+        if os.path.islink(link):
+            if os.path.realpath(link) == src:
+                return d
+            os.unlink(link)
+        elif os.path.lexists(link):
+            os.unlink(link)
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            continue  # concurrent creator won; re-validate
+        break
+    if not (os.path.islink(link) and os.path.realpath(link) == src):
+        raise RuntimeError(
+            f"parquet_stream_dir: {link!r} is contended by another writer "
+            f"and does not resolve to {src!r}"
+        )
     return d

@@ -178,3 +178,33 @@ def test_nested_samples_are_subsets(spark):
     ids1 = {r.doc_id for r in d.filter("b < 10").collect()}
     ids5 = {r.doc_id for r in d.filter("b < 50").collect()}
     assert ids1 <= ids5
+
+
+def test_corpus_budget_select_degenerate_no_bucket_fits(spark, tmp_path):
+    # Every doc has fully-distinct tokens -> one q_permille=1000 bucket
+    # holding 100% of tokens, which alone exceeds the 25% budget: nothing
+    # is selectable. The query must still emit ONE summary row with
+    # threshold 1001 and zeroed counts (mirroring its oracle's LEFT JOIN
+    # shape), not an empty frame (ADVICE r7, catalog/corpus.py:473).
+    import pandas as pd
+
+    from nyc_taxi_pyspark_spark.catalog.corpus import corpus_budget_select
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c", "d e f"],
+            "lang": ["en", "en"],
+            "source": ["web", "web"],
+            "n_chars": [5, 5],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = corpus_budget_select(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["threshold_permille"] == 1001
+    assert r["n_selected"] == 0
+    assert r["tokens_selected"] == 0
+    assert r["total_tokens"] == 6
+    assert r["token_budget"] == 1

@@ -262,3 +262,78 @@ def test_pagerank_int_matches_python_mirror_and_is_deterministic(spark):
                               iterations=K, damping_pct=D).collect()
     }
     assert again == got
+
+
+def test_key_sequence_gaps_pins_one_partitioning(spark):
+    # the LEAD branch and the boundary-min branch must consume the SAME
+    # pid->range mapping; the operator pins it with an eager
+    # localCheckpoint, which shows up as a lineage-cut ExistingRDD scan
+    # (twice: once per branch) instead of two independent range exchanges
+    df = spark.range(0, 100).selectExpr("id as k")
+    plan = (
+        key_sequence_gaps(df, "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), (
+        "range exchange survived below the checkpoint — branches may "
+        "observe different boundary placements:\n" + plan
+    )
+
+
+def test_iterative_durable_checkpoint_mode(spark, tmp_path):
+    # checkpoint_dir switches the per-iteration lineage cut from
+    # executor-pinned localCheckpoint to reliable checkpoint(): results
+    # must be bit-identical, real rdd-* checkpoint data must land in the
+    # dir (the durability proof — executor loss costs a reread, not the
+    # run), and the returned plan must still be lineage-cut.
+    from nyc_taxi_pyspark_spark.operators.graph import pagerank_int
+    from nyc_taxi_pyspark_spark.operators.text import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3)],
+        "src string, dst string, w bigint",
+    )
+    nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string"
+    )
+    local = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_int(edges, nodes, 4, iterations=3).collect()
+    }
+    ckpt = str(tmp_path / "pr_ckpt")
+    durable_df = pagerank_int(
+        edges, nodes, 4, iterations=3, checkpoint_dir=ckpt
+    )
+    durable = {r["node"]: r["rank_micro"] for r in durable_df.collect()}
+    assert durable == local
+    import glob
+
+    written = glob.glob(f"{ckpt}/*/rdd-*")
+    assert written, "reliable checkpoint wrote no rdd-* data"
+    plan = durable_df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan  # lineage cut survived into the plan
+
+    pair_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "doc_a bigint, doc_b bigint"
+    )
+    for fn in (connected_components, connected_components_star):
+        base = sorted(
+            map(tuple, fn(pair_edges).collect())
+        )
+        dur = sorted(
+            map(
+                tuple,
+                fn(
+                    pair_edges,
+                    checkpoint_dir=str(tmp_path / fn.__name__),
+                ).collect(),
+            )
+        )
+        assert dur == base
+        assert glob.glob(f"{tmp_path / fn.__name__}/*/rdd-*")

@@ -200,3 +200,41 @@ def test_stream_static_enrich_equals_batch(spark, events_dir):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in streamed.collect()}
     assert b == s and len(b) > 0
+
+
+def test_parquet_stream_dir_replaces_squatters_and_stale_links(tmp_path):
+    import os
+
+    from nyc_taxi_pyspark_spark.streaming.runner import parquet_stream_dir
+
+    src = tmp_path / "events.parquet"
+    src.write_bytes(b"PAR1fake")
+    d = parquet_stream_dir(str(src))
+    link = os.path.join(d, "events.parquet")
+    assert os.path.islink(link)
+    assert os.path.realpath(link) == os.path.realpath(str(src))
+
+    # idempotent reuse: same dir, link untouched
+    assert parquet_stream_dir(str(src)) == d
+
+    # a plain FILE squatting at the link path is replaced, not streamed
+    os.unlink(link)
+    with open(link, "wb") as fh:
+        fh.write(b"not a symlink")
+    parquet_stream_dir(str(src))
+    assert os.path.islink(link)
+    assert os.path.realpath(link) == os.path.realpath(str(src))
+
+    # a DANGLING symlink (regenerated source) is replaced too
+    os.unlink(link)
+    os.symlink(str(tmp_path / "gone.parquet"), link)
+    parquet_stream_dir(str(src))
+    assert os.path.realpath(link) == os.path.realpath(str(src))
+
+    # stale link to a DIFFERENT real file is repointed
+    other = tmp_path / "other.parquet"
+    other.write_bytes(b"PAR1other")
+    os.unlink(link)
+    os.symlink(str(other), link)
+    parquet_stream_dir(str(src))
+    assert os.path.realpath(link) == os.path.realpath(str(src))
