@@ -189,6 +189,55 @@ def _duck_bucket_cte() -> str:
     """
 
 
+def _panel_sims_cte(n_queries: int, dims: int, qs_extra: str = "") -> str:
+    """Shared oracle CTE pair: the ``n_queries``-vector query panel and the
+    corpus × panel cosine sims over the first ``dims`` dimensions (micro-
+    quantized folds, identical to the Spark ``dot``/``l2_norm`` kernels)."""
+    qv = "CAST(q.qe[i] AS DOUBLE)"
+    return f"""
+    qs AS (
+        SELECT e.vec_id AS q_id, e.embedding AS qe{qs_extra}
+        FROM embeddings e{{qs_join}}
+        WHERE e.vec_id < {n_queries}
+    ),
+    sims AS (
+        SELECT q.q_id, e.vec_id,
+               {_duck_acc(f'{_DUCK_X} * {qv}')}
+                 / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                    * SQRT({_duck_acc(f'{qv} * {qv}')})) AS sim
+        FROM embeddings e, qs q, generate_series(1, {dims}) AS g(i)
+        GROUP BY q.q_id, e.vec_id
+    )"""
+
+
+def _duck_topk(src: str, k: int, name: str) -> str:
+    return f"""
+    {name} AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, vec_id) AS rk
+            FROM {src}
+        ) WHERE rk <= {k}
+    )"""
+
+
+_RECALL_FINAL = """
+    perq AS (
+        SELECT x.q_id, COUNT(a.vec_id) AS hits
+        FROM exact x LEFT JOIN ann a
+          ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+        GROUP BY x.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({k} AS BIGINT) AS k,
+           CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * {k}) AS mean_recall_at_k,
+           CAST(MIN(hits) AS DOUBLE) / {k} AS min_recall_at_k
+    FROM perq
+"""
+
+
+
 @query(
     "embed_lsh_buckets",
     oracle=_duck_bucket_cte()
@@ -536,20 +585,69 @@ def embed_matryoshka_topk(spark, sf_dir):
     )
 
 
-@query("embed_mrl_recall")
+def _mrl_recall_oracle(
+    n_queries: int = 20,
+    k: int = 10,
+    shortlist: int = _MRL_SHORTLIST,
+    mrl_dim: int = _MRL_DIM,
+) -> str:
+    qv = "CAST(q.qe[i] AS DOUBLE)"
+    panel = _panel_sims_cte(n_queries, DIM).format(qs_join="")
+    return (
+        "WITH "
+        + panel
+        + f""",
+    csims AS (
+        SELECT q.q_id, e.vec_id,
+               {_duck_acc(f'{_DUCK_X} * {qv}')}
+                 / (SQRT({_duck_acc(f'{_DUCK_X} * {_DUCK_X}')})
+                    * SQRT({_duck_acc(f'{qv} * {qv}')})) AS sim
+        FROM embeddings e, qs q, generate_series(1, {mrl_dim}) AS g(i)
+        GROUP BY q.q_id, e.vec_id
+    ),"""
+        + _duck_topk("csims", shortlist, "short")
+        + ","
+        + _duck_topk("sims", k, "exact")
+        + f""",
+    ann AS (
+        SELECT q_id, vec_id FROM (
+            SELECT f.q_id, f.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY f.q_id
+                                      ORDER BY f.sim DESC, f.vec_id) AS rk
+            FROM sims f JOIN short s
+              ON s.q_id = f.q_id AND s.vec_id = f.vec_id
+        ) WHERE rk <= {k}
+    ),
+    perq AS (
+        SELECT x.q_id, COUNT(a.vec_id) AS hits
+        FROM exact x LEFT JOIN ann a
+          ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+        GROUP BY x.q_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({k} AS BIGINT) AS k,
+           CAST({shortlist} AS BIGINT) AS shortlist,
+           CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * {k}) AS mean_recall_at_k,
+           CAST(MIN(hits) AS DOUBLE) / {k} AS min_recall_at_k
+    FROM perq
+    """
+    )
+
+
+@query("embed_mrl_recall", oracle=_mrl_recall_oracle())
 def embed_mrl_recall(spark, sf_dir):
     """Recall@10 of the Matryoshka two-stage path (16-dim coarse shortlist
     of {short}, 64-dim exact re-rank) against brute-force 64-dim ground
-    truth over a 20-query panel — rows-only by design, same honesty
-    discipline as ``embed_ann_recall``: recall is a quality metric of the
-    approximation itself. Both sides use the production tie-break; the
-    panel is broadcast-sized, so this is the recurring sampled eval job at
-    scale. On these isotropic synthetic embeddings the prefix carries
-    ~1/4 of the signal so recall is honestly modest; the MRL-spectrum
-    fixture test (tests/test_text_similarity.py) shows the same operator
-    at >0.9 recall on prefix-concentrated embeddings.""".format(
-        short=_MRL_SHORTLIST
-    )
+    truth over a 20-query panel — HASH-CHECKED: both stages are
+    deterministic integer-quantized cosine rankings with the production
+    tie-break, so shortlist, re-rank, and ground truth all have DuckDB
+    twins (hit counts stay integer until two final exact-int divisions).
+    The panel is broadcast-sized, so this is the recurring sampled eval
+    job at scale. On these isotropic synthetic embeddings the prefix
+    carries ~1/4 of the signal so recall is honestly modest; the
+    MRL-spectrum fixture test (tests/test_text_similarity.py) shows the
+    same operator at >0.9 recall on prefix-concentrated
+    embeddings.""".format(short=_MRL_SHORTLIST)
     from nyc_taxi_pyspark_spark.operators.similarity import mrl_recall_panel
 
     return mrl_recall_panel(
@@ -814,31 +912,129 @@ def embed_ann_int8(spark, sf_dir):
     )
 
 
-@query("embed_ann_recall")
+def _ann_recall_oracle(n_queries: int = 20, k: int = 10) -> str:
+    panel = _panel_sims_cte(
+        n_queries, DIM, qs_extra=", b.bucket AS q_bucket"
+    ).format(qs_join=" JOIN buckets b ON b.vec_id = e.vec_id")
+    return (
+        _duck_bucket_cte()
+        + ", "
+        + panel
+        + ","
+        + _duck_topk("sims", k, "exact")
+        + f""",
+    ann AS (
+        SELECT q_id, vec_id FROM (
+            SELECT s.q_id, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                      ORDER BY s.sim DESC, s.vec_id) AS rk
+            FROM sims s
+            JOIN buckets cb ON cb.vec_id = s.vec_id
+            JOIN qs q ON q.q_id = s.q_id
+            WHERE {_duck_hamming_leq1('cb.bucket', 'q.q_bucket')}
+        ) WHERE rk <= {k}
+    ),"""
+        + _RECALL_FINAL.format(k=k)
+    )
+
+
+@query("embed_ann_recall", oracle=_ann_recall_oracle())
 def embed_ann_recall(spark, sf_dir):
     """Recall@10 of the multiprobe LSH ANN path against brute-force cosine
-    ground truth over a 20-query panel (rows-only by design: recall is a
-    quality metric of the approximation itself, so a SQL oracle would just
-    re-state the implementation). Both sides rank with the production
+    ground truth over a 20-query panel — HASH-CHECKED: both sides of the
+    measurement (exact top-10 sets and multiprobe-retrieved top-10 sets)
+    are deterministic integer-quantized cosine rankings, so the whole
+    recall computation has a DuckDB twin. Hit counts stay integer until
+    two final single divisions of exact ints (no float AVG, no ROUND), so
+    the doubles are bit-portable. Both sides rank with the production
     tie-break; see :func:`operators.similarity.ann_recall_at_k` for the
-    batch join shape. Pytest pins mean recall ≥ 0.9 (COVERAGE.md records
-    the measured value)."""
+    batch join shape. Pytest additionally pins mean recall ≥ 0.9."""
     return ann_recall_at_k(_bucketed(spark, sf_dir), n_queries=20, k=10)
 
 
 from nyc_taxi_pyspark_spark.operators.similarity import ann_recall_at_k  # noqa: E402
 
 
-@query("embed_ann_near_recall")
+def _near_recall_oracle(n_tables: int = 12, rel_threshold: str = "0.5") -> str:
+    from nyc_taxi_pyspark_spark.operators.similarity import (
+        hyperplane_signs_salted,
+    )
+
+    plane_sums = []
+    bits_by_table = []
+    for t in range(n_tables):
+        signs = hyperplane_signs_salted(str(t))
+        for j in range(N_PLANES):
+            plane_sums.append(
+                _duck_acc(f"{_DUCK_X} * ({signs[j]})[i]") + f" AS s{t}_{j}"
+            )
+        bits_by_table.append(
+            "WHEN "
+            + str(t)
+            + " THEN "
+            + " || ".join(
+                f"CASE WHEN s{t}_{j} > 0 THEN '1' ELSE '0' END"
+                for j in range(N_PLANES)
+            )
+        )
+    sums_sql = ",\n               ".join(plane_sums)
+    case_sql = "CASE t.tbl " + " ".join(bits_by_table) + " END"
+    vals = ", ".join(f"({t})" for t in range(n_tables))
+    qv = "CAST(q.qe[i] AS DOUBLE)"
+    return f"""
+    WITH proj AS (
+        SELECT e.vec_id,
+               {sums_sql}
+        FROM embeddings e, generate_series(1, {DIM}) AS g(i)
+        GROUP BY e.vec_id
+    ),
+    tables AS (
+        SELECT vec_id, t.tbl, {case_sql} AS bucket
+        FROM proj, (VALUES {vals}) AS t(tbl)
+    ),
+    ground AS (
+        SELECT q.vec_id AS q_id, e.vec_id AS id
+        FROM embeddings e, embeddings q, generate_series(1, {DIM}) AS g(i)
+        WHERE e.vec_id <> q.vec_id
+        GROUP BY q.vec_id, e.vec_id
+        HAVING {_duck_acc('CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)')}
+                 / (SQRT({_duck_acc('CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)')})
+                    * SQRT({_duck_acc('CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)')}))
+               >= {rel_threshold}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS id
+        FROM tables a JOIN tables b ON a.tbl = b.tbl
+        WHERE a.vec_id <> b.vec_id
+          AND {_duck_hamming_leq1('b.bucket', 'a.bucket')}
+    ),
+    scored AS (
+        SELECT g.q_id, g.id,
+               CASE WHEN c.q_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM ground g LEFT JOIN cand c
+          ON c.q_id = g.q_id AND c.id = g.id
+    )
+    SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_relevant_pairs,
+           CAST({n_tables} AS BIGINT) AS n_tables,
+           CAST(SUM(hit) AS DOUBLE) / COUNT(*) AS recall
+    FROM scored
+    """
+
+
+@query("embed_ann_near_recall", oracle=_near_recall_oracle())
 def embed_ann_near_recall(spark, sf_dir):
     """Recall of 12-table multiprobe LSH on the near-neighbor contract:
     fraction of relevant pairs (cosine ≥ 0.5 — the planted near-dup
-    population) retrieved. Rows-only by design (a quality metric of the
-    approximation). Pytest pins recall ≥ 0.9; COVERAGE.md records the
-    measured values (1.0 at sf0.01, 0.93 at sf0.1 — the pairs sit at
-    cosine ≈ 0.51, the hardest radius for hyperplane LSH, which is exactly
-    why the T-tables dial exists). See
-    :func:`operators.similarity.ann_near_recall` for both join shapes."""
+    population) retrieved — HASH-CHECKED: the relevant-pair set (exact
+    quantized cosine ≥ threshold), the 12 salted hyperplane tables, and
+    the Hamming-≤1 probe expansion are all deterministic, so the whole
+    measurement has a DuckDB twin (recall is one exact-int division, no
+    ROUND). Pytest additionally pins recall ≥ 0.9; COVERAGE.md records
+    the measured values (the pairs sit at cosine ≈ 0.51, the hardest
+    radius for hyperplane LSH, which is exactly why the T-tables dial
+    exists). See :func:`operators.similarity.ann_near_recall` for both
+    join shapes."""
     return ann_near_recall(_bucketed(spark, sf_dir), n_tables=12)
 
 
@@ -955,14 +1151,64 @@ def embed_semantic_dedup(spark, sf_dir):
 from nyc_taxi_pyspark_spark.operators.similarity import probe_buckets  # noqa: E402
 
 
-@query("embed_ivf_recall")
+def _ivf_recall_oracle(
+    n_queries: int = 20, k: int = 10, n_probes: tuple[int, ...] = (1, 2, 4, 8)
+) -> str:
+    vals = ", ".join(f"({p})" for p in n_probes)
+    panel = _panel_sims_cte(n_queries, DIM).format(qs_join="")
+    return (
+        _duck_ivf_cells()
+        + ", "
+        + panel
+        + f""",
+    qcells AS (
+        SELECT vec_id AS q_id, CAST(cid AS INTEGER) AS cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS cell_rk
+        FROM dists WHERE vec_id < {n_queries}
+    ),
+    np AS (SELECT n_probe FROM (VALUES {vals}) AS t(n_probe)),"""
+        + _duck_topk("sims", k, "exact")
+        + f""",
+    ann AS (
+        SELECT n_probe, q_id, vec_id FROM (
+            SELECT np.n_probe, s.q_id, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY np.n_probe, s.q_id
+                                      ORDER BY s.sim DESC, s.vec_id) AS rk
+            FROM np
+            CROSS JOIN sims s
+            JOIN cells ce ON ce.vec_id = s.vec_id
+            JOIN qcells qc ON qc.q_id = s.q_id AND qc.cell = ce.cell
+                          AND qc.cell_rk <= np.n_probe
+        ) WHERE rk <= {k}
+    ),
+    perq AS (
+        SELECT np.n_probe, x.q_id, COUNT(a.vec_id) AS hits
+        FROM np CROSS JOIN exact x
+        LEFT JOIN ann a ON a.n_probe = np.n_probe AND a.q_id = x.q_id
+                        AND a.vec_id = x.vec_id
+        GROUP BY np.n_probe, x.q_id
+    )
+    SELECT CAST(n_probe AS BIGINT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(hits) AS DOUBLE) / (COUNT(*) * {k}) AS mean_recall_at_k,
+           CAST(MIN(hits) AS DOUBLE) / {k} AS min_recall_at_k
+    FROM perq GROUP BY n_probe
+    """
+    )
+
+
+@query("embed_ivf_recall", oracle=_ivf_recall_oracle())
 def embed_ivf_recall(spark, sf_dir):
     """Measured recall/cost curve of the IVF n_probe dial: recall@10 vs
     brute-force cosine over a 20-query panel, one row per n_probe in
-    (1, 2, 4, 8). Rows-only by design (quality metric of the
-    approximation). n_probe = 8 probes every cell — the exhaustive anchor
-    pytest pins to recall 1.0; the curve between is the honest partition-
-    prune trade. See :func:`operators.similarity.ivf_recall_at_k`."""
+    (1, 2, 4, 8) — HASH-CHECKED: cell assignment, probe order, and both
+    rankings are deterministic integer-quantized computations with the
+    production tie-break, so the whole curve has a DuckDB twin (hit
+    counts stay integer until two final exact-int divisions). n_probe = 8
+    probes every cell — the exhaustive anchor pytest pins to recall 1.0;
+    the curve between is the honest partition-prune trade. See
+    :func:`operators.similarity.ivf_recall_at_k`."""
     return ivf_recall_at_k(
         _ivf(spark, sf_dir), _centroids(spark, sf_dir), n_probes=(1, 2, 4, 8)
     )

@@ -325,16 +325,22 @@ def ann_recall_at_k(
     )
     # LEFT join (not semi): every query keeps its k exact rows, so a query
     # with zero ANN overlap contributes recall 0 instead of vanishing.
+    # Recall stays INTEGER (hit counts) until two final single divisions of
+    # exact ints — no float AVG (order-dependent) and no ROUND (engine-
+    # divergent half-handling), so the result is bit-portable and the
+    # DuckDB oracle twin hash-matches (catalog embed_ann_recall).
     per_query = (
         exact.join(ann.withColumn("hit", F.lit(1)), ["q_id", id_col], "left")
         .groupBy("q_id")
-        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k)).alias("recall"))
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
     )
     return per_query.agg(
         F.count("*").cast("long").alias("n_queries"),
         F.lit(k).cast("long").alias("k"),
-        F.round(F.avg("recall"), 4).alias("mean_recall_at_k"),
-        F.round(F.min("recall"), 4).alias("min_recall_at_k"),
+        (
+            F.sum("hits").cast("double") / (F.count(F.lit(1)) * F.lit(k))
+        ).alias("mean_recall_at_k"),
+        (F.min("hits").cast("double") / F.lit(k)).alias("min_recall_at_k"),
     )
 
 
@@ -402,19 +408,20 @@ def mrl_recall_panel(
         .filter(F.col("rk") <= k)
         .select("q_id", id_col)
     )
+    # integer hit counts + single exact-int divisions: see ann_recall_at_k
     per_q = (
         exact.join(mrl.withColumn("hit", F.lit(1)), ["q_id", id_col], "left")
         .groupBy("q_id")
-        .agg(
-            (F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k)).alias("recall")
-        )
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
     )
     return per_q.agg(
         F.count("*").cast("long").alias("n_queries"),
         F.lit(k).cast("long").alias("k"),
         F.lit(shortlist).cast("long").alias("shortlist"),
-        F.round(F.avg("recall"), 4).alias("mean_recall_at_k"),
-        F.round(F.min("recall"), 4).alias("min_recall_at_k"),
+        (
+            F.sum("hits").cast("double") / (F.count(F.lit(1)) * F.lit(k))
+        ).alias("mean_recall_at_k"),
+        (F.min("hits").cast("double") / F.lit(k)).alias("min_recall_at_k"),
     )
 
 
@@ -519,12 +526,14 @@ def ann_near_recall(
         .withColumn("hit", F.lit(1))
     )
     scored = ground.join(candidates, ["q_id", id_col], "left")
+    # recall = one exact-int division (no ROUND: its half-handling is
+    # engine-divergent) so the DuckDB oracle twin hash-matches
     return scored.agg(
         F.count_distinct("q_id").cast("long").alias("n_queries"),
         F.count("*").cast("long").alias("n_relevant_pairs"),
         F.lit(n_tables).cast("long").alias("n_tables"),
-        F.round(
-            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 4
+        (
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double") / F.count("*")
         ).alias("recall"),
     )
 
@@ -637,15 +646,22 @@ def ivf_recall_at_k(
             .filter(F.col("rk") <= k)
             .select("q_id", id_col)
         )
+        # integer hit counts + single exact-int divisions: see
+        # ann_recall_at_k
         row = (
             exact.join(ann.withColumn("hit", F.lit(1)), ["q_id", id_col], "left")
             .groupBy("q_id")
-            .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.lit(k)).alias("recall"))
+            .agg(F.sum(F.coalesce("hit", F.lit(0))).alias("hits"))
             .agg(
                 F.lit(n_probe).cast("long").alias("n_probe"),
                 F.count("*").cast("long").alias("n_queries"),
-                F.round(F.avg("recall"), 4).alias("mean_recall_at_k"),
-                F.round(F.min("recall"), 4).alias("min_recall_at_k"),
+                (
+                    F.sum("hits").cast("double")
+                    / (F.count(F.lit(1)) * F.lit(k))
+                ).alias("mean_recall_at_k"),
+                (F.min("hits").cast("double") / F.lit(k)).alias(
+                    "min_recall_at_k"
+                ),
             )
         )
         out = row if out is None else out.unionByName(row)
