@@ -114,12 +114,12 @@ def multi_measure_agg(spark, sf_dir):
 @query(
     "null_scan",
     oracle="""
-    SELECT CAST(SUM(CAST(event_id IS NULL AS INT)) AS BIGINT) AS event_id_nulls,
-           CAST(SUM(CAST(ts IS NULL AS INT)) AS BIGINT) AS ts_nulls,
-           CAST(SUM(CAST(user_id IS NULL AS INT)) AS BIGINT) AS user_id_nulls,
-           CAST(SUM(CAST(event_type IS NULL AS INT)) AS BIGINT) AS event_type_nulls,
-           CAST(SUM(CAST(value IS NULL AS INT)) AS BIGINT) AS value_nulls,
-           CAST(SUM(CAST(props IS NULL AS INT)) AS BIGINT) AS props_nulls
+    SELECT CAST(COALESCE(SUM(CAST(event_id IS NULL AS INT)), 0) AS BIGINT) AS event_id_nulls,
+           CAST(COALESCE(SUM(CAST(ts IS NULL AS INT)), 0) AS BIGINT) AS ts_nulls,
+           CAST(COALESCE(SUM(CAST(user_id IS NULL AS INT)), 0) AS BIGINT) AS user_id_nulls,
+           CAST(COALESCE(SUM(CAST(event_type IS NULL AS INT)), 0) AS BIGINT) AS event_type_nulls,
+           CAST(COALESCE(SUM(CAST(value IS NULL AS INT)), 0) AS BIGINT) AS value_nulls,
+           CAST(COALESCE(SUM(CAST(props IS NULL AS INT)), 0) AS BIGINT) AS props_nulls
     FROM events
     """,
 )
@@ -402,6 +402,8 @@ def approx_quantiles(spark, sf_dir):
     exact twin (exact_quantiles) carries the value-level oracle."""
     li = load_table(spark, sf_dir, "lineitem")
     qs = li.stat.approxQuantile("l_extendedprice", [0.5, 0.9, 0.99], 0.01)
+    if not qs:  # empty input: approxQuantile returns [] -> well-typed empty
+        return spark.createDataFrame([], "quantile double, value double")
     return spark.createDataFrame(
         [(0.5, qs[0]), (0.9, qs[1]), (0.99, qs[2])], "quantile double, value double"
     )

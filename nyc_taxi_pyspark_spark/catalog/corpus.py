@@ -393,8 +393,9 @@ def corpus_shard_manifest(spark, sf_dir):
         WHERE len({_DUCK_WORDS}) > 0
     ),
     budget AS (
-        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               CAST(SUM(n_tokens) AS BIGINT) // 4 AS token_budget
+        SELECT CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS total_tokens,
+               CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) // 4
+                   AS token_budget
         FROM scored
     ),
     buckets AS (
@@ -452,8 +453,12 @@ def corpus_budget_select(spark, sf_dir):
         ).alias("q_permille"),
     ).filter(F.col("n_tokens") > 0)
     budget = scored.agg(
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.expr("sum(n_tokens) div 4").cast("bigint").alias("token_budget"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("bigint")
+        .alias("total_tokens"),
+        F.coalesce(F.expr("sum(n_tokens) div 4"), F.lit(0))
+        .cast("bigint")
+        .alias("token_budget"),
     )
     buckets = scored.groupBy("q_permille").agg(
         F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),

@@ -728,8 +728,8 @@ def events_leakfree_labels(spark, sf_dir):
         FROM o
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_late,
+           CAST(COALESCE(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_late,
            CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
                / COUNT(*) AS late_share,
            CAST(MAX(late_us) AS BIGINT) AS max_late_us,
@@ -765,7 +765,7 @@ def events_watermark_tuning(spark, sf_dir):
     lat = ev.select(late)
     return lat.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum((F.col("late_us") > 0).cast("int"))
+        F.coalesce(F.sum((F.col("late_us") > 0).cast("int")), F.lit(0))
         .cast("bigint")
         .alias("n_late"),
         (

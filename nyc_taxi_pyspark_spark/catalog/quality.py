@@ -1471,7 +1471,7 @@ def skew_salted_agg(spark, sf_dir):
         SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
         FROM lineitem GROUP BY l_orderkey
     )
-    SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(MAX(c) AS BIGINT) AS max_key_rows,
            CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_key_rows,
@@ -1498,7 +1498,7 @@ def join_skew_audit(spark, sf_dir):
     per_key = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    n_rows = F.sum("c").cast("bigint")
+    n_rows = F.coalesce(F.sum("c"), F.lit(0)).cast("bigint")
     n_keys = F.count(F.lit(1))
     mean = F.sum("c").cast("double") / n_keys
     return per_key.agg(

@@ -738,6 +738,10 @@ def _centroids(spark, sf_dir):
             .collect()
         )
         cs = sorted((int(r.vec_id), [float(x) for x in r.embedding]) for r in rows)
+        if not cs:
+            raise ValueError(
+                f"no centroid vectors (vec_id 1..{N_CENTROIDS}) in {sf_dir}"
+            )
         _CENTROID_CACHE[sf_dir] = cs
     return cs
 
@@ -1491,9 +1495,10 @@ def embed_pq_search(spark, sf_dir):
         for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
     ]
     books = pq_codebooks(seeds)
-    query_xq = [
-        int(x) for x in vq.filter(F.col("vec_id") == 0).first()["xq"]
-    ]
+    qrow = vq.filter(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError(f"query vector vec_id=0 not found in {sf_dir}")
+    query_xq = [int(x) for x in qrow["xq"]]
     return pq_adc_topk(pq_assign(vq, books), pq_adc_lut(query_xq, books))
 
 

@@ -105,8 +105,8 @@ _PART = os.path.join(os.path.dirname(_ART), "partitioned")
     "partitioned_pruned_scan",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS total_cents,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
     FROM orders
     WHERE year(o_orderdate) = 1995
@@ -125,15 +125,17 @@ def partitioned_pruned_scan(spark, sf_dir):
 
     out = _os.path.join(_PART, _os.path.basename(sf_dir.rstrip("/")), "orders")
     orders = load_table(spark, sf_dir, "orders")
-    write_partitioned(
-        orders.withColumn("o_year", F.year("o_orderdate")), out, "o_year"
-    )
-    back = spark.read.parquet(out)
+    with_year = orders.withColumn("o_year", F.year("o_orderdate"))
+    write_partitioned(with_year, out, "o_year")
+    # explicit schema: an empty source writes zero partition dirs, and a
+    # schema-less read of an empty layout cannot infer one
+    back = spark.read.schema(with_year.schema).parquet(out)
     return back.filter(F.col("o_year") == 1995).agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-            "total_cents"
-        ),
+        F.coalesce(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+            F.lit(0),
+        ).alias("total_cents"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
 
@@ -199,8 +201,8 @@ def orc_roundtrip(spark, sf_dir):
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-             AS total_cents,
+           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents,
            MAX(o_orderkey) AS max_key
     FROM merged
     GROUP BY o_orderpriority

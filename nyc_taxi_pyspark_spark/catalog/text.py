@@ -1063,8 +1063,9 @@ def text_bigram_topk(spark, sf_dir):
         .groupBy("t")
         .agg(F.count("*").alias("n_t"))
     )
+    # SUM over an empty corpus is NULL -> 0 (empty-input contract)
     n_total = int(
-        d.select(F.sum(F.size(w)).alias("n")).head()["n"]
+        d.select(F.sum(F.size(w)).alias("n")).head()["n"] or 0
     )
     ua = uni.select(F.col("t").alias("tok_a"), F.col("n_t").alias("n_a"))
     ub = uni.select(F.col("t").alias("tok_b"), F.col("n_t").alias("n_b"))
@@ -1783,6 +1784,11 @@ def source_syndication_rank(spark, sf_dir):
     edges = g.filter(~F.col("is_node")).select("src", "dst", "w")
     nodes = g.filter(F.col("is_node")).select(F.col("src").alias("node"))
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty corpus: a well-typed empty ranking, not a div-by-zero
+        return spark.createDataFrame(
+            [], "source string, rank_micro bigint, rank double"
+        )
     # local[32] uses the default localCheckpoint lineage cut; a real
     # 1000-executor run passes checkpoint_dir=<hdfs/s3 URI> so per-round
     # state survives executor loss (operators/iterative.py).

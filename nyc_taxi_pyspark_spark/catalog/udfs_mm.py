@@ -214,10 +214,10 @@ def multimodal_resize(spark, sf_dir):
         FROM media GROUP BY md5(text)
     )
     SELECT COUNT(*) AS n_unique_content,
-           CAST(SUM(n_copies) AS BIGINT) AS n_media,
-           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_dup_groups,
-           CAST(SUM(n_copies - 1) AS BIGINT) AS n_redundant,
+           CAST(COALESCE(SUM(n_copies), 0) AS BIGINT) AS n_media,
+           CAST(COALESCE(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(n_copies - 1), 0) AS BIGINT) AS n_redundant,
            CAST(MIN(survivor_id) AS BIGINT) AS min_survivor
     FROM g
     """,
@@ -243,12 +243,18 @@ def multimodal_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_copies"),
         F.min("media_id").alias("survivor_id"),
     )
+    # counts coalesce to 0 on an empty corpus (count semantics, not SUM's
+    # NULL); min_survivor stays NULL — there is no survivor to name
     return g.agg(
         F.count(F.lit(1)).alias("n_unique_content"),
-        F.sum("n_copies").cast("bigint").alias("n_media"),
-        F.sum((F.col("n_copies") > 1).cast("int"))
+        F.coalesce(F.sum("n_copies"), F.lit(0))
+        .cast("bigint")
+        .alias("n_media"),
+        F.coalesce(F.sum((F.col("n_copies") > 1).cast("int")), F.lit(0))
         .cast("bigint")
         .alias("n_dup_groups"),
-        F.sum(F.col("n_copies") - 1).cast("bigint").alias("n_redundant"),
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_redundant"),
         F.min("survivor_id").cast("bigint").alias("min_survivor"),
     )

@@ -22,10 +22,16 @@ from nyc_taxi_pyspark_spark.functions.exact import davg, dsum
 
 
 def null_scan(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
-    """Per-column null counts in ONE aggregation pass (A3)."""
+    """Per-column null counts in ONE aggregation pass (A3). Counts are
+    counts: an empty frame reports 0 per column, not SUM's NULL."""
     cols = list(cols or df.columns)
     return df.agg(
-        *[F.sum(F.col(c).isNull().cast("int")).alias(f"{c}_nulls") for c in cols]
+        *[
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("int")), F.lit(0)
+            ).alias(f"{c}_nulls")
+            for c in cols
+        ]
     )
 
 

@@ -848,6 +848,10 @@ def ivf_train(
     seeds = (
         vq.filter(F.col(id_col).between(1, k)).select(id_col, "xq").collect()
     )
+    if not seeds:
+        raise ValueError(
+            f"no k-means seed vectors (id 1..{k}) — empty or too-small corpus"
+        )
     cents = [
         (int(r[id_col]), [(int(x) / 1) / float(Q8) for x in r["xq"]])
         for r in sorted(seeds, key=lambda r: int(r[id_col]))
@@ -873,6 +877,11 @@ def pq_codebooks(
     1..PQ_K — the same training-free choice the IVF layout makes; swap in
     `ivf_train`-style Lloyd rounds per subspace when trained codebooks are
     wanted). ``seed_rows`` are (vec_id, quantized components)."""
+    if not seed_rows:
+        raise ValueError(
+            f"no PQ seed vectors (vec_id 1..{PQ_K}) — empty or too-small "
+            "corpus"
+        )
     books = []
     for m in range(PQ_M):
         book = []

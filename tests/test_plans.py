@@ -330,18 +330,22 @@ def test_pareto_share_is_cutpoint_buckets_no_window(spark):
 
 
 def test_sequence_gaps_windows_are_partitioned_or_bounded(spark):
-    """sequence_gaps: the data-volume window must be partitioned by the
-    range-partition id (RangePartitioning shuffle feeds it); the only
-    unpartitioned window runs over the per-partition bounds AGGREGATE
-    (one row per partition), never over base rows."""
+    """sequence_gaps: the range-partitioned keyed frame is pinned with an
+    eager localCheckpoint (the repartitionByRange shuffle runs inside that
+    materialization, so the visible plan reads the lineage-cut scan — both
+    branches provably share one pid→range mapping, ADVICE r7); above the
+    cut, the data-volume window must partition by the pinned __pid
+    (hashpartitioning), and the only SinglePartition exchange sits on the
+    handoff side over the bounded per-partition min AGGREGATE — never over
+    base rows."""
     import re
 
     df = QUERIES["sequence_gaps"](spark, SF)
     p = formatted_plan(df)
-    assert "rangepartitioning(" in p  # repartitionByRange on the key
-    # every SinglePartition exchange must sit on the handoff side, whose
-    # input is the bounded per-partition min aggregate — the base-data
-    # window partitions by __pid (hashpartitioning), not SinglePartition
+    assert "ExistingRDD" in p  # the pinned (checkpointed) keyed frame
+    assert "rangepartitioning(" not in p  # shuffle consumed by the pin
+    # the base-data window partitions by __pid (hashpartitioning), not
+    # SinglePartition
     assert re.search(r"hashpartitioning\(__pid", p)
     assert "Python" not in p
 
