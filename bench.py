@@ -157,6 +157,36 @@ EXPECTED = {
     "orders_forecast_linear": 0.62,
 }
 ISO_RERUN_FACTOR = 1.8
+# round-over-round regression trigger (VERDICT r7 item 5): any headline
+# query slower than ROUND_REGRESS_FACTOR x its previous round's recorded
+# number gets a machine adjudication (isolated rerun), so "regression vs
+# JVM noise" is decided by measurement, not judgement
+ROUND_REGRESS_FACTOR = 1.5
+
+
+def _previous_round_timings() -> dict[str, float]:
+    """Headline timings from the previous run: BENCH_SUMMARY.json (the
+    authoritative full copy written by the last completed bench) first,
+    then the newest driver BENCH_r*.json (whose "parsed" map can be
+    truncated by stdout capture). Empty dict when none exist."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    paths.append(os.path.join(here, "BENCH_SUMMARY.json"))
+    for path in reversed(paths):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+            # the driver wraps the bench line under "parsed"
+            qs = rec.get("queries") or (rec.get("parsed") or {}).get(
+                "queries"
+            )
+            if isinstance(qs, dict) and qs:
+                return {k: float(v) for k, v in qs.items()}
+        except Exception:
+            continue
+    return {}
 
 
 def materialize(df) -> None:
@@ -226,31 +256,41 @@ def main() -> None:
     # Environmental noise is one-sided — it only ever ADDS wall-clock — so
     # the best of two fresh-process medians is the sound estimate of true
     # cost, while an in-process median below it is kept as-is.
-    flagged = [
-        name
-        for name, t in timings.items()
-        if EXPECTED.get(name) is not None
-        and t > ISO_RERUN_FACTOR * EXPECTED[name]
-    ]
+    prev = _previous_round_timings()
+    flagged: dict[str, str] = {}
+    for name, t in timings.items():
+        if (
+            EXPECTED.get(name) is not None
+            and t > ISO_RERUN_FACTOR * EXPECTED[name]
+        ):
+            flagged[name] = (
+                f"> {ISO_RERUN_FACTOR}x expected {EXPECTED[name]}s"
+            )
+        elif (
+            prev.get(name) is not None
+            and t > ROUND_REGRESS_FACTOR * prev[name]
+        ):
+            flagged[name] = (
+                f"> {ROUND_REGRESS_FACTOR}x previous round {prev[name]}s"
+            )
     iso_reruns: dict[str, dict[str, float]] = {}
     if flagged:
         spark.stop()
         time.sleep(2.0)  # let executor threads and heap actually release
-        for name in flagged:
+        for name, why in flagged.items():
             t = timings[name]
-            print(
-                f"  {name}: {t}s > {ISO_RERUN_FACTOR}x expected "
-                f"{EXPECTED[name]}s — isolated rerun",
-                file=sys.stderr,
-            )
+            print(f"  {name}: {t}s {why} — isolated rerun", file=sys.stderr)
             attempts = [
                 m
                 for m in (isolated_rerun(name, sf_dir) for _ in range(2))
                 if m is not None
             ]
-            if attempts and min(attempts) < t:
+            if attempts:
+                # ALWAYS record the adjudication (even when the in-process
+                # number stands) so a regression-vs-noise call is visible
+                # in the artifact, not just in this run's stderr
                 iso_reruns[name] = {"in_process": t, "isolated": min(attempts)}
-                timings[name] = min(attempts)
+                timings[name] = min(t, min(attempts))
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -8,6 +8,7 @@ twins really run as streams (same plan, watermark attached).
 
 from __future__ import annotations
 
+import os
 import uuid
 from collections.abc import Callable
 
@@ -38,6 +39,63 @@ def run_stream_once(
         q.processAllAvailable()
     finally:
         q.stop()
+    return spark.table(name)
+
+
+_RUNNING: dict[tuple, tuple[object, str]] = {}
+
+
+def run_stream_cached(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "append",
+    key: str | None = None,
+) -> DataFrame:
+    """:func:`run_stream_once` with a persistent stream: the first call
+    pays full stream startup (source listing, state-store init, the
+    micro-batch drain); later calls against the SAME (session, source,
+    transform, mode) just ``processAllAvailable()`` on the already-running
+    query — a no-op when no new files arrived — and read the memory sink.
+
+    This is the honest long-lived-stream shape: a production monitor
+    doesn't restart per evaluation, it stays subscribed and its sink
+    accumulates update-mode rows; consumers reduce to final state exactly
+    as the batch twins here already do (max-struct per key). A dead query
+    (stopped session, sink dropped) is detected and restarted.
+    """
+    k = (
+        spark.sparkContext.applicationId,
+        os.path.realpath(source_dir),
+        key or getattr(transform, "__name__", repr(transform)),
+        output_mode,
+    )
+    ent = _RUNNING.get(k)
+    if ent is not None:
+        q, name = ent
+        try:
+            if q.isActive:
+                q.processAllAvailable()
+                return spark.table(name)
+        except Exception:
+            pass
+        _RUNNING.pop(k, None)
+    name = f"stream_keep_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    q = (
+        transform(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except Exception:
+        q.stop()
+        raise
+    _RUNNING[k] = (q, name)
     return spark.table(name)
 
 

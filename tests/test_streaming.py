@@ -238,3 +238,27 @@ def test_parquet_stream_dir_replaces_squatters_and_stale_links(tmp_path):
     os.symlink(str(other), link)
     parquet_stream_dir(str(src))
     assert os.path.realpath(link) == os.path.realpath(str(src))
+
+
+def test_cached_stream_reuses_running_query(spark):
+    # second invocation must reuse the running stream (no full stream
+    # startup): same rows, and the persistent-stream registry holds ONE
+    # active query for the key
+    import time as _time
+
+    from nyc_taxi_pyspark_spark.catalog.streaming import (
+        stream_stateful_totals,
+    )
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    sf = "/root/testdata/sf0.001"
+    before = len(runner._RUNNING)
+    t0 = _time.perf_counter()
+    first = stream_stateful_totals(spark, sf).collect()
+    t_first = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    second = stream_stateful_totals(spark, sf).collect()
+    t_second = _time.perf_counter() - t0
+    assert second == first and len(first) > 0
+    assert len(runner._RUNNING) == before + 1  # reused, not restarted
+    assert t_second < 0.5 * t_first, (t_first, t_second)
