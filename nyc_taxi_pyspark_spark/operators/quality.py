@@ -139,7 +139,9 @@ def table_diff(
     )
 
 
-def key_sequence_gaps(df: DataFrame, key: str) -> DataFrame:
+def key_sequence_gaps(
+    df: DataFrame, key: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Ranges of missing values in an integer key sequence, computed
     partition-parallel.
 
@@ -156,16 +158,21 @@ def key_sequence_gaps(df: DataFrame, key: str) -> DataFrame:
     aggregate) read the SAME placement. Exchange reuse usually guarantees
     that, but it is an optimizer courtesy, not a contract (AQE can re-plan
     one branch; RangePartitioner sampling is nondeterministic per run), so
-    the keyed frame is pinned with an eager ``localCheckpoint`` before
-    branching: one materialization, lineage cut, and both branches provably
-    consume the identical pid→range mapping. Assumes distinct keys
+    the keyed frame is pinned with an eager lineage cut before branching:
+    one materialization, and both branches provably consume the identical
+    pid→range mapping. ``checkpoint_dir`` picks the cut strategy
+    (operators/iterative.py): executor-pinned localCheckpoint by default,
+    reliable ``checkpoint`` to durable storage for cluster runs where the
+    pinned key column must survive executor loss. Assumes distinct keys
     (duplicates are never reported as gaps either way).
     """
-    keys = (
+    from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
+
+    keys = cut_lineage(
         df.select(key)
         .repartitionByRange(key)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .withColumn("__pid", F.spark_partition_id()),
+        checkpoint_dir,
     )
     w_in = Window.partitionBy("__pid").orderBy(key)
     with_lead = keys.withColumn("__next_in", F.lead(key).over(w_in))

@@ -337,3 +337,21 @@ def test_iterative_durable_checkpoint_mode(spark, tmp_path):
         )
         assert dur == base
         assert glob.glob(f"{tmp_path / fn.__name__}/*/rdd-*")
+
+
+def test_key_sequence_gaps_durable_checkpoint_mode(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame(
+        [(k,) for k in (1, 2, 5, 6, 9)], "k bigint"
+    )
+    base = sorted(map(tuple, key_sequence_gaps(df, "k").collect()))
+    ckpt = str(tmp_path / "gaps_ckpt")
+    dur = sorted(
+        map(
+            tuple,
+            key_sequence_gaps(df, "k", checkpoint_dir=ckpt).collect(),
+        )
+    )
+    assert dur == base == [(3, 4, 2), (7, 8, 2)]
+    assert glob.glob(f"{ckpt}/*/rdd-*")
