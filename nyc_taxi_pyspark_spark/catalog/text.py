@@ -2228,3 +2228,67 @@ def text_dedup_threshold_sweep(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "text_doc_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DUCK_WORDS}) AS token FROM documents
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM toks)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(bin(tot.total_tokens)) - length(bin(v.cnt)))
+                AS BIGINT) AS sum_bits,
+           CAST(SUM(length(bin(tot.total_tokens)) - length(bin(v.cnt)))
+                AS DOUBLE) / COUNT(*) AS mean_bits
+    FROM toks t JOIN vocab v USING (token), tot
+    GROUP BY t.doc_id
+    """,
+)
+def text_doc_surprisal(spark, sf_dir):
+    """Log-domain unigram-LM surprisal per document — the other half of
+    the perplexity-filtering family next to ``text_unigram_rarity``
+    (probability-domain). CCNet-style filtering scores each doc by mean
+    -log p(token) under a corpus LM and drops the tails; the engine-
+    portable trick here is an INTEGER log2: floor(log2 n) computed as
+    ``length(bin(n)) - 1`` — the bit length of the count — identical by
+    construction on the JVM and DuckDB (no libm, no last-ULP drift).
+    Token surprisal is then bitlen(total_tokens) - bitlen(count(t)) ≈
+    -log2 p(t) in whole bits; rare tokens contribute more, and the
+    per-doc mean is ONE final double division of two exact ints (both
+    < 2^53).
+
+    Plan: same 3-shuffle shape as text_unigram_rarity — explode → vocab
+    count [map-side combined] → join back on token → per-doc agg; the
+    1-row total broadcasts. At 100 TB the vocab table is the Zipf-heavy
+    side: the token join is skew-prone on stopwords, which AQE skew-join
+    handles (or pre-salt the top-k tokens as skew_salted_agg shows)."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens()).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
+    total = toks.agg(F.count("*").cast("bigint").alias("total_tokens"))
+    bits = F.length(F.bin(F.col("total_tokens"))) - F.length(
+        F.bin(F.col("cnt"))
+    )
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(bits).cast("bigint").alias("sum_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_bits",
+            (F.col("sum_bits").cast("double") / F.col("n_tokens")).alias(
+                "mean_bits"
+            ),
+        )
+    )
