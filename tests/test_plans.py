@@ -449,3 +449,30 @@ def test_shard_manifest_single_agg_no_join(spark):
     df = QUERIES["corpus_shard_manifest"](spark, SF)
     p = formatted_plan(df)
     assert "Join" not in p and "Python" not in p
+
+
+def test_tpch_q3_plan_shape(spark):
+    # date predicates push to the scans, top-10 is a heap not a global sort
+    df = QUERIES["tpch_q3_shipping_priority"](spark, SF)
+    assert uses_take_ordered(df)
+    plan = formatted_plan(df)
+    assert "o_orderdate" in plan and "l_shipdate" in plan
+    pushed = scan_pushed_filters(df)
+    assert "c_mktsegment" in pushed or "c_mktsegment" in plan
+
+
+def test_tpch_q10_returnflag_pushdown_and_broadcast(spark):
+    df = QUERIES["tpch_q10_returned_items"](spark, SF)
+    assert uses_take_ordered(df)
+    assert has_broadcast_join(df)  # nation dim
+    assert "l_returnflag" in scan_pushed_filters(df)
+
+
+def test_doc_surprisal_shuffle_budget(spark):
+    # explode -> vocab agg -> token join (both sides) -> doc agg, plus the
+    # ingest repartition and the 1-row total's single-partition merge: six
+    # exchanges, all keyed or 1-row — and the total must broadcast into the
+    # join, never shuffle-join
+    df = QUERIES["text_doc_surprisal"](spark, SF)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 6
