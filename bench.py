@@ -89,6 +89,10 @@ HEADLINE = [
     "events_leakfree_labels",
     "embed_contrastive_pairs",
     "orders_forecast_linear",
+    # round-8 additions (self-baselined in BASELINE.md §9)
+    "tpch_q3_shipping_priority",
+    "tpch_q10_returned_items",
+    "text_doc_surprisal",
 ]
 
 
@@ -155,6 +159,9 @@ EXPECTED = {
     "events_leakfree_labels": 0.58,
     "embed_contrastive_pairs": 0.71,
     "orders_forecast_linear": 0.62,
+    "tpch_q3_shipping_priority": 0.62,
+    "tpch_q10_returned_items": 0.62,
+    "text_doc_surprisal": 0.71,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
