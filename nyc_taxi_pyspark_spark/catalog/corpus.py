@@ -696,3 +696,62 @@ def corpus_domain_relevance(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+_RAG_WINDOW = 16  # tokens per chunk
+_RAG_STRIDE = 8  # tokens between chunk starts (50% overlap)
+
+
+@query(
+    "text_sliding_chunks",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ), starts AS (
+        SELECT doc_id, w,
+               unnest(range(0, len(w), {_RAG_STRIDE})) AS start_token
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start_token // {_RAG_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(start_token AS INTEGER) AS start_token,
+           CAST(len(w[start_token + 1 : start_token + {_RAG_WINDOW}])
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+               w[start_token + 1 : start_token + {_RAG_WINDOW}], ' '))
+               AS chunk_md5
+    FROM starts
+    """,
+)
+def text_sliding_chunks(spark, sf_dir):
+    """RAG-ingestion chunking: fixed 16-token windows at stride 8 (50 %
+    overlap), so every passage boundary is covered by two chunks — the
+    standard retrieval-corpus preparation the non-overlapping
+    ``text_chunk_dedup`` windows cannot express. Emits one row per chunk
+    with its position and an md5 content key (the join key for chunk-level
+    embedding / dedup downstream).
+
+    Purely declarative 1:N row expansion: sequence + posexplode + slice —
+    no Python, no shuffle (the expansion is map-side; plan gate in
+    tests/test_plans.py). At 100 TB the output is ~2× the token volume;
+    it feeds directly into the chunk-keyed aggregates (groupBy chunk_md5)
+    which shuffle on the content key with map-side combine."""
+    d = _docs(spark, sf_dir)
+    w = F.col("w")
+    starts = d.select(
+        "doc_id", tokens().alias("w")
+    ).select(
+        "doc_id",
+        "w",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size(w) - 1, F.lit(_RAG_STRIDE))
+        ).alias("chunk_idx", "start_token"),
+    )
+    chunk = F.slice(w, F.col("start_token") + 1, _RAG_WINDOW)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

@@ -506,3 +506,54 @@ def tpch_q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_orderkey, {oracle_dsum("l_quantity", 2)} AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, s.total_qty
+    FROM s
+    JOIN orders o ON s.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE s.total_qty > 300
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): orders whose summed quantity
+    tops 300 — the classic HAVING-subquery, decorrelated the way Catalyst
+    wants it: ONE per-order aggregate (map-side partial, exact 2-decimal
+    quantity sum) filtered to the rare heavy orders, then joined to
+    orders/customer. The >300 filter makes the aggregate output tiny, so
+    AQE broadcasts it into both joins at any scale — the big lineitem
+    table is touched exactly once. Top-100 is a TakeOrdered on the stored
+    o_totalprice double (read, not computed — bit-identical in both
+    engines) with (o_orderdate, o_orderkey) tie-breaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )

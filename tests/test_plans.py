@@ -476,3 +476,21 @@ def test_doc_surprisal_shuffle_budget(spark):
     df = QUERIES["text_doc_surprisal"](spark, SF)
     assert has_broadcast_join(df)
     assert shuffle_count(df) <= 6
+
+
+def test_sliding_chunks_is_map_side_only(spark):
+    # sequence+posexplode+slice: a pure 1:N row expansion — no exchange
+    # beyond the ingest repartition, no Python in the plan
+    df = QUERIES["text_sliding_chunks"](spark, SF)
+    assert shuffle_count(df) <= 1
+    plan = formatted_plan(df)
+    assert "Generate" in plan  # the posexplode expansion
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q18_single_lineitem_scan_topk(spark):
+    from nyc_taxi_pyspark_spark.plans.explain import count_nodes
+
+    df = QUERIES["tpch_q18_large_orders"](spark, SF)
+    assert uses_take_ordered(df)
+    assert count_nodes(df, "Scan parquet") == 3  # lineitem touched ONCE
