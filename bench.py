@@ -93,6 +93,8 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q10_returned_items",
     "text_doc_surprisal",
+    "tpch_q18_large_orders",
+    "text_sliding_chunks",
 ]
 
 
@@ -162,6 +164,8 @@ EXPECTED = {
     "tpch_q3_shipping_priority": 0.62,
     "tpch_q10_returned_items": 0.62,
     "text_doc_surprisal": 0.71,
+    "tpch_q18_large_orders": 0.53,
+    "text_sliding_chunks": 0.31,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
