@@ -1,0 +1,81 @@
+"""Results must be invariant to the shuffle-partition count.
+
+At 100 TB the executor count and `spark.sql.shuffle.partitions` are tuning
+knobs, not semantics — a query whose RESULT changes when the partitioning
+changes is silently broken at scale (the advisor's key_sequence_gaps
+boundary-handoff finding was exactly this class). This sweep runs the
+partition-sensitive catalog shapes — boundary handoffs, window frames over
+repartitioned keys, min-struct survivor picks, iterative label
+propagation, range-bucketed layouts — under 3 vs 32 shuffle partitions in
+two sibling sessions of one JVM and requires bit-identical canonical
+results.
+
+Queries built on seeded RNG sampling (sampled_agg, stratified_sample,
+corpus_weighted_sample) are EXCLUDED by design: Spark's sample() is
+seeded per-partition, so their row sets legitimately depend on the
+partition layout — that contract is pinned by their own determinism tests
+(same seed + same partitioning => same rows), not by this sweep.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# Partition-sensitive shapes: every query here must produce identical
+# results at any shuffle-partition count.
+SWEEP = [
+    "sequence_gaps",  # range-partition boundary handoff
+    "dedup_keep_first",  # min-struct survivor pick
+    "text_chunk_dedup",  # min-(doc,pos) survivor over skewed chunk keys
+    "events_sessionize",  # lag/cumsum windows over user partitions
+    "corpus_pack_bins",  # sharded packing cumsum
+    "text_near_dup_pairs",  # LSH band join + pair dedup
+    "text_dup_clusters",  # iterative star-contraction components
+    "source_syndication_rank",  # iterative pagerank accumulation
+    "corpus_budget_select",  # bounded cumulative window + threshold
+    "window_topn_per_group",  # rank over partitioned window
+    "tpch_q18_large_orders",  # agg -> filter -> join -> top-k
+    "events_gapfill",  # sequence expansion against sparse keys
+    "orders_open_interval_count",  # sweep-line prefix sums
+    "histogram_equidepth",  # sketch-based cutpoints (deterministic merge)
+]
+
+
+def _canon_hash(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+
+    def cell(v):
+        if isinstance(v, float):
+            # bit-exact canonical text for doubles (NaN normalized)
+            return "nan" if math.isnan(v) else v.hex()
+        return repr(v)
+
+    rows = sorted(
+        "|".join(cell(v) for v in rec) for rec in pdf.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def sessions(spark):
+    lo = spark.newSession()
+    lo.conf.set("spark.sql.shuffle.partitions", "3")
+    hi = spark.newSession()
+    hi.conf.set("spark.sql.shuffle.partitions", "32")
+    return lo, hi
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_result_invariant_to_shuffle_partitions(sessions, name):
+    lo, hi = sessions
+    assert _canon_hash(QUERIES[name](lo, SF)) == _canon_hash(
+        QUERIES[name](hi, SF)
+    )
