@@ -557,3 +557,44 @@ def tpch_q18_large_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "join_runtime_bloom",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           {oracle_dsum("l.l_quantity", 2)} AS sum_qty
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_runtime_bloom(spark, sf_dir):
+    """Shuffle join with runtime Bloom-filter pushdown: urgent orders
+    select ~20 % of the order keys, and instead of shuffling the full
+    lineitem table and discarding non-matches post-join, Catalyst builds
+    a Bloom filter over the selected o_orderkey set and injects a
+    ``might_contain`` probe into the lineitem scan — rows drop at the
+    scan, before the shuffle. This is THE mechanism for selective
+    fact⋈fact joins at 100 TB where the selective side exceeds broadcast
+    size; plan-gated in tests/test_plans.py (bloom_filter_agg build +
+    might_contain probe both present). Runs in a knob-scoped sibling
+    session (operators/joins.runtime_bloom_session) so the shared
+    session's broadcast behavior is untouched."""
+    from nyc_taxi_pyspark_spark.operators.joins import runtime_bloom_session
+
+    s = runtime_bloom_session(spark)
+    o = load_table(s, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(s, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            dsum("l_quantity", 2).alias("sum_qty"),
+        )
+    )

@@ -99,3 +99,32 @@ def range_join_buckets(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(F.broadcast(buckets), on=cond, how="left")
+
+
+def runtime_bloom_session(spark):
+    """Sibling session tuned for runtime Bloom-filter join injection —
+    the 100 TB shuffle-join complement to broadcast pruning: when the
+    selective side is too big to broadcast, Catalyst builds a Bloom
+    filter from its join keys at runtime and pushes a ``might_contain``
+    probe into the fact-side scan, discarding non-joining rows before
+    the shuffle instead of after it.
+
+    Spark gates the rewrite on size thresholds tuned for clusters
+    (application side ≥ 10 GB by default), so at test scale the knobs
+    are lowered to make the injection observable; broadcast is disabled
+    to force the shuffle-join plan the filter exists for. Sibling-
+    session scoped: the shared session's broadcast behavior is
+    untouched."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "0",
+    )
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "100MB",
+    )
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return s

@@ -494,3 +494,13 @@ def test_tpch_q18_single_lineitem_scan_topk(spark):
     df = QUERIES["tpch_q18_large_orders"](spark, SF)
     assert uses_take_ordered(df)
     assert count_nodes(df, "Scan parquet") == 3  # lineitem touched ONCE
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The selective shuffle join must carry a runtime Bloom filter: a
+    bloom_filter_agg build over the selected order keys and a
+    might_contain probe pushed into the lineitem side — rows drop at the
+    scan, before the shuffle."""
+    plan = formatted_plan(QUERIES["join_runtime_bloom"](spark, SF))
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
