@@ -95,6 +95,7 @@ HEADLINE = [
     "text_doc_surprisal",
     "tpch_q18_large_orders",
     "text_sliding_chunks",
+    "join_runtime_bloom",
 ]
 
 
@@ -166,6 +167,7 @@ EXPECTED = {
     "text_doc_surprisal": 0.71,
     "tpch_q18_large_orders": 0.53,
     "text_sliding_chunks": 0.31,
+    "join_runtime_bloom": 0.76,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
