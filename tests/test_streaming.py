@@ -262,3 +262,47 @@ def test_cached_stream_reuses_running_query(spark):
     assert second == first and len(first) > 0
     assert len(runner._RUNNING) == before + 1  # reused, not restarted
     assert t_second < 0.5 * t_first, (t_first, t_second)
+
+
+def test_restart_from_checkpoint_no_reprocessing(spark, tmp_path):
+    """Exactly-once across a stop/restart: a checkpointed foreachBatch sink
+    is stopped mid-stream, new source files arrive, and the RESTARTED query
+    (same checkpoint) must pick up only the unseen files — every source row
+    lands in the output exactly once, none twice, under fresh epoch ids."""
+    from nyc_taxi_pyspark_spark.streaming.sinks import (
+        write_stream_exactly_once,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(TESTDATA_SCHEMAS["events"]).parquet(
+            src
+        )
+        return write_stream_exactly_once(stream, out, ckpt)
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == first.count() > 0
+
+    second.write.mode("append").parquet(src)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(out)
+    assert final.count() == ev.count()  # nothing lost, NOTHING reprocessed
+    assert final.select("event_id").distinct().count() == ev.count()
