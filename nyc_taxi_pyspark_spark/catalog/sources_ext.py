@@ -425,3 +425,50 @@ def bucketed_join_agg(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "pysource_jsonl_scan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pysource_jsonl_scan(spark, sf_dir):
+    """documents → JSONL sink → scan through the CUSTOM Python Data
+    Source connector (sources/pydatasource.py) → aggregate. The oracle
+    aggregates the original parquet, so the hash only matches if the
+    connector's executor-parallel file reads are lossless; the n_chars > 0
+    predicate exercises its GreaterThan pushFilters path (row-drop inside
+    the source — the post-scan plan keeps only the isnotnull guard, see
+    tests/test_pydatasource.py). One InputPartition per file keeps the
+    scan parallel at any file count."""
+    from nyc_taxi_pyspark_spark.sources.pydatasource import register
+
+    out = os.path.join(
+        _ART, os.path.basename(sf_dir.rstrip("/")), "documents"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    write_jsonl(docs, out)
+    register(spark)
+    back = (
+        spark.read.format("jsonl_files")
+        .schema(TESTDATA_SCHEMAS["documents"])
+        .load(out)
+    )
+    return (
+        back.filter(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
