@@ -96,6 +96,7 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "text_sliding_chunks",
     "join_runtime_bloom",
+    "pysource_jsonl_scan",
 ]
 
 
@@ -168,6 +169,8 @@ EXPECTED = {
     "tpch_q18_large_orders": 0.53,
     "text_sliding_chunks": 0.31,
     "join_runtime_bloom": 0.76,
+    # includes the per-invocation JSONL re-write + Python-source scan
+    "pysource_jsonl_scan": 1.06,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
