@@ -247,3 +247,48 @@ def json_struct_parse(spark, sf_dir):
         parsed.getField("k").alias("k_value"),
         (parsed.getField("k") % 10).alias("k_bucket"),
     )
+
+
+@query(
+    "events_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k,
+           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
+                              IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_variant_shred(spark, sf_dir):
+    """Semi-structured props through Spark 4's VARIANT type: parse_json
+    ONCE into the binary variant encoding, then typed variant_get paths —
+    the third member of the JSON family next to get_json_object
+    (re-parses per access, sql_json_extract) and from_json (needs the full
+    schema up front, json_struct_parse). Variant is the scale path for
+    schema-on-read telemetry: parsing cost is paid once per row, field
+    access is a binary probe, and no schema has to be declared for fields
+    you don't touch. try_variant_get returns NULL (not an error) for
+    absent paths, and the per-type missing count keeps that contract
+    observable."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum(F.col("k").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -93,3 +93,42 @@ def test_mixed_filters_split_between_source_and_spark(spark, jsonl_tree):
         .collect()
     )
     assert {tuple(r) for r in df.collect()} == {tuple(r) for r in want}
+
+
+def test_streaming_source_incremental_exactly_once(spark, tmp_path):
+    """The connector's streaming half: files appended to the source dir
+    arrive in the next micro-batch, each record exactly once, offsets
+    advancing by file count."""
+    import time
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def emit(name, lo, hi):
+        with open(src / name, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(json.dumps({"n_nationkey": i, "n_name": f"N{i}", "n_regionkey": i % 5}) + "\n")
+
+    emit("a.jsonl", 0, 10)
+    register(spark)
+    schema = "n_nationkey int, n_name string, n_regionkey int"
+    name = f"pysrc_stream_{int(time.time()*1000)}"
+    q = (
+        spark.readStream.format("jsonl_files")
+        .schema(schema)
+        .load(str(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(name).count() == 10
+        emit("b.jsonl", 10, 25)
+        q.processAllAvailable()
+        got = spark.table(name)
+        assert got.count() == 25  # nothing lost, nothing re-read
+        assert got.select("n_nationkey").distinct().count() == 25
+    finally:
+        q.stop()
