@@ -97,6 +97,7 @@ HEADLINE = [
     "text_sliding_chunks",
     "join_runtime_bloom",
     "pysource_jsonl_scan",
+    "events_variant_shred",
 ]
 
 
@@ -171,6 +172,7 @@ EXPECTED = {
     "join_runtime_bloom": 0.76,
     # includes the per-invocation JSONL re-write + Python-source scan
     "pysource_jsonl_scan": 1.06,
+    "events_variant_shred": 0.60,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
