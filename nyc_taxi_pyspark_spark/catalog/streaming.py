@@ -271,3 +271,46 @@ def stream_distribution_drift(spark, sf_dir):
     # memory-sink view the two branches share attribute ids, so cut the
     # lineage on the (50-row) cell table first
     return _chi2_report(cells.localCheckpoint(eager=True))
+
+
+@query(
+    "stream_state_inspect",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_state_inspect(spark, sf_dir):
+    """Read a stateful streaming query's CHECKPOINT back as a DataFrame
+    (Spark 4 statestore data source) and prove the store's contents equal
+    the batch GROUP BY — the incident-reconciliation path for production
+    monitors: audit what the stream believes without touching the running
+    query. First invocation builds the checkpointed per-type totals (one
+    drain of the events table); repeats resume the committed checkpoint
+    (offsets already written — no reprocessing) and just read state. The
+    state value buffer holds the aggregation's sufficient statistics
+    (count + exact integer-cents sum), so the read-back is bit-portable
+    against the DuckDB oracle."""
+    import os
+
+    from nyc_taxi_pyspark_spark.streaming.runner import parquet_stream_dir
+    from nyc_taxi_pyspark_spark.streaming.state_inspect import (
+        checkpointed_type_totals,
+        read_state,
+        state_checkpoint_dir,
+    )
+
+    src = parquet_stream_dir(os.path.join(sf_dir, "events.parquet"))
+    ckpt = state_checkpoint_dir(spark, sf_dir)
+    checkpointed_type_totals(spark, src, ckpt)
+    st = read_state(spark, ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+        F.col("value.sum").cast("bigint").alias("sum_cents"),
+    ).orderBy("event_type")
