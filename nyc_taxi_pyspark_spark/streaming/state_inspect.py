@@ -41,13 +41,17 @@ def checkpointed_type_totals(
             "sum_cents"
         ),
     )
-    name = "state_inspect_" + hashlib.sha1(
-        checkpoint_dir.encode()
-    ).hexdigest()[:8]
+    # the query exists for its STATE, so the sink is a full-drain noop:
+    # foreachBatch (unlike the memory sink) supports restarting from an
+    # existing checkpoint, and the noop write materializes EVERY
+    # partition — required for the state-store commit validation (a
+    # batch function that skips partitions fails the commit check)
+    def _drain(batch_df, epoch_id):
+        batch_df.write.format("noop").mode("overwrite").save()
+
     q = (
         agg.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
+        .foreachBatch(_drain)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
