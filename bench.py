@@ -98,6 +98,7 @@ HEADLINE = [
     "join_runtime_bloom",
     "pysource_jsonl_scan",
     "events_variant_shred",
+    "stream_state_inspect",
 ]
 
 
@@ -173,6 +174,8 @@ EXPECTED = {
     # includes the per-invocation JSONL re-write + Python-source scan
     "pysource_jsonl_scan": 1.06,
     "events_variant_shred": 0.60,
+    # warm = checkpoint resume (no reprocessing) + state-store read
+    "stream_state_inspect": 0.76,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
