@@ -29,9 +29,17 @@ class Engine:
             register_views(spark, sf_dir)
         register_sql_functions(spark)
 
-    def sql(self, text: str) -> DataFrame:
+    def sql(self, text: str, params: dict | None = None) -> DataFrame:
         """Arbitrary user SQL against registered views (V1;
-        reference streamlit_app/app5.py:263-271)."""
+        reference streamlit_app/app5.py:263-271).
+
+        ``params`` binds named ``:placeholders`` server-side (Spark's
+        parameterized SQL): values never enter the query text, so a
+        serving layer interpolating user input — the reference UI's
+        text-box-to-SQL path — is injection-safe by construction instead
+        of by escaping."""
+        if params:
+            return self.spark.sql(text, args=params)
         return self.spark.sql(text)
 
     def table(self, name: str) -> DataFrame:

@@ -152,3 +152,29 @@ def test_udtf_matches_native_posexplode(spark):
         .collect()
     }
     assert got == native and (1, "c", 2) in got  # \s+ consumes the run
+
+
+def test_engine_parameterized_sql(spark):
+    from nyc_taxi_pyspark_spark.serve.engine import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    df = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = :prio"
+        "  AND o_totalprice > :floor",
+        params={"prio": "1-URGENT", "floor": 1000.0},
+    )
+    n = df.collect()[0].n
+    want = eng.sql(
+        "SELECT COUNT(*) AS n FROM orders"
+        " WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0"
+    ).collect()[0].n
+    assert n == want > 0
+    # the binding is a VALUE, not spliced text: a quote in the parameter
+    # cannot terminate the literal / inject SQL
+    assert (
+        eng.sql(
+            "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = :prio",
+            params={"prio": "x' OR '1'='1"},
+        ).collect()[0].n
+        == 0
+    )
