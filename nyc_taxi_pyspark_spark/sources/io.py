@@ -272,3 +272,61 @@ def to_pandas_sanitized(df: DataFrame, max_rows: int | None = None) -> pd.DataFr
     if max_rows is not None:
         out = out.limit(max_rows)
     return out.toPandas()
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files maintenance: rewrite a parquet directory into
+    ~``target_file_bytes`` files and atomically swap it in. Streaming
+    sinks, frequent small appends, and over-partitioned writes all decay
+    a table into thousands of kilobyte files whose open/footer cost
+    dominates scans at scale; periodic compaction is the standard
+    maintenance pass (what table formats schedule as OPTIMIZE).
+
+    File count = ceil(bytes/target) from the directory's actual data
+    size; the rewrite goes to a sibling temp dir first and replaces the
+    original only after success, so a failed compaction leaves the table
+    untouched (rename-swap; object stores would commit a manifest
+    instead). Returns the new file count."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    # coalesce, not repartition: narrowing to n output files must not
+    # force an exchange of the full table
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll back
+        raise
+    shutil.rmtree(old)
+    return n_files
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: a table whose files were written under
+    successive schema versions (columns added over time) comes back as
+    the UNION schema, with files that predate a column yielding NULLs —
+    ``mergeSchema`` asks every footer instead of trusting the first one.
+    The default single-footer inference is the 100 TB fast path (one
+    footer, no per-file merge); this entry point is for tables known to
+    have evolved, where correctness requires paying the footer sweep
+    (or, at scale, persisting the merged schema once and passing it
+    explicitly)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

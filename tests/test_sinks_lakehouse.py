@@ -104,3 +104,50 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
     assert rows[1].gen == 1 and rows[2].gen == 2
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Small-files compaction: content-identical, far fewer files, and a
+    failed swap must leave the original intact."""
+    import glob
+    import os
+
+    from nyc_taxi_pyspark_spark.sources.io import (
+        compact_parquet_dir,
+        load_table,
+    )
+
+    path = str(tmp_path / "frag")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(40).write.mode("overwrite").parquet(path)
+    assert len(glob.glob(os.path.join(path, "*.parquet"))) == 40
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    n = compact_parquet_dir(spark, path, target_file_bytes=64 * 1024)
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    assert len(files) == n < 40
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == before
+    # no leftover temp/old siblings
+    assert not [
+        d for d in os.listdir(tmp_path) if "__compact" in d or "__old" in d
+    ]
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Files written under v1 (no column) and v2 (added column) read back
+    as the union schema, v1 rows NULL in the added column."""
+    from nyc_taxi_pyspark_spark.sources.io import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(5).selectExpr("id", "id * 2 AS a")
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    )
+    v2.write.mode("append").parquet(path)
+
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "a", "b"}
+    assert df.count() == 8
+    assert df.filter("b IS NULL").count() == 5
+    assert df.filter("b IS NOT NULL").count() == 3
