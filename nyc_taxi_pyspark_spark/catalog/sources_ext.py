@@ -472,3 +472,37 @@ def pysource_jsonl_scan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "scan_file_lineage",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(l_orderkey) AS min_orderkey,
+           MAX(l_orderkey) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def scan_file_lineage(spark, sf_dir):
+    """Row-to-file lineage via Spark's hidden ``_metadata`` column:
+    per-file row counts and key ranges without any path bookkeeping in
+    the pipeline itself. This is the debugging/audit surface for file-
+    level incidents at scale — which files feed a corrupted partition,
+    whether a backfill's files landed, per-file row drift after a
+    compaction — selected only when asked for, so normal scans pay
+    nothing. The oracle pins the expected physical layout (one file per
+    driver testdata table) plus content aggregates; a multi-file table
+    yields one row per file from the same expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"), "l_orderkey"
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+    )
