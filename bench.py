@@ -99,6 +99,7 @@ HEADLINE = [
     "pysource_jsonl_scan",
     "events_variant_shred",
     "stream_state_inspect",
+    "scan_file_lineage",
 ]
 
 
@@ -176,6 +177,7 @@ EXPECTED = {
     "events_variant_shred": 0.60,
     # warm = checkpoint resume (no reprocessing) + state-store read
     "stream_state_inspect": 0.76,
+    "scan_file_lineage": 0.30,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
