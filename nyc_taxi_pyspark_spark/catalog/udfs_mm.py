@@ -258,3 +258,28 @@ def multimodal_dedup(spark, sf_dir):
         .alias("n_redundant"),
         F.min("survivor_id").cast("bigint").alias("min_survivor"),
     )
+
+
+@query(
+    "udf_arrow_center",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - (CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                         OVER (PARTITION BY user_id) AS DOUBLE)
+                    / 100.0 / COUNT(*) OVER (PARTITION BY user_id)) AS centered
+    FROM events
+    """,
+)
+def udf_arrow_center(spark, sf_dir):
+    """U4 via applyInArrow — the Arrow-native grouped-map (Spark 4): the
+    group batch stays a pyarrow.Table end-to-end and the mean runs in
+    Arrow compute kernels, skipping the pandas conversion on both edges
+    that udf_group_center pays. Same exact-cents arithmetic, same oracle
+    — the two Python grouped paths and the SQL window twin are mutually
+    bit-identical."""
+    from nyc_taxi_pyspark_spark.functions.udfs import (
+        center_values_per_group_arrow,
+    )
+
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    return center_values_per_group_arrow(ev)

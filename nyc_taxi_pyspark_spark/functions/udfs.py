@@ -98,6 +98,50 @@ def center_values_per_group(
     )
 
 
+def center_values_per_group_arrow(
+    df: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """The applyInArrow twin of :func:`center_values_per_group` — the
+    grouped-map batch arrives as a ``pyarrow.Table`` and the arithmetic
+    runs in Arrow compute kernels, skipping the Arrow→pandas→Arrow
+    conversion the pandas form pays on both edges of every group. Same
+    exact-integer-cents mean, so both forms (and the SQL window twin)
+    are bit-identical regardless of batch row order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField(group_col, T.LongType()),
+            T.StructField(value_col, T.DoubleType()),
+            T.StructField("centered", T.DoubleType()),
+        ]
+    )
+
+    def center(table: pa.Table) -> pa.Table:
+        values = table.column(value_col)
+        cents = pc.round(pc.multiply(values, pa.scalar(100.0)))
+        total = pc.sum(pc.cast(cents, pa.int64())).as_py() or 0
+        mean = float(total) / 100.0 / max(table.num_rows, 1)
+        return pa.table(
+            {
+                "event_id": table.column("event_id"),
+                group_col: table.column(group_col),
+                value_col: values,
+                "centered": pc.subtract(values, pa.scalar(mean)),
+            }
+        )
+
+    return (
+        df.select("event_id", group_col, value_col)
+        .groupBy(group_col)
+        .applyInArrow(center, out_schema)
+    )
+
+
 def add_running_index(df: DataFrame, order_col: str) -> Iterator:
     """U3's general form — mapInPandas per-partition batch transform.
     (See operators.multimodal for the production use of this shape.)"""

@@ -330,3 +330,42 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     (or, at scale, persisting the merged schema once and passing it
     explicitly)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Error-tolerant ingest: parse what parses, QUARANTINE what doesn't.
+
+    PERMISSIVE mode with a corrupt-record column splits the scan into
+    (good rows with the declared schema, raw text of every malformed
+    line) — the production alternative to FAILFAST (one bad line kills a
+    100 TB backfill) and to silent DROPMALFORMED (data loss with no
+    audit trail). The quarantine side keeps the verbatim input line so
+    bad records can be inspected, re-parsed after a schema fix, or
+    counted against an ingest SLA.
+
+    The frame is cached before splitting: Spark refuses predicates that
+    reference ONLY the internal corrupt-record column on a lazy scan
+    (the column exists only while parsing), and the cache also means one
+    parse feeds both halves."""
+    corrupt = "_corrupt_record"
+    qschema = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+    )
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .schema(qschema)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return good, bad

@@ -504,3 +504,19 @@ def test_runtime_bloom_filter_injected(spark):
     plan = formatted_plan(QUERIES["join_runtime_bloom"](spark, SF))
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three physical join strategies must be selectable per-side via
+    hints — the manual override when AQE's choice is wrong for a known
+    workload (e.g. forcing shuffle-hash for a huge-but-uniform build
+    side, or merge for pre-sorted bucketed tables)."""
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    for hint, node in [
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ]:
+        df = li.join(o.hint(hint), li["l_orderkey"] == o["o_orderkey"])
+        assert node in formatted_plan(df), hint

@@ -151,3 +151,34 @@ def test_schema_evolution_merged_read(spark, tmp_path):
     assert df.count() == 8
     assert df.filter("b IS NULL").count() == 5
     assert df.filter("b IS NOT NULL").count() == 3
+
+
+def test_csv_quarantine_split(spark, tmp_path):
+    """PERMISSIVE ingest: parseable rows come back typed, malformed lines
+    land verbatim in the quarantine frame — nothing dropped silently."""
+    from pyspark.sql import types as T
+
+    from nyc_taxi_pyspark_spark.sources.io import read_csv_quarantine
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,notanumber,beta\n"  # qty fails the int cast
+        "3,30,gamma\n"
+        "4,40\n"  # too few columns -> also quarantined (null-filled AND flagged)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    good, bad = read_csv_quarantine(spark, str(p), schema)
+    assert {(r.id, r.qty, r.name) for r in good.collect()} == {
+        (1, 10, "alpha"),
+        (3, 30, "gamma"),
+    }
+    raws = sorted(r.raw_line for r in bad.collect())
+    assert raws == ["2,notanumber,beta", "4,40"]
