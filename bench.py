@@ -100,6 +100,14 @@ HEADLINE = [
     "events_variant_shred",
     "stream_state_inspect",
     "scan_file_lineage",
+    # round-8 TPC-H completion batch (self-baselined in BASELINE.md §9)
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q19_disjunctive_join",
+    "tpch_q22_no_order_customers",
 ]
 
 
@@ -178,6 +186,13 @@ EXPECTED = {
     # warm = checkpoint resume (no reprocessing) + state-store read
     "stream_state_inspect": 0.76,
     "scan_file_lineage": 0.30,
+    "tpch_q4_priority_check": 0.94,
+    "tpch_q7_volume_shipping": 0.93,
+    "tpch_q8_market_share": 0.94,
+    "tpch_q13_order_distribution": 0.71,
+    "tpch_q14_promo_share": 0.52,
+    "tpch_q19_disjunctive_join": 0.56,
+    "tpch_q22_no_order_customers": 0.69,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -27,6 +27,7 @@ from nyc_taxi_pyspark_spark.catalog import (  # noqa: E402,F401
     corpus,
     profiling,
     quality,
+    tpch_ext,
 )
 
 __all__ = ["QUERIES", "ORACLES", "query"]

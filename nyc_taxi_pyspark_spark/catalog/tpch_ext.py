@@ -1,0 +1,402 @@
+"""TPC-H planning-shape extensions (round 8).
+
+Seven adapted TPC-H queries chosen for the *plan shapes* the catalog did
+not yet demonstrate, each with a hash-exact DuckDB oracle twin:
+
+- Q4  — EXISTS subquery → left-semi join conversion
+- Q7  — symmetric nation-pair predicate over a 4-way join
+- Q13 — outer-join count distribution (double aggregation, join-condition
+        filter that must NOT become a WHERE filter)
+- Q14 — conditional-aggregate share (promo revenue)
+- Q19 — OR-of-ANDs disjunctive join residual over an equi-join
+- Q22 — NOT EXISTS → anti join + broadcast scalar subquery
+- Q8  — market-share: conditional share across a 7-relation join
+
+The synthetic tables are a reduced TPC-H (no partsupp; lineitem lacks
+shipmode/commitdate/receiptdate; customer lacks phone), so the classic
+predicates are adapted to the available columns while preserving each
+query's plan shape — the adaptation is documented per query. Monetary
+aggregates use the exact integer-cents forms from functions/exact so the
+hash gate is bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.functions.exact import dsum, oracle_dsum
+from nyc_taxi_pyspark_spark.sources.io import load_table
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_check(spark, sf_dir):
+    """TPC-H Q4 (order priority checking): the EXISTS→left-semi-join
+    benchmark. Adapted predicate: the reduced lineitem has no
+    commitdate/receiptdate, so "late line" is l_shipdate more than 90
+    days after the order date — same correlated-inequality shape. The
+    DataFrame plan states the semi join directly (what Catalyst rewrites
+    EXISTS into): orders keep at most one match, no fan-out, no distinct
+    needed. At scale the quarter filter prunes orders before the shuffle
+    and the semi join short-circuits per key on the lineitem side."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           YEAR(l.l_shipdate) AS l_year,
+           {oracle_dsum(_REV, 4)} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): trade volume between a nation pair in
+    both directions, by ship year. The nation dimension joins twice under
+    different roles (supplier side / customer side) — the classic
+    self-referenced-dimension plan. Both nation copies broadcast; the
+    symmetric pair disjunction stays a residual above the two broadcast
+    joins while the shipdate range pushes into the lineitem scan. Nation
+    names adapted to the synthetic NATION_k domain."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("__n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("__n2_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_6")
+                & (F.col("cust_nation") == "NATION_7")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_7")
+                & (F.col("cust_nation") == "NATION_6")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum(_rev(), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT YEAR(o.o_orderdate) AS o_year,
+           ({oracle_dsum(
+               "CASE WHEN n1.n_name = 'NATION_8' "
+               f"THEN {_REV} ELSE 0 END", 4)}
+            / {oracle_dsum(_REV, 4)}) AS mkt_share
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): NATION_8's share of ECONOMY-part
+    revenue sold into ASIA, by order year — the 7-relation join with a
+    conditional-aggregate ratio on top. The share is two exact-cents sums
+    (numerator gated by the supplier-nation CASE) and ONE double division,
+    mirrored in the oracle, so the ratio is bit-identical. part/supplier/
+    nation×2/region all broadcast; only lineitem⋈orders⋈customer shuffles.
+    Adapted: p_type equality (synthetic types are single words) and the
+    NATION_k name domain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__n2_key"),
+        F.col("n_regionkey").alias("__n2_region"),
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("__n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("__n2_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r), r["r_regionkey"] == F.col("__n2_region"))
+    )
+    gated = F.when(F.col("supp_nation") == "NATION_8", _rev()).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(gated, 4) / dsum(_rev(), 4)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): the outer-join
+    double-aggregation benchmark. The priority exclusion must live in the
+    JOIN CONDITION, not a WHERE clause — a WHERE would silently drop the
+    zero-order customers the query exists to count (the classic outer-join
+    filter-placement trap; adapted from the comment NOT LIKE predicate to
+    o_orderpriority). COUNT(o_orderkey) counts matches only (NULL-skipping),
+    so no-order customers land in the c_count=0 bucket. Both aggregations
+    are map-side-combinable; the second one's key space (distinct counts)
+    is tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle=f"""
+    SELECT (100.0 * {oracle_dsum(
+        f"CASE WHEN p.p_type = 'PROMO' THEN {_REV} ELSE 0 END", 4)}
+            / {oracle_dsum(_REV, 4)}) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def tpch_q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): percent of one month's revenue from
+    PROMO-type parts — the canonical conditional-aggregate share. One
+    broadcast join (part is the dim), the month filter pushed to the
+    lineitem scan, two exact-cents sums and one mirrored double
+    multiply/divide. Adapted: p_type equality on the single-word synthetic
+    type domain."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return joined.agg(
+        (F.lit(100.0) * dsum(promo, 4) / dsum(_rev(), 4)).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_join",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {oracle_dsum(_REV, 4)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_join(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    OR-of-ANDs benchmark. The disjunction mixes columns from both sides,
+    so it cannot push below the join — Catalyst keeps the partkey
+    equi-join (never a nested loop) with the disjunction as a residual,
+    and derives the pushable per-side envelopes (brand ∈ {…} on the part
+    scan, quantity ∈ [1,30] on lineitem) from the OR's common factors.
+    Adapted to the synthetic brand/size domains; container/shipmode terms
+    dropped (columns absent)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        dsum(_rev(), 4).alias("revenue"),
+    )
+
+
+@query(
+    "tpch_q22_no_order_customers",
+    oracle=f"""
+    WITH cutoff AS (
+        SELECT {oracle_dsum("c_acctbal", 2)} / COUNT(*) AS avg_bal
+        FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (3, 7, 11, 15, 19, 23)
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           {oracle_dsum("c.c_acctbal", 2)} AS totacctbal
+    FROM customer c, cutoff
+    WHERE c.c_nationkey IN (3, 7, 11, 15, 19, 23)
+      AND c.c_acctbal > cutoff.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def tpch_q22_no_order_customers(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers in a nation subset with no urgent order. Two decorrelation
+    shapes in one plan: the scalar AVG subquery becomes a 1-row broadcast
+    cross join (never a per-row re-evaluation), and NOT EXISTS becomes a
+    left-anti join on custkey. Adapted: the phone-prefix country code is
+    c_nationkey (column absent), and "has never ordered" becomes "has
+    never placed a 1-URGENT order" — the synthetic generator gives every
+    customer at least one order, which would make the classic predicate
+    return the empty set at every SF; the anti-join side carries the
+    priority filter, preserving the plan shape with a non-degenerate
+    result. The average is the exact-cents sum over an explicit COUNT(*)
+    so both engines divide the same two numbers."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(3, 7, 11, 15, 19, 23)
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cutoff = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal", 2) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    never_ordered = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return (
+        never_ordered.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

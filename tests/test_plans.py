@@ -520,3 +520,50 @@ def test_join_strategy_hints_are_honored(spark):
     ]:
         df = li.join(o.hint(hint), li["l_orderkey"] == o["o_orderkey"])
         assert node in formatted_plan(df), hint
+
+
+def test_tpch_q4_semi_join_shape(spark):
+    """Q4: EXISTS must be a left-semi join (no fan-out, no distinct), with
+    the quarter filter pushed to the orders scan."""
+    df = QUERIES["tpch_q4_priority_check"](spark, SF)
+    p = formatted_plan(df)
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_tpch_q7_q8_broadcast_dims_no_cartesian(spark):
+    """Q7/Q8: the twice-joined nation dim (and part/supplier/region for
+    Q8) broadcast; the big-side chain never degrades to a cartesian."""
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        df = QUERIES[name](spark, SF)
+        p = formatted_plan(df)
+        assert has_broadcast_join(df), name
+        assert "CartesianProduct" not in p, name
+        assert "Python" not in p, name
+
+
+def test_tpch_q13_outer_join_preserved(spark):
+    """Q13: the priority exclusion must stay in the join condition —
+    the plan keeps LeftOuter (a WHERE placement would have turned it
+    inner and dropped the zero-order customers)."""
+    p = formatted_plan(QUERIES["tpch_q13_order_distribution"](spark, SF))
+    assert "LeftOuter" in p
+
+
+def test_tpch_q19_equi_join_with_residual(spark):
+    """Q19: the OR-of-ANDs must ride an equi-join on partkey (hash or
+    merge — never nested-loop/cartesian), with the derived quantity
+    envelope pushed to the lineitem scan."""
+    df = QUERIES["tpch_q19_disjunctive_join"](spark, SF)
+    p = formatted_plan(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "Join" in p
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
+    """Q22: NOT EXISTS must be a left-anti join; the scalar cutoff is a
+    1-row broadcast (nested-loop over one row is fine — it must NOT be a
+    shuffled join)."""
+    p = formatted_plan(QUERIES["tpch_q22_no_order_customers"](spark, SF))
+    assert "LeftAnti" in p
