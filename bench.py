@@ -108,6 +108,11 @@ HEADLINE = [
     "tpch_q14_promo_share",
     "tpch_q19_disjunctive_join",
     "tpch_q22_no_order_customers",
+    "tpch_q6_revenue_delta",
+    "tpch_q9_profit_by_nation",
+    "tpch_q12_late_priority_classes",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
 ]
 
 
@@ -193,6 +198,11 @@ EXPECTED = {
     "tpch_q14_promo_share": 0.52,
     "tpch_q19_disjunctive_join": 0.56,
     "tpch_q22_no_order_customers": 0.69,
+    "tpch_q6_revenue_delta": 0.42,
+    "tpch_q9_profit_by_nation": 1.10,
+    "tpch_q12_late_priority_classes": 1.18,
+    "tpch_q15_top_supplier": 0.94,
+    "tpch_q21_waiting_suppliers": 1.71,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -1,16 +1,25 @@
 """TPC-H planning-shape extensions (round 8).
 
-Seven adapted TPC-H queries chosen for the *plan shapes* the catalog did
-not yet demonstrate, each with a hash-exact DuckDB oracle twin:
+Twelve adapted TPC-H queries chosen for the *plan shapes* the catalog
+did not yet demonstrate, each with a hash-exact DuckDB oracle twin:
 
 - Q4  — EXISTS subquery → left-semi join conversion
+- Q6  — pure scan-aggregate with full predicate pushdown
 - Q7  — symmetric nation-pair predicate over a 4-way join
+- Q8  — market-share: conditional share across a 7-relation join
+- Q9  — signed profit rollup by nation × year over a 5-relation join
+- Q12 — conditional class counts in one aggregate pass
 - Q13 — outer-join count distribution (double aggregation, join-condition
         filter that must NOT become a WHERE filter)
 - Q14 — conditional-aggregate share (promo revenue)
+- Q15 — scalar MAX over a derived view, attached as a 1-row broadcast
 - Q19 — OR-of-ANDs disjunctive join residual over an equi-join
+- Q21 — EXISTS + NOT EXISTS double correlation (semi + anti join)
 - Q22 — NOT EXISTS → anti join + broadcast scalar subquery
-- Q8  — market-share: conditional share across a 7-relation join
+
+Together with Q1 (pricing_summary), Q3/Q10/Q18 and Q5/Q17 this covers
+18 of the 22 TPC-H queries; the remaining four (Q2/Q11/Q16/Q20) need
+the partsupp table, which the synthetic testdata does not ship.
 
 The synthetic tables are a reduced TPC-H (no partsupp; lineitem lacks
 shipmode/commitdate/receiptdate; customer lacks phone), so the classic
@@ -399,4 +408,251 @@ def tpch_q22_no_order_customers(spark, sf_dir):
             dsum("c_acctbal", 2).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "tpch_q6_revenue_delta",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {oracle_dsum("l_extendedprice * l_discount", 4)} AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure scan-aggregate —
+    revenue given up to small-quantity mid-discount lines in one year.
+    Zero joins, zero wide shuffles: every predicate (date range, discount
+    band, quantity cap) pushes into the parquet scan, and the two
+    aggregates partial-combine map-side into one 1-row exchange. The
+    literal discount bounds are the same IEEE doubles on both engines, so
+    BETWEEN admits identical rows."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "revenue_delta"
+        ),
+    )
+
+
+@query(
+    "tpch_q9_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation, YEAR(o.o_orderdate) AS o_year,
+           {oracle_dsum(
+               "l_extendedprice * (1 - l_discount)"
+               " - p.p_retailprice * l.l_quantity", 4)} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def tpch_q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 (product-type profit): profit on 'red' parts by supplier
+    nation and order year. Adapted: the reduced schema has no partsupp,
+    so line cost is p_retailprice·quantity instead of
+    ps_supplycost·quantity — identical join/aggregate shape (the cost
+    factor just arrives from the part dim instead of a partkey+suppkey
+    composite-keyed dim; profits can go negative, which exercises the
+    signed exact-cents path). The LIKE filter shrinks part before its
+    broadcast; nation broadcasts; lineitem⋈orders is the only big
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+    )
+    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q12_late_priority_classes",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def tpch_q12_late_priority_classes(spark, sf_dir):
+    """TPC-H Q12 (shipping modes and order priority): do late lines hit
+    high-priority orders? Adapted: the reduced lineitem has no
+    shipmode/commitdate/receiptdate, so the category axis is l_returnflag
+    and "late" is shipped >60 days after the order date (a cross-table
+    inequality that must ride the join, not a scan filter). The two
+    priority classes are conditional SUMs in ONE aggregate pass — never
+    two joins or a pivot-shaped double scan. The year window on shipdate
+    pushes to the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    joined = li.join(
+        o,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {oracle_dsum("l_extendedprice * (1 - l_discount)", 4)}
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum quarterly
+    revenue — the scalar-MAX-over-a-derived-view shape. The revenue view
+    computes once; the MAX is a 1-row broadcast joined back by equality
+    (never a global sort to take row 1 — sorting all suppliers for one
+    max is the anti-pattern). Equality-on-double is safe here because
+    both sides are the same exact-cents sum. Ties would all surface,
+    ordered by key, exactly as in the reference semantics."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), 4).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("__best"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("__best"))
+        .join(F.broadcast(s), s["s_suppkey"] == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting): the double-
+    correlation benchmark — an EXISTS and a NOT EXISTS against the same
+    fact, both correlated on the outer row's order with a supplier
+    inequality. Expressed as one semi join (some OTHER supplier
+    participated in the order) and one anti join (no OTHER supplier was
+    late on it) over a shared late-lines frame, so "solely-responsible
+    late supplier" never materializes a per-row subquery. Adapted: late =
+    shipped >60 days after the order date (no commit/receipt dates); the
+    top-10 is a TakeOrdered heap with the name tiebreak making the
+    cutoff deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = li.join(
+        o,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+    ).select("l_orderkey", "l_suppkey")
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    sole_late = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), s["s_suppkey"] == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
     )

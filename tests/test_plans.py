@@ -567,3 +567,58 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark):
     shuffled join)."""
     p = formatted_plan(QUERIES["tpch_q22_no_order_customers"](spark, SF))
     assert "LeftAnti" in p
+
+
+def test_tpch_q6_scan_aggregate_only(spark):
+    """Q6: zero joins; date/discount/quantity predicates all pushed to the
+    scan; one partial/final aggregate pair."""
+    df = QUERIES["tpch_q6_revenue_delta"](spark, SF)
+    p = formatted_plan(df)
+    assert "Join" not in p
+    pushed = scan_pushed_filters(df)
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    assert "l_quantity" in pushed
+
+
+def test_tpch_q9_broadcast_dims_single_big_shuffle(spark):
+    """Q9: part (LIKE-filtered), supplier, nation broadcast; only the
+    lineitem⋈orders chain shuffles; no cartesian, no Python."""
+    df = QUERIES["tpch_q9_profit_by_nation"](spark, SF)
+    p = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in p
+    assert "Python" not in p
+
+
+def test_tpch_q12_one_aggregate_pass(spark):
+    """Q12: both priority classes come from ONE aggregate (conditional
+    sums), not two scans or a pivot — exactly one HashAggregate pair."""
+    import re
+
+    df = QUERIES["tpch_q12_late_priority_classes"](spark, SF)
+    p = formatted_plan(df)
+    # partial+final = 2 HashAggregate nodes for the single logical agg
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) == 2
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q15_max_is_broadcast_not_global_sort(spark):
+    """Q15: the scalar MAX attaches as a 1-row broadcast; the plan must
+    not sort all suppliers to take the top row (no TakeOrdered/global
+    Sort ahead of the filter)."""
+    df = QUERIES["tpch_q15_top_supplier"](spark, SF)
+    p = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in p
+    assert not uses_take_ordered(df)
+
+
+def test_tpch_q21_semi_plus_anti_topk(spark):
+    """Q21: the EXISTS/NOT-EXISTS double correlation must be one semi
+    join plus one anti join over the shared late frame, with the top-10
+    as a TakeOrdered heap."""
+    df = QUERIES["tpch_q21_waiting_suppliers"](spark, SF)
+    p = formatted_plan(df)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert uses_take_ordered(df)
+    assert "CartesianProduct" not in p
