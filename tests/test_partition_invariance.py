@@ -45,6 +45,15 @@ SWEEP = [
     "events_gapfill",  # sequence expansion against sparse keys
     "orders_open_interval_count",  # sweep-line prefix sums
     "histogram_equidepth",  # sketch-based cutpoints (deterministic merge)
+    # TPC-H round-8 batch: the shapes where partitioning could plausibly
+    # leak into results — exact-cents max equality (Q15), semi+anti over
+    # a shared derived frame (Q21), signed exact-cents sums (Q9), and the
+    # conditional-share divisions (Q8/Q14)
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q9_profit_by_nation",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_share",
 ]
 
 
