@@ -7,9 +7,11 @@ local[$SPARK_GRAFT_CPUS], one cold run + 5 timed runs per query (median —
 otherwise-stable query), materializing each plan fully through the noop
 sink (no collect cost, no pruned work). Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "queries_cold": {...}, "sf": ...}
-and writes the same line to BENCH_SUMMARY.json (stdout capture can
-truncate; the file is the authoritative copy).
+     "sf": ..., "n_queries": N, "queries_omitted": N, "full": "..."}
+sized to fit the driver's ~2000-char stdout capture window ("value" always
+totals ALL headline queries; "queries" lists the most expensive ones that
+fit). The complete record — every query, cold-run splits, isolated-rerun
+adjudications — goes to BENCH_SUMMARY.json, the authoritative copy.
 
 Cold/warm split (BASELINE.md §5): `queries` (warm medians, gating the 2×
 rule) exclude one-time layout builds; `queries_cold` is each query's FIRST
@@ -113,6 +115,11 @@ HEADLINE = [
     "tpch_q12_late_priority_classes",
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_suppliers",
+    # round-9 TPC-H partsupp family (self-baselined in BASELINE.md §10)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q20_promotion_suppliers",
 ]
 
 
@@ -203,6 +210,10 @@ EXPECTED = {
     "tpch_q12_late_priority_classes": 1.18,
     "tpch_q15_top_supplier": 0.94,
     "tpch_q21_waiting_suppliers": 1.71,
+    "tpch_q2_min_cost_supplier": 0.92,
+    "tpch_q11_important_stock": 1.12,
+    "tpch_q16_supplier_part_counts": 1.05,
+    "tpch_q20_promotion_suppliers": 0.93,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
@@ -351,16 +362,38 @@ def main() -> None:
     }
     if iso_reruns:
         out["iso_reruns"] = iso_reruns
-    line = json.dumps(out)
-    # the driver parses captured stdout, which can truncate a long tail —
-    # persist the summary to a standalone file as the authoritative copy
+    # authoritative full copy (all queries, cold splits, adjudications)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_SUMMARY.json"),
         "w",
     ) as fh:
-        fh.write(line + "\n")
-    print(line, flush=True)
+        fh.write(json.dumps(out) + "\n")
+    # The driver records only the last ~2000 chars of stdout and parses the
+    # JSON line out of that window; the 74-query full record stopped fitting
+    # at round 6 (observed: BENCH_r06..r08 all have parsed=null). Emit a
+    # stdout line guaranteed to fit: total over ALL headline queries, plus
+    # as many per-query entries as fit (most expensive first — the ones
+    # that matter for a perf grade), with an explicit omitted count and a
+    # pointer to the full file.
+    budget = 1700
+    slim = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {},
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_omitted": 0,
+        "full": "BENCH_SUMMARY.json",
+    }
+    compact = (",", ":")
+    for name in sorted(timings, key=lambda k: -timings[k]):
+        slim["queries"][name] = timings[name]
+        if len(json.dumps(slim, separators=compact)) > budget:
+            del slim["queries"][name]
+    slim["queries_omitted"] = len(timings) - len(slim["queries"])
+    print(json.dumps(slim, separators=compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,12 @@ SWEEP = [
     "tpch_q9_profit_by_nation",
     "tpch_q8_market_share",
     "tpch_q14_promo_share",
+    # TPC-H round-9 partsupp family: min-equality join-back (Q2), exact-
+    # cents threshold against a 1-row global (Q11), and the correlated
+    # half-sum comparison (Q20) are the partition-sensitive candidates
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q20_promotion_suppliers",
 ]
 
 

@@ -622,3 +622,45 @@ def test_tpch_q21_semi_plus_anti_topk(spark):
     assert "LeftSemi" in p and "LeftAnti" in p
     assert uses_take_ordered(df)
     assert "CartesianProduct" not in p
+
+
+def test_tpch_q2_group_min_joinback_no_cartesian(spark):
+    """Q2: the correlated scalar MIN decorrelates to a group-min joined
+    back by (partkey, cost) equality; part/supplier/nation/region all
+    broadcast; the top-100 is a TakeOrdered heap, never a global sort."""
+    df = QUERIES["tpch_q2_min_cost_supplier"](spark, SF)
+    p = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in p
+    assert uses_take_ordered(df)
+
+
+def test_tpch_q11_global_scalar_is_broadcast(spark):
+    """Q11: the HAVING threshold (fraction of the nation total) attaches
+    as a 1-row broadcast — no shuffled join, no window over the whole
+    result, no Python."""
+    df = QUERIES["tpch_q11_important_stock"](spark, SF)
+    p = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "Window" not in p
+    assert "Python" not in p
+
+
+def test_tpch_q16_anti_join_exclusion(spark):
+    """Q16: the NOT IN complaint-supplier exclusion must be a broadcast
+    anti join; the distinct count keeps partial aggregation (two
+    HashAggregate pairs: partial-distinct and final)."""
+    df = QUERIES["tpch_q16_supplier_part_counts"](spark, SF)
+    p = formatted_plan(df)
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q20_stacked_semi_joins(spark):
+    """Q20: both IN levels become semi joins (red-part restriction on
+    partsupp, surviving-supplier restriction on supplier); the half-sum
+    correlation is an equi-join on (part, supplier), never a cartesian."""
+    df = QUERIES["tpch_q20_promotion_suppliers"](spark, SF)
+    p = formatted_plan(df)
+    assert p.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
