@@ -775,7 +775,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         FROM ps
         JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
-                     AND n.n_name = 'NATION_7'
+                     AND n.n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
     ),
     grouped AS (
         SELECT ps_partkey, {oracle_dsum("val", 2)} AS value
@@ -791,7 +791,9 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
 def tpch_q11_important_stock(spark, sf_dir):
     """TPC-H Q11 (important stock identification): the HAVING-against-a-
     global-scalar shape — per-part inventory value within one nation,
-    kept only when it exceeds a fraction of the nation's total. The
+    kept only when it exceeds a fraction of the nation group's total
+    (a 3-nation group rather than classic single GERMANY: the sf0.001
+    testdata has only 10 suppliers, and one nation can be empty). The
     total is a second aggregate over the SAME offers frame attached as a
     1-row broadcast (never a window over the whole result, never a
     collect). val = 2dp cost × integer qty has exact decimal scale 2, so
@@ -802,7 +804,7 @@ def tpch_q11_important_stock(spark, sf_dir):
     ps = _partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
-        F.col("n_name") == "NATION_7"
+        F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
     )
     offers = (
         ps.join(F.broadcast(s), s["s_suppkey"] == ps["ps_suppkey"])
