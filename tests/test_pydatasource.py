@@ -98,37 +98,52 @@ def test_mixed_filters_split_between_source_and_spark(spark, jsonl_tree):
 def test_streaming_source_incremental_exactly_once(spark, tmp_path):
     """The connector's streaming half: files appended to the source dir
     arrive in the next micro-batch, each record exactly once, offsets
-    advancing by file count."""
+    advancing by file count.
+
+    The Python-data-source stream spins up a Python worker per batch;
+    under full-suite load that startup can fail transiently, so the test
+    retries ENVIRONMENT exceptions once with a fresh source dir. Count
+    assertions are never retried — a real lost/duplicated record fails
+    immediately."""
     import time
 
-    src = tmp_path / "stream_src"
-    src.mkdir()
-
-    def emit(name, lo, hi):
-        with open(src / name, "w") as fh:
-            for i in range(lo, hi):
-                fh.write(json.dumps({"n_nationkey": i, "n_name": f"N{i}", "n_regionkey": i % 5}) + "\n")
-
-    emit("a.jsonl", 0, 10)
     register(spark)
     schema = "n_nationkey int, n_name string, n_regionkey int"
-    name = f"pysrc_stream_{int(time.time()*1000)}"
-    q = (
-        spark.readStream.format("jsonl_files")
-        .schema(schema)
-        .load(str(src))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
+
+    def attempt(round_no: int) -> None:
+        src = tmp_path / f"stream_src_{round_no}"
+        src.mkdir()
+
+        def emit(name, lo, hi):
+            with open(src / name, "w") as fh:
+                for i in range(lo, hi):
+                    fh.write(json.dumps({"n_nationkey": i, "n_name": f"N{i}", "n_regionkey": i % 5}) + "\n")
+
+        emit("a.jsonl", 0, 10)
+        name = f"pysrc_stream_{round_no}_{int(time.time()*1000)}"
+        q = (
+            spark.readStream.format("jsonl_files")
+            .schema(schema)
+            .load(str(src))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert spark.table(name).count() == 10
+            emit("b.jsonl", 10, 25)
+            q.processAllAvailable()
+            got = spark.table(name)
+            assert got.count() == 25  # nothing lost, nothing re-read
+            assert got.select("n_nationkey").distinct().count() == 25
+        finally:
+            q.stop()
+
     try:
-        q.processAllAvailable()
-        assert spark.table(name).count() == 10
-        emit("b.jsonl", 10, 25)
-        q.processAllAvailable()
-        got = spark.table(name)
-        assert got.count() == 25  # nothing lost, nothing re-read
-        assert got.select("n_nationkey").distinct().count() == 25
-    finally:
-        q.stop()
+        attempt(0)
+    except AssertionError:
+        raise
+    except Exception:
+        attempt(1)
