@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import oracle_davg
+from nyc_taxi_pyspark_spark.operators.heavy import heavy_hitters_exact
 from nyc_taxi_pyspark_spark.operators.text import (
     BPE_PATTERN,
     LANG_PROFILES,
@@ -378,6 +379,38 @@ def text_token_topk(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(20)
+    )
+
+
+_HH_K = 500  # phi = 1/500: report tokens above 0.2% of all occurrences
+
+
+@query(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_WORDS}) AS token FROM documents)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM tok
+    GROUP BY token
+    HAVING COUNT(*) * {_HH_K} > (SELECT COUNT(*) FROM tok)
+    ORDER BY n_occ DESC, token
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens with > 1/500 of all occurrences)
+    via two-phase Misra-Gries candidate pruning + broadcast exact verify
+    (operators/heavy.py). At 100 TB the naive explode->groupBy shuffles one
+    row per token occurrence and holds full-vocabulary agg state; the MG
+    phase caps the merge shuffle at k rows per partition and the verify
+    phase counts only broadcast-filtered survivors, while the HAVING
+    ``cnt * k > total`` integer compare keeps the result exact and
+    engine-portable. Reference parity: the driver-side value_counts
+    frequency reports (SURVEY.md section 2.4 A4), re-expressed for
+    vocabularies where group-by state no longer fits."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens()).alias("token"))
+    return heavy_hitters_exact(toks, "token", _HH_K).select(
+        F.col("item").alias("token"), "n_occ"
     )
 
 

@@ -60,6 +60,9 @@ SWEEP = [
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q20_promotion_suppliers",
+    # MG candidate sets vary with layout; the exact-verify phase must erase
+    # that so the final heavy-hitter rows are layout-independent
+    "text_heavy_hitters",
 ]
 
 
