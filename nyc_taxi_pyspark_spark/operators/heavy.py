@@ -96,7 +96,7 @@ def heavy_hitters_exact(
         .where(F.col("lb") > 0)
         .select("item")
     )
-    total = items.agg(F.count("*").alias("_total"))
+    total = items.agg(F.count("item").alias("_total"))
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")
