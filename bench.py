@@ -120,6 +120,7 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
+    "text_heavy_hitters",
 ]
 
 
@@ -214,6 +215,7 @@ EXPECTED = {
     "tpch_q11_important_stock": 1.12,
     "tpch_q16_supplier_part_counts": 1.05,
     "tpch_q20_promotion_suppliers": 0.93,
+    "text_heavy_hitters": 1.17,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
