@@ -17,6 +17,11 @@ from nyc_taxi_pyspark_spark.functions.exact import (
     oracle_dsum,
 )
 from nyc_taxi_pyspark_spark.functions.scalar import dow_iso, dow_spark
+from nyc_taxi_pyspark_spark.operators.incremental import (
+    finalize_agg_state,
+    merge_agg_states,
+    partial_agg_state,
+)
 from nyc_taxi_pyspark_spark.operators.aggregates import (
     describe_exact,
     duplicate_group_count,
@@ -166,6 +171,54 @@ def group_by_day(spark, sf_dir):
     return (
         o.groupBy(F.to_date("o_orderdate").alias("order_day"))
         .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", 2).alias("sum_total"))
+    )
+
+
+@query(
+    "orders_incremental_kpis",
+    oracle=f"""
+    SELECT CAST(o_orderdate AS DATE) AS order_day,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_orders,
+           {oracle_dsum('o_totalprice', 2)} AS sum_price,
+           ({oracle_dsum('o_totalprice', 2)} / COUNT(o_totalprice)) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_incremental_kpis(spark, sf_dir):
+    """Incremental aggregate maintenance (operators/incremental.py): the
+    daily KPI rollup computed as merge(state(base), state(delta)) over a
+    deterministic 90/10 split of orders, then finalized — checked against
+    a one-shot GROUP BY oracle of the whole table, so the hash gate proves
+    the merge law end-to-end. The state keeps sums as integer cents, so
+    merging is associative/commutative integer addition and the result is
+    bit-identical however the input is split. In production the base state
+    is a persisted table and only the delta is scanned per refresh
+    (O(delta), not O(base)); this query recomputes both sides from one
+    parquet file only because it must demonstrate the law from scratch."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_day", F.to_date("o_orderdate")
+    )
+    base = o.where(F.col("o_orderkey") % 10 < 9)
+    delta = o.where(F.col("o_orderkey") % 10 >= 9)
+    state = merge_agg_states(
+        partial_agg_state(base, ["order_day"], "o_totalprice", 2),
+        partial_agg_state(delta, ["order_day"], "o_totalprice", 2),
+    )
+    return (
+        finalize_agg_state(state, 2)
+        .select(
+            "order_day",
+            F.col("n").alias("n_orders"),
+            F.col("sum_v").alias("sum_price"),
+            F.col("avg_v").alias("avg_price"),
+            F.col("min_v").alias("min_price"),
+            F.col("max_v").alias("max_price"),
+        )
+        .orderBy("order_day")
     )
 
 

@@ -63,6 +63,9 @@ SWEEP = [
     # MG candidate sets vary with layout; the exact-verify phase must erase
     # that so the final heavy-hitter rows are layout-independent
     "text_heavy_hitters",
+    # split -> merge of partial states must be bit-identical to the
+    # one-shot aggregate at any partitioning (integer-cents merge law)
+    "orders_incremental_kpis",
 ]
 
 
