@@ -113,6 +113,63 @@ def pagerank_int(
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via the degree-ordered node-iterator.
+
+    ``edges``: undirected simple edges as (u, v) with u < v and no
+    duplicates (dedup upstream — the builder owns the graph layout).
+
+    The classic MapReduce/Spark triangle algorithm (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+
+    1. degree per node (one keyed aggregate over both endpoints);
+    2. orient every edge from the (degree, id)-smaller endpoint to the
+       larger — a total order, so each triangle {a<b<c} survives as
+       exactly one oriented wedge a→b→c closed by a→c;
+    3. wedge join (oriented ⋈ oriented on mid-node) + closing equi-join.
+
+    Orientation is what makes this scale: out-degrees under the
+    (degree, id) order are bounded by O(√m), so the wedge join emits
+    O(m^1.5) rows worst-case instead of Σdeg² — a hub node with a
+    million neighbors contributes NOTHING as a wedge midpoint unless the
+    spokes themselves are high-degree. All joins are equi-joins
+    (shuffle- or broadcast-able); no driver-side state at all.
+
+    Returns (node, triangles) — one row per node that participates in at
+    least one triangle; each triangle contributes 1 to all three corners,
+    so Σ triangles = 3 × the global triangle count.
+    """
+    both = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("triangles")
+    )
+
+
 def oracle_pagerank_cte(
     edges_cte: str,
     nodes_cte: str,

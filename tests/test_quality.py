@@ -355,3 +355,38 @@ def test_key_sequence_gaps_durable_checkpoint_mode(spark, tmp_path):
     )
     assert dur == base == [(3, 4, 2), (7, 8, 2)]
     assert glob.glob(f"{ckpt}/*/rdd-*")
+
+
+def test_triangle_counts_known_graph_and_layout_invariance(spark):
+    from nyc_taxi_pyspark_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant 4-5
+    # + disjoint triangle {6,7,8} (each node in 1) + isolated edge 9-10.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (6, 7), (6, 8), (7, 8), (9, 10)],
+        "u bigint, v bigint",
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 6: 1, 7: 1, 8: 1}
+    # sum of per-node counts = 3 x global triangle count (4 + 1 = 5)
+    assert sum(got.values()) == 3 * 5
+    # pendant/isolated nodes don't appear; layout does not change counts
+    again = {
+        r["node"]: r["triangles"]
+        for r in triangle_counts(edges.repartition(7)).collect()
+    }
+    assert again == got
+
+
+def test_triangle_counts_empty_and_triangle_free(spark):
+    from nyc_taxi_pyspark_spark.operators.graph import triangle_counts
+
+    empty = spark.createDataFrame([], "u bigint, v bigint")
+    assert triangle_counts(empty).count() == 0
+    # star graph: many wedges, zero triangles (orientation must not
+    # fabricate closures)
+    star = spark.createDataFrame(
+        [(1, n) for n in range(2, 12)], "u bigint, v bigint"
+    )
+    assert triangle_counts(star).count() == 0
