@@ -1280,7 +1280,7 @@ _COPURCHASE_CACHE = SessionLayoutCache()
     "graph_triangle_counts",
     oracle="""
     WITH items AS (
-        SELECT DISTINCT l_orderkey, l_partkey % 2000 AS item
+        SELECT DISTINCT l_orderkey, l_partkey AS item
         FROM lineitem
     ),
     edges AS (
@@ -1324,10 +1324,13 @@ def graph_triangle_counts(spark, sf_dir):
     """Per-node triangle counts over the co-purchase graph — the graph
     clustering-structure primitive (community density, spam/bot-ring
     detection in crawl curation) alongside the catalog's PageRank and
-    connected components. Nodes are partkey buckets; an edge exists when
-    two buckets appear in the same order (the basket_pair_lift edge
-    discipline, finer buckets so the graph has real sparsity —
-    ~116k edges / 2000 nodes at sf0.01 instead of a near-clique).
+    connected components. Nodes are raw partkeys; an edge exists when two
+    parts appear in the same order (the basket_pair_lift edge discipline,
+    unbucketed). Raw keys make the graph SF-invariantly sparse: parts and
+    orders both grow with scale, so per-node degree stays ~100 at every
+    SF (~116k edges/2k nodes at sf0.01; ~1.2M edges/19k nodes at sf0.1)
+    and the wedge join stays linear in data size — bucketing to a fixed
+    node count would instead densify toward a clique as data grows.
 
     Scale: degree-ordered orientation (operators/graph.triangle_counts)
     bounds every node's out-degree by O(√m), so the wedge join is
@@ -1346,13 +1349,13 @@ def graph_triangle_counts(spark, sf_dir):
         sf_dir,
         lambda: (
             li.select(
-                "l_orderkey", (F.col("l_partkey") % 2000).alias("item")
+                "l_orderkey", F.col("l_partkey").alias("item")
             )
             .distinct()
             .alias("a")
             .join(
                 li.select(
-                    "l_orderkey", (F.col("l_partkey") % 2000).alias("item")
+                    "l_orderkey", F.col("l_partkey").alias("item")
                 )
                 .distinct()
                 .alias("b"),
