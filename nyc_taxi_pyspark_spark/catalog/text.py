@@ -2325,3 +2325,161 @@ def text_doc_surprisal(spark, sf_dir):
             ),
         )
     )
+
+
+_SPAN_K = 8  # anchor n-gram width (tokens) for duplicate-span detection
+
+
+@query(
+    "text_duplicate_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(range(1, GREATEST(len(w) - {_SPAN_K - 1}, 0) + 1))
+                   AS pos,
+               unnest(list_transform(
+                   range(1, GREATEST(len(w) - {_SPAN_K - 1}, 0) + 1),
+                   i -> array_to_string(w[i : i + {_SPAN_K - 1}], ' ')))
+                   AS gram
+        FROM t
+    ),
+    dup AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY gram) AS n_occ
+            FROM g
+        ) WHERE n_occ > 1
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(CASE WHEN prev IS NULL
+                             OR pos - prev > {_SPAN_K} THEN 1
+                        ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM (
+            SELECT doc_id, pos,
+                   LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM dup
+        )
+    ),
+    spans AS (
+        SELECT doc_id, island,
+               MIN(pos) AS s, MAX(pos) AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    perdoc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_dup_spans,
+               SUM(e - s + {_SPAN_K}) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_dup_spans, 0) AS INTEGER) AS n_dup_spans,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(len({_DUCK_WORDS}) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS DOUBLE)
+               / len({_DUCK_WORDS}) AS dup_share
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    ORDER BY dup_share DESC, doc_id LIMIT 100
+    """,
+)
+def text_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-SPAN detection — the substring-level half of exact
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): instead of dropping whole duplicate documents, find
+    the maximal token spans whose content occurs more than once anywhere
+    in the corpus (cross-doc boilerplate or in-doc repetition) so a
+    curation pipeline can cut the spans and keep the unique remainder.
+
+    Suffix-array semantics approximated by fixed-width anchors: every
+    {_SPAN_K}-token gram is a candidate anchor; a position is duplicated
+    iff its gram occurs >1 time corpus-wide; per doc, duplicated
+    positions whose token intervals [pos, pos+{_SPAN_K}-1] overlap or
+    touch (gap <= {_SPAN_K}) merge into maximal spans (gaps-and-islands
+    window). Emits per-doc span count, covered-token count, and the
+    duplicated-token share that a span-cut pass would remove.
+
+    Plan/scale: gram construction is array-native per row (sequence +
+    slice — no explode of K copies of every token, no window chain of
+    K-1 lags); the only corpus-wide exchange is the gram-frequency
+    window, which shuffles on the gram key exactly once (at 100 TB,
+    shuffle md5(gram) instead of the raw 8-token string to cut exchange
+    bytes ~4x; same key semantics). Island merging is a doc-partitioned
+    window — embarrassingly parallel across docs. Output is the top-100
+    by duplicated share (TakeOrdered, no global materialization)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = tokens()
+    wcol = F.col("w")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(wcol) - (_SPAN_K - 1), F.lit(0))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(wcol, i, _SPAN_K)),
+    )
+    g = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _SPAN_K)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    )
+    wg = Window.partitionBy("gram")
+    dup = (
+        g.withColumn("n_occ", F.count("*").over(wg))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "pos")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dup.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > _SPAN_K),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    perdoc = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("pos").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_dup_spans"),
+            F.sum(F.col("e") - F.col("s") + _SPAN_K)
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+    )
+    return (
+        d.select("doc_id", F.size(w).cast("bigint").alias("n_tokens"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            "n_tokens",
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_share"),
+        )
+        .orderBy(F.desc("dup_share"), "doc_id")
+        .limit(100)
+    )
