@@ -777,3 +777,81 @@ def events_watermark_tuning(spark, sf_dir):
         .cast("bigint")
         .alias("p99_late_us"),
     )
+
+
+@query(
+    "events_ewma_anomaly",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_id, user_id, value,
+               LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4,
+               LAG(value, 5) OVER w AS l5, LAG(value, 6) OVER w AS l6,
+               LAG(value, 7) OVER w AS l7, LAG(value, 8) OVER w AS l8
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    scored AS (
+        SELECT event_id, user_id, value,
+               (l1 * 128 + l2 * 64 + l3 * 32 + l4 * 16
+                + l5 * 8 + l6 * 4 + l7 * 2 + l8 * 1) / 255.0 AS ewma
+        FROM lagged WHERE l8 IS NOT NULL
+    )
+    SELECT event_id, user_id, value, ewma,
+           value - ewma AS deviation,
+           CAST(value > 2 * ewma AS INTEGER) AS is_spike
+    FROM scored
+    ORDER BY ABS(value - ewma) DESC, event_id LIMIT 50
+    """,
+)
+def events_ewma_anomaly(spark, sf_dir):
+    """Per-entity EWMA anomaly scoring: each event's value is compared to
+    an exponentially-weighted moving average of the SAME user's 8 prior
+    values (ordered by ts, event_id) — the streaming-telemetry smoothing
+    rule (alpha = 1/2) that reacts to level shifts faster than a plain
+    moving average while damping one-off noise. Events whose value departs
+    most from their own history surface first; `is_spike` marks a >2x
+    departure above trend.
+
+    Engine-portable float discipline: the weights are dyadic
+    (128/255 ... 1/255), so every product lag*2^k is EXACT in doubles and
+    the left-associated 8-term sum plus ONE division by 255.0 evaluates
+    bit-identically on the JVM and DuckDB — no libm exp(), no recursive
+    state. The 8-lag truncation of the infinite EWMA tail under-weights
+    history by <0.4% and makes the operator a bounded window instead of a
+    sequential scan.
+
+    Plan/scale: one shuffle on user_id; all 8 lags share a single sort
+    (one Window node); the top-50 is TakeOrdered. Per-user timelines are
+    independent — embarrassingly parallel at any user count."""
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    lags = [F.lag("value", j).over(wu) for j in range(1, 9)]
+    num = lags[0] * 128
+    for j, lg in enumerate(lags[1:], start=1):
+        num = num + lg * (2 ** (7 - j))
+    scored = (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            lags[7].alias("l8"),
+            (num / F.lit(255.0)).alias("ewma"),
+        )
+        .filter(F.col("l8").isNotNull())
+        .drop("l8")
+    )
+    return (
+        scored.select(
+            "event_id",
+            "user_id",
+            "value",
+            "ewma",
+            (F.col("value") - F.col("ewma")).alias("deviation"),
+            (F.col("value") > 2 * F.col("ewma")).cast("int").alias(
+                "is_spike"
+            ),
+        )
+        .orderBy(F.abs(F.col("deviation")).desc(), "event_id")
+        .limit(50)
+    )
