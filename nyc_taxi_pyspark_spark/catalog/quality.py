@@ -1892,3 +1892,108 @@ def orders_open_interval_count(spark, sf_dir):
         F.col("d").alias("day"),
         F.sum("net").over(w).cast("bigint").alias("n_open"),
     ).orderBy("day")
+
+
+@query(
+    "stats_mann_whitney",
+    oracle="""
+    WITH v AS (
+        SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                    AS BIGINT) AS cnt_a
+        FROM events WHERE event_type IN ('click', 'error')
+        GROUP BY value
+    ),
+    r AS (
+        SELECT cnt, cnt_a,
+               COALESCE(SUM(cnt) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum
+        FROM v
+    ),
+    s AS (
+        SELECT CAST(SUM(cnt_a) AS DOUBLE) AS n_a,
+               CAST(SUM(cnt - cnt_a) AS DOUBLE) AS n_b,
+               CAST(SUM(cnt) AS DOUBLE) AS n,
+               SUM(cnt_a * (cum + (cnt + 1) / 2.0)) AS r_a,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie_term
+        FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_click,
+           CAST(n_b AS BIGINT) AS n_error,
+           r_a - n_a * (n_a + 1.0) / 2.0 AS u_click,
+           n_a * n_b - (r_a - n_a * (n_a + 1.0) / 2.0) AS u_error,
+           (r_a - n_a * (n_a + 1.0) / 2.0 - n_a * n_b / 2.0)
+             / SQRT(n_a * n_b / 12.0
+                    * ((n + 1.0) - tie_term / (n * (n - 1.0)))) AS z_stat,
+           1.0 - 2.0 * (n_a * n_b - (r_a - n_a * (n_a + 1.0) / 2.0))
+             / (n_a * n_b) AS rank_biserial
+    FROM s
+    """,
+)
+def stats_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) test comparing click vs error
+    event values — the NON-parametric sibling of stats_ttest for skewed or
+    heavy-tailed metrics where mean comparisons mislead. Emits both U
+    statistics, the tie-corrected normal-approximation z, and the
+    rank-biserial effect size (no p-value on purpose: the normal CDF needs
+    libm erf, which is not cross-engine bit-stable; z is).
+
+    Rank computation is the scale trick: instead of ranking N raw rows
+    with a global per-row window, group by VALUE first (one map-side-
+    combined shuffle), then take a prefix-sum window over the distinct-
+    value aggregate — |distinct values| rows, orders of magnitude smaller
+    than N — where each tied block's shared midrank is cum + (cnt+1)/2.
+    Every rank is a multiple of 0.5 and every rank-sum term stays an
+    exact dyadic rational below 2^53, so the SUMs are order-independent
+    (partition-invariant) and the final statistics are deterministic IEEE
+    arithmetic mirrored expression-for-expression with the oracle. The
+    tie term sums cnt^3-cnt in exact int64 (precondition: no single tied
+    value holds >2.1M rows, far beyond any real tie mass)."""
+    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    v = (
+        ev.filter(F.col("event_type").isin("click", "error"))
+        .groupBy("value")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("cnt_a"),
+        )
+    )
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.select(
+        "cnt",
+        "cnt_a",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum"),
+    )
+    s = r.agg(
+        F.sum("cnt_a").cast("double").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("double").alias("n_b"),
+        F.sum("cnt").cast("double").alias("n"),
+        F.sum(
+            F.col("cnt_a") * (F.col("cum") + (F.col("cnt") + 1) / F.lit(2.0))
+        ).alias("r_a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("double")
+        .alias("tie_term"),
+    )
+    n_a, n_b, n = F.col("n_a"), F.col("n_b"), F.col("n")
+    u_a = F.col("r_a") - n_a * (n_a + F.lit(1.0)) / F.lit(2.0)
+    sigma = F.sqrt(
+        n_a * n_b / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("tie_term") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return s.select(
+        n_a.cast("bigint").alias("n_click"),
+        n_b.cast("bigint").alias("n_error"),
+        u_a.alias("u_click"),
+        (n_a * n_b - u_a).alias("u_error"),
+        ((u_a - n_a * n_b / F.lit(2.0)) / sigma).alias("z_stat"),
+        (
+            F.lit(1.0) - F.lit(2.0) * (n_a * n_b - u_a) / (n_a * n_b)
+        ).alias("rank_biserial"),
+    )
