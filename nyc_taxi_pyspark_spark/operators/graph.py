@@ -218,3 +218,81 @@ def oracle_pagerank_cte(
     )"""
         )
     return ",\n    ".join(parts)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    checkpoint: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-round k-core peel: iteratively delete nodes of degree < k.
+
+    ``edges``: undirected simple edges as (u, v), u < v, deduplicated.
+    After ``rounds`` peels, returns (node, core_degree) for the surviving
+    subgraph — the standard density filter for community mining and
+    spam/bot-ring triage (the k-core contains every k+1-clique and every
+    community with minimum internal degree k).
+
+    Bounding the round count is the deliberate semantics choice: the exact
+    k-core is the fixpoint, but fixpoint iteration count is data-dependent
+    (worst case the graph's degeneracy ordering length), which a
+    declarative oracle cannot mirror. A fixed R-round peel is identical on
+    both engines, converges in practice within a few rounds on bounded-
+    degree graphs, and each round is two hash semi-joins plus one keyed
+    count — O(edges) shuffle work, no driver state beyond the k scalar.
+    ``checkpoint``/``checkpoint_dir`` follow :func:`pagerank_int`'s
+    lineage-cut discipline (local for local mode, durable URI at cluster
+    scale).
+    """
+    sym = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("nbr")
+    ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    for _ in range(rounds):
+        keep = (
+            sym.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        sym = sym.join(keep, "node", "left_semi").join(
+            keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+        )
+        if checkpoint:
+            sym = cut_lineage(sym, checkpoint_dir)
+    return sym.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )
+
+
+def oracle_kcore_cte(edges_cte: str, k_expr: str, rounds: int) -> str:
+    """DuckDB CTE chain mirroring :func:`kcore_peel` round-for-round.
+
+    ``edges_cte`` is a CTE name with columns (u, v); ``k_expr`` an SQL
+    scalar expression. Emits ``sym0 .. sym{R}`` — select the final degree
+    count from ``sym{R}``.
+    """
+    parts = [
+        f"""sym0 AS (
+        SELECT u AS node, v AS nbr FROM {edges_cte}
+        UNION ALL SELECT v, u FROM {edges_cte}
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        prev = f"sym{t - 1}"
+        parts.append(
+            f"""keep{t} AS (
+        SELECT node FROM (
+            SELECT node, COUNT(*) AS deg FROM {prev} GROUP BY node
+        ) WHERE deg >= ({k_expr})
+    )"""
+        )
+        parts.append(
+            f"""sym{t} AS (
+        SELECT s.node, s.nbr FROM {prev} s
+        WHERE s.node IN (SELECT node FROM keep{t})
+          AND s.nbr IN (SELECT node FROM keep{t})
+    )"""
+        )
+    return ",\n    ".join(parts)
