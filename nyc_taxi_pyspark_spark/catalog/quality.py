@@ -1919,8 +1919,8 @@ def orders_open_interval_count(spark, sf_dir):
                CAST(SUM(cnt * cnt * cnt - cnt) AS DOUBLE) AS tie_term
         FROM r
     )
-    SELECT CAST(n_a AS BIGINT) AS n_click,
-           CAST(n_b AS BIGINT) AS n_error,
+    SELECT CAST(COALESCE(n_a, 0) AS BIGINT) AS n_click,
+           CAST(COALESCE(n_b, 0) AS BIGINT) AS n_error,
            r_a - n_a * (n_a + 1.0) / 2.0 AS u_click,
            n_a * n_b - (r_a - n_a * (n_a + 1.0) / 2.0) AS u_error,
            (r_a - n_a * (n_a + 1.0) / 2.0 - n_a * n_b / 2.0)
@@ -1988,8 +1988,8 @@ def stats_mann_whitney(spark, sf_dir):
         )
     )
     return s.select(
-        n_a.cast("bigint").alias("n_click"),
-        n_b.cast("bigint").alias("n_error"),
+        F.coalesce(n_a, F.lit(0.0)).cast("bigint").alias("n_click"),
+        F.coalesce(n_b, F.lit(0.0)).cast("bigint").alias("n_error"),
         u_a.alias("u_click"),
         (n_a * n_b - u_a).alias("u_error"),
         ((u_a - n_a * n_b / F.lit(2.0)) / sigma).alias("z_stat"),
@@ -2073,6 +2073,10 @@ def graph_kcore_membership(spark, sf_dir):
     row = deg.agg(
         F.sum("deg").alias("s"), F.count(F.lit(1)).alias("n")
     ).first()
+    if not row["n"]:  # empty graph: the 4-round peel of nothing is nothing
+        return spark.createDataFrame(
+            [], "node bigint, core_degree bigint, k int"
+        )
     k = int(3 * (row["s"] // row["n"]) // 4)
     return (
         kcore_peel(edges, k, rounds=4)
