@@ -155,3 +155,44 @@ def test_sample_frames_expands_rows_deterministically(spark):
     assert [(m, i) for m, i, _, _ in rows] == [(1, 0), (2, 0), (2, 1), (2, 2), (2, 3)]
     assert rows[0][3] == hashlib.md5(b"abcdefgh|0").hexdigest()
     assert all(o == i * 40 for _, i, o, _ in rows)
+
+
+def test_ewma_anomaly_python_mirror(spark, tmp_path):
+    """The dyadic 8-lag EWMA is bit-reproducible: mirror it in driver-side
+    floats for one user's series and compare exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nyc_taxi_pyspark_spark.catalog.events import events_ewma_anomaly
+
+    vals = [3.25, 1.5, 2.0, 8.0, 0.5, 4.75, 2.25, 1.0, 6.5, 100.0, 2.0]
+    d = tmp_path / "ewma"
+    d.mkdir()
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array(range(len(vals)), pa.timestamp("us")),
+        "user_id": pa.array([7] * len(vals), pa.int64()),
+        "event_type": pa.array(["click"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals)),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+
+    def ewma_at(i):  # mirror: weights 128..1 over lags 1..8, /255
+        num = 0.0
+        for j in range(1, 9):
+            num = num + vals[i - j] * (2 ** (8 - j))
+        return num / 255.0
+
+    rows = {r["event_id"]: r
+            for r in events_ewma_anomaly(spark, str(d)).collect()}
+    # rows 0..7 lack a full history and must be absent
+    assert set(rows) == {8, 9, 10}
+    for i in (8, 9, 10):
+        assert rows[i]["ewma"] == ewma_at(i)
+        assert rows[i]["deviation"] == vals[i] - ewma_at(i)
+        assert rows[i]["is_spike"] == int(vals[i] > 2 * ewma_at(i))
+    # the planted 100.0 spike has the largest deviation and is flagged
+    assert rows[9]["is_spike"] == 1
+    assert abs(rows[9]["deviation"]) == max(
+        abs(rows[i]["deviation"]) for i in (8, 9, 10)
+    )

@@ -390,3 +390,106 @@ def test_triangle_counts_empty_and_triangle_free(spark):
         [(1, n) for n in range(2, 12)], "u bigint, v bigint"
     )
     assert triangle_counts(star).count() == 0
+
+
+def _py_kcore_peel(edge_list, k, rounds):
+    """Driver-side mirror of kcore_peel for property testing."""
+    adj = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for _ in range(rounds):
+        drop = {n for n, nb in adj.items() if len(nb) < k}
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+        adj = {n: nb for n, nb in adj.items() if True}
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_peel_known_graph_and_python_mirror(spark):
+    from nyc_taxi_pyspark_spark.operators.graph import kcore_peel
+
+    # K4 {1,2,3,4} + pendant 4-5 + path 6-7-8: the 3-core is exactly K4
+    # (pendant and path peel away; peeling 5 drops 4's degree to 3, which
+    # still survives k=3).
+    el = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+          (4, 5), (6, 7), (7, 8)]
+    edges = spark.createDataFrame(el, "u bigint, v bigint")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in kcore_peel(edges, k=3, rounds=4).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # bounded-round mirror equality on a seeded random graph, several k,
+    # including rounds too small to reach the fixpoint (the contract is
+    # the R-round peel, not the fixpoint)
+    import random
+
+    rng = random.Random(42)
+    el = list({tuple(sorted(rng.sample(range(30), 2))) for _ in range(120)})
+    edges = spark.createDataFrame(el, "u bigint, v bigint")
+    for k in (2, 4, 6):
+        for rounds in (1, 2, 4):
+            want = _py_kcore_peel(el, k, rounds)
+            got = {
+                r["node"]: r["core_degree"]
+                for r in kcore_peel(
+                    edges.repartition(5), k=k, rounds=rounds
+                ).collect()
+            }
+            assert got == want, (k, rounds)
+
+
+def test_kcore_peel_empty_and_degenerate(spark):
+    from nyc_taxi_pyspark_spark.operators.graph import kcore_peel
+
+    empty = spark.createDataFrame([], "u bigint, v bigint")
+    assert kcore_peel(empty, k=2, rounds=3).count() == 0
+    # k above the max degree peels everything
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "u bigint, v bigint"
+    )
+    assert kcore_peel(tri, k=5, rounds=3).count() == 0
+    # k=1 keeps every non-isolated node untouched
+    got = {r["node"]: r["core_degree"]
+           for r in kcore_peel(tri, k=1, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_mann_whitney_closed_form(spark, tmp_path):
+    """Tiny arms with hand-computable ranks: click=[1,2,3], error=[4,5,6]
+    gives U_click=0 (total separation) and rank-biserial -1; a fully
+    interleaved tie case gives U = n1*n2/2 and z = 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nyc_taxi_pyspark_spark.catalog.quality import stats_mann_whitney
+
+    def mk(dirname, vals_a, vals_b):
+        d = tmp_path / dirname
+        d.mkdir()
+        rows = [("click", v) for v in vals_a] + [("error", v) for v in vals_b]
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([float(r[1]) for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    r = stats_mann_whitney(spark, mk("sep", [1, 2, 3], [4, 5, 6])).first()
+    assert (r["n_click"], r["n_error"]) == (3, 3)
+    assert r["u_click"] == 0.0 and r["u_error"] == 9.0
+    assert r["rank_biserial"] == -1.0 and r["z_stat"] < 0
+
+    r = stats_mann_whitney(
+        spark, mk("tied", [1, 1, 2, 2], [1, 1, 2, 2])
+    ).first()
+    assert r["u_click"] == r["u_error"] == 8.0
+    assert r["z_stat"] == 0.0 and r["rank_biserial"] == 0.0

@@ -495,3 +495,58 @@ def test_mrl_recall_bounds(spark):
     assert r.n_queries == 20 and r.k == 10 and r.shortlist == 50
     assert r.min_recall_at_k >= 0.1
     assert 0.0 < r.mean_recall_at_k <= 1.0
+
+
+def _write_docs(tmp_path, name, texts):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["src0"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_duplicate_spans_semantics(spark, tmp_path):
+    """Cross-doc shared 8-gram, in-doc repetition, and a clean doc."""
+    from nyc_taxi_pyspark_spark.catalog.text import text_duplicate_spans
+
+    shared = "a b c d e f g h"  # the 8-token passage planted in docs 0+1
+    texts = [
+        shared + " x1 x2 x3",            # span at pos 1, 8 tokens
+        "z1 z2 " + shared + " z3",       # span at pos 3, 8 tokens
+        "u1 u2 u3 u4 u5 u6 u7 u8 u9",    # unique: no duplicated grams
+        "p1 p2 p3 p4 p5 p6 p7 p8 " * 2,  # in-doc repeat: gram 1 == gram 9
+    ]
+    texts[3] = texts[3].strip()
+    sf = _write_docs(tmp_path, "spans", texts)
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["n_tokens"])
+        for r in text_duplicate_spans(spark, sf).collect()
+    }
+    assert got[0] == (1, 8, 11)
+    assert got[1] == (1, 8, 11)
+    assert got[2] == (0, 0, 9)
+    # positions 1 and 9 share content; gap 8 <= K merges them into ONE
+    # island covering the whole 16-token doc
+    assert got[3] == (1, 16, 16)
+
+
+def test_duplicate_spans_short_docs_excluded(spark, tmp_path):
+    """Docs shorter than the 8-token anchor can't anchor a span but still
+    appear in the report with zero duplication."""
+    from nyc_taxi_pyspark_spark.catalog.text import text_duplicate_spans
+
+    sf = _write_docs(tmp_path, "short", ["one two three", "one two three"])
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in text_duplicate_spans(spark, sf).collect()
+    }
+    assert got == {0: (0, 0), 1: (0, 0)}
