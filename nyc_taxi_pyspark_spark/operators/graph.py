@@ -226,6 +226,7 @@ def kcore_peel(
     rounds: int,
     checkpoint: bool = True,
     checkpoint_dir: str | None = None,
+    broadcast_keep: bool = True,
 ) -> DataFrame:
     """Bounded-round k-core peel: iteratively delete nodes of degree < k.
 
@@ -239,30 +240,45 @@ def kcore_peel(
     k-core is the fixpoint, but fixpoint iteration count is data-dependent
     (worst case the graph's degeneracy ordering length), which a
     declarative oracle cannot mirror. A fixed R-round peel is identical on
-    both engines, converges in practice within a few rounds on bounded-
-    degree graphs, and each round is two hash semi-joins plus one keyed
-    count — O(edges) shuffle work, no driver state beyond the k scalar.
-    ``checkpoint``/``checkpoint_dir`` follow :func:`pagerank_int`'s
-    lineage-cut discipline (local for local mode, durable URI at cluster
-    scale).
+    both engines and converges in practice within a few rounds on bounded-
+    degree graphs.
+
+    Shuffle-and-state discipline — the key design point: the filtered
+    edge set is NEVER materialized. Iterative state is the alive NODE
+    set, always no larger than the node catalog (orders of magnitude
+    below the edge count on any co-occurrence graph). Each round
+    recomputes restricted degrees with one map-side pass over the
+    original symmetric edge view — two broadcast semi-joins against the
+    alive set — plus one map-side-combined degree aggregate whose output
+    is again node-catalog-sized; the per-round lineage cut checkpoints
+    only that tiny node frame (without it, round t's broadcast build
+    would recursively nest rounds 1..t-1's builds — measured exponential
+    blowup). Callers should persist ``edges``: it is scanned R+1 times.
+    If the node catalog ever outgrows broadcast range,
+    ``broadcast_keep=False`` falls back to shuffled semi-joins.
+    ``checkpoint_dir`` follows :func:`pagerank_int`'s durability
+    discipline (localCheckpoint locally, durable URI at cluster scale).
     """
     sym = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
     ).unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+
+    def restricted_deg(alive) -> DataFrame:
+        live = sym
+        if alive is not None:
+            hint = F.broadcast(alive) if broadcast_keep else alive
+            live = live.join(hint, "node", "left_semi").join(
+                hint.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+            )
+        return live.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    alive = None  # round 1 sees the whole graph: skip the semi-joins
     for _ in range(rounds):
-        keep = (
-            sym.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("node")
-        )
-        sym = sym.join(keep, "node", "left_semi").join(
-            keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
-        )
+        alive = restricted_deg(alive).filter(F.col("deg") >= k).select("node")
         if checkpoint:
-            sym = cut_lineage(sym, checkpoint_dir)
-    return sym.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+            alive = cut_lineage(alive, checkpoint_dir)
+    return restricted_deg(alive).select(
+        "node", F.col("deg").cast("bigint").alias("core_degree")
     )
 
 
