@@ -121,6 +121,11 @@ HEADLINE = [
     "tpch_q16_supplier_part_counts",
     "tpch_q20_promotion_suppliers",
     "text_heavy_hitters",
+    # round-9 second batch (self-baselined in BASELINE.md §10)
+    "text_duplicate_spans",
+    "events_ewma_anomaly",
+    "stats_mann_whitney",
+    "graph_kcore_membership",
 ]
 
 
@@ -215,7 +220,10 @@ EXPECTED = {
     "tpch_q11_important_stock": 1.12,
     "tpch_q16_supplier_part_counts": 1.05,
     "tpch_q20_promotion_suppliers": 0.93,
-    "text_heavy_hitters": 1.17,
+    "text_heavy_hitters": 1.17,    "text_duplicate_spans": 1.21,
+    "events_ewma_anomaly": 0.54,
+    "stats_mann_whitney": 1.12,
+    "graph_kcore_membership": 5.75,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
