@@ -1914,3 +1914,142 @@ def embed_ivf_balance(spark, sf_dir):
         mean.alias("mean_cell"),
         (F.max("n").cast("double") / mean).alias("imbalance"),
     )
+
+
+_PI_ITERS = 3  # unrolled power-iteration rounds
+_PI_Q = 1000  # component quantization (floor(x*1000)) and state scale
+_PI_LAYOUT_CACHE = SessionLayoutCache()  # quantized (vec_id, dim, val) rows
+
+
+def _power_iteration_oracle() -> str:
+    """Unrolled integer power iteration: v_{t} = renorm(Σ_r e_q·(e_q v_{t-1})).
+
+    Renormalization divides by max|w| with sign split out, so the integer
+    division only ever sees non-negative operands (truncating division is
+    floor there, identical in Spark's ``div`` and DuckDB's ``//`` — the
+    negative-operand divergence never arises)."""
+    parts = [
+        f"""x AS (
+        SELECT e.vec_id, i - 1 AS dim,
+               CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {_PI_Q})
+                    AS BIGINT) AS val
+        FROM embeddings e, generate_series(1, {DIM}) AS g(i)
+    )""",
+        f"""v0 AS (
+        SELECT DISTINCT dim, CAST({_PI_Q} AS BIGINT) AS val FROM x
+    )""",
+    ]
+    for t in range(1, _PI_ITERS + 1):
+        prev = f"v{t - 1}"
+        parts.append(
+            f"""dot{t} AS (
+        SELECT x.vec_id, SUM(x.val * v.val) AS dot
+        FROM x JOIN {prev} v USING (dim) GROUP BY x.vec_id
+    )"""
+        )
+        parts.append(
+            f"""w{t} AS (
+        SELECT x.dim, SUM(x.val * d.dot) AS w
+        FROM x JOIN dot{t} d USING (vec_id) GROUP BY x.dim
+    )"""
+        )
+        parts.append(
+            f"""v{t} AS (
+        SELECT dim,
+               CASE WHEN w < 0 THEN -1 ELSE 1 END
+                 * ((ABS(w) * {_PI_Q})
+                    // (SELECT MAX(ABS(w)) FROM w{t})) AS val
+        FROM w{t}
+    )"""
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT dim, CAST(val AS BIGINT) AS pc1_q
+    FROM v{_PI_ITERS} ORDER BY dim
+    """
+    )
+
+
+@query("embed_power_iteration_pc1", oracle=_power_iteration_oracle())
+def embed_power_iteration_pc1(spark, sf_dir):
+    """Top principal direction of the embedding table by THREE rounds of
+    distributed power iteration — the embedding-QA primitive behind
+    anisotropy checks, whitening, and ABTT-style dominant-direction
+    removal (embeddings with one direction hogging variance hurt cosine
+    retrieval; you find that direction exactly like this).
+
+    Integer discipline end-to-end: components quantize at 1e3, the
+    iterate renormalizes to max|v| = 1e3 each round with the sign split
+    from a truncating non-negative division, so every product and sum is
+    exact int64 (documented bound: |w| <= N * 1e3 * 64e6 — fine beyond
+    1e8 rows) and order-independent — partition-invariant and
+    hash-adjudicated against the oracle's unrolled CTE mirror.
+
+    Plan/scale: per round, ONE map-side-combined vec_id aggregate (the
+    dot products, with v_t a 64-element literal the driver refreshed —
+    the bounded-parameter discipline) and ONE dim aggregate (64 groups);
+    the final round stays fully in-plan with the renormalizer as a 1-row
+    broadcast. No per-row Python, no matrix materialization — at 100 TB
+    this is the same two-aggregate shape per round, and rounds are a
+    constant (3)."""
+    eq = _PI_LAYOUT_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: parallelize_scan(
+            load_table(spark, sf_dir, "embeddings"), spark
+        )
+        .select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("xf").cast("double") * _PI_Q)
+            .cast("bigint")
+            .alias("val"),
+        ),
+    )
+
+    def round_w(v_frame):
+        dots = (
+            eq.join(F.broadcast(v_frame), "dim")
+            .select("vec_id", (F.col("val") * F.col("vval")).alias("t"))
+            .groupBy("vec_id")
+            .agg(F.sum("t").alias("dot"))
+        )
+        return (
+            eq.join(dots, "vec_id")
+            .select("dim", (F.col("val") * F.col("dot")).alias("t"))
+            .groupBy("dim")
+            .agg(F.sum("t").alias("w"))
+        )
+
+    sign = F.when(F.col("w") < 0, -1).otherwise(1)
+    # rounds 1..R-1: collect the 64-element iterate (bounded parameter)
+    v = [(d, _PI_Q) for d in range(DIM)]
+    for _ in range(_PI_ITERS - 1):
+        v_frame = spark.createDataFrame(v, "dim int, vval bigint")
+        w_rows = round_w(v_frame).collect()
+        if not w_rows:
+            return spark.createDataFrame([], "dim int, pc1_q bigint")
+        m = max(abs(r["w"]) for r in w_rows)
+        v = [
+            (
+                r["dim"],
+                (-1 if r["w"] < 0 else 1) * ((abs(r["w"]) * _PI_Q) // m),
+            )
+            for r in w_rows
+        ]
+    # final round stays in-plan: renormalizer as a 1-row broadcast
+    w = round_w(spark.createDataFrame(v, "dim int, vval bigint"))
+    mx = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+    return (
+        w.join(F.broadcast(mx))
+        .select(
+            "dim",
+            (sign * F.expr(f"(abs(w) * {_PI_Q}) div m"))
+            .cast("bigint")
+            .alias("pc1_q"),
+        )
+        .orderBy("dim")
+    )
