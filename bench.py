@@ -126,6 +126,7 @@ HEADLINE = [
     "events_ewma_anomaly",
     "stats_mann_whitney",
     "graph_kcore_membership",
+    "embed_power_iteration_pc1",
 ]
 
 
@@ -224,6 +225,7 @@ EXPECTED = {
     "events_ewma_anomaly": 0.54,
     "stats_mann_whitney": 1.12,
     "graph_kcore_membership": 5.75,
+    "embed_power_iteration_pc1": 2.99,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -66,6 +66,15 @@ SWEEP = [
     # split -> merge of partial states must be bit-identical to the
     # one-shot aggregate at any partitioning (integer-cents merge law)
     "orders_incremental_kpis",
+    # round-9 additions: gram-frequency window + island merge (spans),
+    # per-user lag windows (ewma), exact-dyadic rank sums claimed
+    # order-independent (mann-whitney), iterative semi-join peel (k-core)
+    "text_duplicate_spans",
+    "events_ewma_anomaly",
+    "stats_mann_whitney",
+    "graph_kcore_membership",
+    # exact-int64 power iteration: sums must be order-independent
+    "embed_power_iteration_pc1",
 ]
 
 

@@ -550,3 +550,46 @@ def test_duplicate_spans_short_docs_excluded(spark, tmp_path):
         for r in text_duplicate_spans(spark, sf).collect()
     }
     assert got == {0: (0, 0), 1: (0, 0)}
+
+
+def test_power_iteration_finds_planted_direction(spark, tmp_path):
+    """Embeddings = strong rank-1 direction + small deterministic noise:
+    the 3-round integer power iterate must align with the planted
+    direction (|cosine| > 0.99)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nyc_taxi_pyspark_spark.catalog.similarity import (
+        embed_power_iteration_pc1,
+    )
+
+    dim = 64
+    planted = [math.cos(0.1 * i) for i in range(dim)]
+    vecs = []
+    for r in range(200):
+        coef = 1.0 + (r % 7) * 0.1
+        noise = [(((r * 31 + i * 17) % 13) - 6) / 400.0 for i in range(dim)]
+        vecs.append([coef * planted[i] / 8.0 + noise[i] for i in range(dim)])
+    d = tmp_path / "pi"
+    d.mkdir()
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    rows = embed_power_iteration_pc1(spark, str(d)).collect()
+    assert len(rows) == dim
+    v = [0.0] * dim
+    for r in rows:
+        v[r["dim"]] = float(r["pc1_q"])
+    dot = sum(a * b for a, b in zip(v, planted))
+    cos = dot / (
+        math.sqrt(sum(a * a for a in v))
+        * math.sqrt(sum(b * b for b in planted))
+    )
+    assert abs(cos) > 0.99, cos
+    # renormalization contract: max-abs component is exactly the scale
+    assert max(abs(x) for x in v) == 1000.0
