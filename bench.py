@@ -127,6 +127,8 @@ HEADLINE = [
     "stats_mann_whitney",
     "graph_kcore_membership",
     "embed_power_iteration_pc1",
+    "events_cusum_changepoint",
+    "corpus_token_allocation",
 ]
 
 
@@ -226,6 +228,8 @@ EXPECTED = {
     "stats_mann_whitney": 1.12,
     "graph_kcore_membership": 5.75,
     "embed_power_iteration_pc1": 2.99,
+    "events_cusum_changepoint": 1.05,
+    "corpus_token_allocation": 0.65,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

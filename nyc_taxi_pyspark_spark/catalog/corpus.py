@@ -755,3 +755,93 @@ def text_sliding_chunks(spark, sf_dir):
         F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+_ALLOC_BUDGET = 10_000_000  # tokens to allocate across sources
+
+
+@query(
+    "corpus_token_allocation",
+    oracle=f"""
+    WITH w AS (
+        SELECT source, SUM(CAST(len({_DUCK_WORDS}) AS BIGINT)) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens) AS total FROM w),
+    base AS (
+        SELECT w.source, w.tokens,
+               ({_ALLOC_BUDGET} * w.tokens) // t.total AS floor_alloc,
+               ({_ALLOC_BUDGET} * w.tokens) % t.total AS remainder
+        FROM w, tot t
+    ),
+    ranked AS (
+        SELECT source, tokens, floor_alloc, remainder,
+               ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rk,
+               {_ALLOC_BUDGET} - SUM(floor_alloc) OVER () AS leftover
+        FROM base
+    )
+    SELECT source, CAST(tokens AS BIGINT) AS corpus_tokens,
+           CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens,
+           CAST(rk AS INTEGER) AS remainder_rank
+    FROM ranked ORDER BY source
+    """,
+)
+def corpus_token_allocation(spark, sf_dir):
+    """Training-mixture token allocation by the largest-remainder method:
+    split a fixed token budget across sources proportionally to their
+    corpus mass, with the rounding remainder going to the largest
+    fractional shares — allocations are exact integers that sum to the
+    budget EXACTLY (floor everywhere under- allocates; naive rounding
+    over- or under-shoots), which is what a sampling job needs as its
+    per-source quota.
+
+    All arithmetic is int64 (budget*tokens < 2^63 up to ~9e11 corpus
+    tokens; past that pre-scale the weights); the remainder ranking
+    breaks ties by source name, so the result is fully deterministic.
+    Plan: one map-side-combined source aggregate (the wide work), then
+    the allocation math runs on the |sources|-row frame — a 1-row total
+    broadcast plus one tiny window; at 100 TB nothing after the first
+    aggregate touches data volume."""
+    d = _docs(spark, sf_dir)
+    w = d.select(
+        "source", F.size(tokens()).cast("bigint").alias("t")
+    ).groupBy("source").agg(F.sum("t").alias("tokens"))
+    tot = w.agg(F.sum("tokens").alias("total"))
+    base = w.join(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"({_ALLOC_BUDGET} * tokens) div total").alias("floor_alloc"),
+        (F.lit(_ALLOC_BUDGET) * F.col("tokens") % F.col("total")).alias(
+            "remainder"
+        ),
+    )
+    from pyspark.sql import Window
+
+    ranked = base.select(
+        "source",
+        "tokens",
+        "floor_alloc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("remainder"), "source"))
+        .alias("rk"),
+        (
+            F.lit(_ALLOC_BUDGET)
+            - F.sum("floor_alloc").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+        ).alias("leftover"),
+    )
+    return ranked.select(
+        "source",
+        F.col("tokens").alias("corpus_tokens"),
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_tokens"),
+        F.col("rk").cast("int").alias("remainder_rank"),
+    ).orderBy("source")

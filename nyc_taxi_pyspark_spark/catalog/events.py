@@ -855,3 +855,115 @@ def events_ewma_anomaly(spark, sf_dir):
         .orderBy(F.abs(F.col("deviation")).desc(), "event_id")
         .limit(50)
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, ts, event_id,
+               CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+        FROM events
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(cents) AS total
+        FROM c GROUP BY event_type
+    ),
+    pre AS (
+        SELECT c.event_type, c.ts, c.event_id, t.n,
+               t.n * SUM(c.cents) OVER w
+                 - (ROW_NUMBER() OVER w) * t.total AS s_scaled
+        FROM c JOIN tot t USING (event_type)
+        WINDOW w AS (PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    best AS (
+        SELECT event_type, n,
+               MAX(ABS(s_scaled)) AS s_max
+        FROM pre GROUP BY event_type, n
+    )
+    SELECT b.event_type, b.n,
+           MIN(p.ts) AS changepoint_ts,
+           CAST(b.s_max AS BIGINT) AS s_max_scaled,
+           CAST(b.s_max AS DOUBLE) / (b.n * 100.0) AS s_max_cents_mean
+    FROM best b
+    JOIN pre p ON p.event_type = b.event_type
+              AND ABS(p.s_scaled) = b.s_max
+    GROUP BY b.event_type, b.n, b.s_max
+    ORDER BY b.event_type
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point estimation per event type — WHERE the value
+    level shifted, completing the monitoring trio (events_anomaly_mad =
+    which hours are odd, events_ewma_anomaly = which events depart their
+    own trend, this = where the regime changed): the classic estimator
+    locates the maximum-|deviation| point of the cumulative sum of
+    (x - mean).
+
+    Integer discipline: with values as exact cents, the mean-centered
+    prefix sum is kept UNDIVIDED as s'_t = n*cumsum(c) - t*total — pure
+    int64 (documented bound: n * Σ|c| < 2^63, fine to ~1e8 rows/type;
+    past that, dsum_wide's hi/lo split) — so the argmax and the scaled
+    maximum are exact and partition-invariant; the only doubles are the
+    final display divisions, identical on both engines. Ties on |s'|
+    resolve to the earliest timestamp (MIN over the equality join /
+    min-struct on the Spark side).
+
+    Plan/scale: one shuffle on event_type; the prefix sum is a per-type
+    ordered window (parallel across types — for ONE huge series use the
+    range-partitioned prefix-sum discipline of sequence_gaps); the
+    per-type totals broadcast back and the argmax is a 5-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    tot = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").alias("total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = (
+        c.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "s_scaled",
+            F.col("n") * F.sum("cents").over(w)
+            - F.row_number().over(
+                Window.partitionBy("event_type").orderBy("ts", "event_id")
+            )
+            * F.col("total"),
+        )
+    )
+    best = (
+        pre.groupBy("event_type", "n")
+        .agg(F.max(F.abs(F.col("s_scaled"))).alias("s_max"))
+    )
+    return (
+        best.join(
+            pre.select(
+                "event_type", "ts", F.abs(F.col("s_scaled")).alias("s_abs")
+            ),
+            ["event_type"],
+        )
+        .filter(F.col("s_abs") == F.col("s_max"))
+        .groupBy("event_type", "n", "s_max")
+        .agg(F.min("ts").alias("changepoint_ts"))
+        .select(
+            "event_type",
+            "n",
+            "changepoint_ts",
+            F.col("s_max").alias("s_max_scaled"),
+            (F.col("s_max").cast("double") / (F.col("n") * F.lit(100.0)))
+            .alias("s_max_cents_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -208,3 +208,39 @@ def test_corpus_budget_select_degenerate_no_bucket_fits(spark, tmp_path):
     assert r["tokens_selected"] == 0
     assert r["total_tokens"] == 6
     assert r["token_budget"] == 1
+
+
+def test_token_allocation_sums_to_budget_and_largest_remainder(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nyc_taxi_pyspark_spark.catalog.corpus import (
+        _ALLOC_BUDGET,
+        corpus_token_allocation,
+    )
+
+    # crafted masses: 3/6/9 tokens over budget -> fractional shares force
+    # one remainder unit; ties broken by source name
+    texts = [("srcA", "a b c"), ("srcB", "d e f g h i"),
+             ("srcC", "j k l m n o p q r")]
+    d = tmp_path / "alloc"
+    d.mkdir()
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([t for _, t in texts]),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array([s for s, _ in texts]),
+        "n_chars": pa.array([len(t) for _, t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    rows = corpus_token_allocation(spark, str(d)).collect()
+    alloc = {r["source"]: r["alloc_tokens"] for r in rows}
+    # exact-sum contract: allocations sum to the budget exactly
+    assert sum(alloc.values()) == _ALLOC_BUDGET
+    # proportionality: 3/18, 6/18, 9/18 of 10M = 1666666.67/3333333.3/5M
+    assert alloc["srcC"] == 5_000_000
+    assert alloc["srcA"] + alloc["srcB"] == 5_000_000
+    assert abs(alloc["srcA"] - _ALLOC_BUDGET * 3 // 18) <= 1
+    assert abs(alloc["srcB"] - _ALLOC_BUDGET * 6 // 18) <= 1
+    # real-data contract at sf0.001: still sums exactly
+    rows = corpus_token_allocation(spark, "/root/testdata/sf0.001").collect()
+    assert sum(r["alloc_tokens"] for r in rows) == _ALLOC_BUDGET

@@ -196,3 +196,31 @@ def test_ewma_anomaly_python_mirror(spark, tmp_path):
     assert abs(rows[9]["deviation"]) == max(
         abs(rows[i]["deviation"]) for i in (8, 9, 10)
     )
+
+
+def test_cusum_changepoint_planted_shift(spark, tmp_path):
+    """A clean level shift: 40 values at 10.0 then 40 at 20.0 — the CUSUM
+    argmax must land exactly on the last pre-shift point."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nyc_taxi_pyspark_spark.catalog.events import events_cusum_changepoint
+
+    vals = [10.0] * 40 + [20.0] * 40
+    d = tmp_path / "cusum"
+    d.mkdir()
+    tbl = pa.table({
+        "event_id": pa.array(range(len(vals)), pa.int64()),
+        "ts": pa.array(range(len(vals)), pa.timestamp("us")),
+        "user_id": pa.array([1] * len(vals), pa.int64()),
+        "event_type": pa.array(["click"] * len(vals)),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * len(vals)),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+    r = events_cusum_changepoint(spark, str(d)).first()
+    assert r["event_type"] == "click" and r["n"] == 80
+    # mean = 15; S'_t = n*cumsum(c) - t*total peaks at t=40 (epoch micros 39)
+    assert r["changepoint_ts"].microsecond == 39
+    # |S'_40| = 80*40*1000 - 40*120000*... compute: cumsum cents at 40 =
+    # 40*1000=40000; total=80*1500=120000; s'=80*40000-40*120000=-1.6e6
+    assert r["s_max_scaled"] == 1_600_000

@@ -75,6 +75,9 @@ SWEEP = [
     "graph_kcore_membership",
     # exact-int64 power iteration: sums must be order-independent
     "embed_power_iteration_pc1",
+    # undivided integer CUSUM argmax; largest-remainder integer allocation
+    "events_cusum_changepoint",
+    "corpus_token_allocation",
 ]
 
 
