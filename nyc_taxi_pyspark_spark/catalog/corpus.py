@@ -803,12 +803,23 @@ def corpus_token_allocation(spark, sf_dir):
     the allocation math runs on the |sources|-row frame — a 1-row total
     broadcast plus one tiny window; at 100 TB nothing after the first
     aggregate touches data volume."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     w = d.select(
         "source", F.size(tokens()).cast("bigint").alias("t")
     ).groupBy("source").agg(F.sum("t").alias("tokens"))
-    tot = w.agg(F.sum("tokens").alias("total"))
-    base = w.join(F.broadcast(tot)).select(
+    # the corpus total as a global window over the |sources|-row aggregate
+    # — NOT a separate agg + broadcast join, which would re-run the
+    # document scan for the broadcast side (Spark has no CTE reuse here)
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = w.select(
+        "source",
+        "tokens",
+        F.sum("tokens").over(everything).alias("total"),
+    ).select(
         "source",
         "tokens",
         F.expr(f"({_ALLOC_BUDGET} * tokens) div total").alias("floor_alloc"),
@@ -816,7 +827,6 @@ def corpus_token_allocation(spark, sf_dir):
             "remainder"
         ),
     )
-    from pyspark.sql import Window
 
     ranked = base.select(
         "source",

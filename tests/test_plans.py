@@ -664,3 +664,68 @@ def test_tpch_q20_stacked_semi_joins(spark):
     p = formatted_plan(df)
     assert p.count("LeftSemi") >= 2
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_duplicate_spans_single_wide_exchange_no_python(spark):
+    """The only corpus-wide exchange is the gram-frequency window; island
+    merging is doc-partitioned; nothing drops to Python."""
+    plan = formatted_plan(QUERIES["text_duplicate_spans"](spark, SF))
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # gram window + doc window + top-k sort boundary: bounded exchanges
+    assert shuffle_count(QUERIES["text_duplicate_spans"](spark, SF)) <= 4
+
+
+def test_ewma_single_user_shuffle_one_window(spark):
+    """All 8 lags must share ONE Window node over one user_id exchange."""
+    df = QUERIES["events_ewma_anomaly"](spark, SF)
+    plan = formatted_plan(df)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    assert shuffle_count(df) <= 2  # user partition + final TakeOrdered
+
+
+def test_mann_whitney_window_runs_over_aggregate_not_rows(spark):
+    """The prefix-sum window must sit ABOVE the value groupBy (distinct-
+    value cardinality), never over base rows."""
+    plan = formatted_plan(QUERIES["stats_mann_whitney"](spark, SF))
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans print top-down: the Window node appears before
+    # (above) the value aggregate it consumes
+    assert win_pos < plan.rfind("HashAggregate")
+
+
+def test_kcore_semi_joins_broadcast(spark):
+    """Every peel round's alive-set semi-joins must broadcast — a
+    SortMergeJoin or shuffled hash join of the edge view would shuffle
+    the full edge list every round."""
+    df = QUERIES["graph_kcore_membership"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_power_iteration_no_python_no_cartesian(spark):
+    df = QUERIES["embed_power_iteration_pc1"](spark, SF)
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cusum_totals_broadcast_back(spark):
+    """Per-type totals must broadcast to the prefix-sum pass, not SMJ."""
+    df = QUERIES["events_cusum_changepoint"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_token_allocation_one_wide_aggregate(spark):
+    """Everything after the source aggregate runs on |sources| rows: the
+    plan may exchange the aggregate output and the tiny window input but
+    never re-shuffle document rows."""
+    df = QUERIES["corpus_token_allocation"](spark, SF)
+    plan = formatted_plan(df)
+    assert "PythonUDF" not in plan
+    assert shuffle_count(df) <= 4
