@@ -62,6 +62,11 @@ REPRESENTATIVE = [
     ("corpus_pack_bins", "sharded packing cumsum"),
     ("multimodal_features", "mapInPandas Arrow batches"),
     ("stream_session_window", "Structured Streaming session agg"),
+    # round-9 additions
+    ("text_duplicate_spans", "gram-frequency window + island merge"),
+    ("events_cusum_changepoint", "integer CUSUM prefix + argmax"),
+    ("graph_kcore_membership", "iterative node-state peel (4 rounds)"),
+    ("embed_power_iteration_pc1", "integer power iteration (3 rounds)"),
 ]
 
 
@@ -81,6 +86,11 @@ AMP_SUITE = [
     "events_sessionize",
     "text_minhash_signature",
     "text_bm25_topk",
+    # round-9: both read amplified facts (documents / events); the graph
+    # and embedding iteratives stay SF-curve-only (node catalogs grow
+    # with keys, so the x32 peel would measure a different graph regime)
+    "text_duplicate_spans",
+    "events_cusum_changepoint",
 ]
 
 AMP_FACTOR = 32
