@@ -129,6 +129,7 @@ HEADLINE = [
     "embed_power_iteration_pc1",
     "events_cusum_changepoint",
     "corpus_token_allocation",
+    "text_novelty_curve",
 ]
 
 
@@ -230,6 +231,7 @@ EXPECTED = {
     "embed_power_iteration_pc1": 2.99,
     "events_cusum_changepoint": 1.05,
     "corpus_token_allocation": 0.65,
+    "text_novelty_curve": 1.08,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

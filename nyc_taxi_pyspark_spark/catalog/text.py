@@ -2483,3 +2483,95 @@ def text_duplicate_spans(spark, sf_dir):
         .orderBy(F.desc("dup_share"), "doc_id")
         .limit(100)
     )
+
+
+@query(
+    "text_novelty_curve",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(w) - {_SPAN_K - 1}, 0) + 1),
+                       i -> array_to_string(w[i : i + {_SPAN_K - 1}], ' ')))
+                       AS gram
+            FROM t
+        )
+    ),
+    first_doc AS (
+        SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY gram
+    ),
+    perdoc AS (
+        SELECT g.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+               CAST(SUM(CASE WHEN f.fd = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM g JOIN first_doc f USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_distinct_grams, n_novel,
+           CAST(n_novel AS DOUBLE) / n_distinct_grams AS novelty_share,
+           CAST(SUM(n_novel) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_novel
+    FROM perdoc ORDER BY doc_id
+    """,
+)
+def text_novelty_curve(spark, sf_dir):
+    """Corpus novelty curve: per document (in ingest = doc_id order), how
+    many of its distinct 8-gram passages appear here for the FIRST time
+    corpus-wide, plus the running total of novel grams — the saturation
+    signal data-curation teams watch to decide when another crawl of the
+    same sources stops adding content (novelty_share trending to 0 ==
+    the marginal document is all re-seen passages). Complements
+    text_duplicate_spans: spans localize WHAT is duplicated, this curve
+    tracks WHEN the corpus stopped being new.
+
+    First occurrence = minimum doc_id owning the gram — a keyed MIN
+    aggregate, not a window over a global order, so the wide work is one
+    gram-key shuffle (map-side combined) + one join back on the gram key;
+    the cumulative curve is a window over the PER-DOC aggregate (corpus
+    cardinality, not token cardinality). All counts exact int64; the one
+    division is the display share."""
+    d = _docs(spark, sf_dir)
+    wcol = F.col("w")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(wcol) - (_SPAN_K - 1), F.lit(0))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(wcol, i, _SPAN_K)),
+    )
+    g = (
+        d.select("doc_id", tokens().alias("w"))
+        .filter(F.size("w") >= _SPAN_K)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+    )
+    first_doc = g.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    perdoc = (
+        g.join(first_doc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_distinct_grams",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_distinct_grams")
+        ).alias("novelty_share"),
+        F.sum("n_novel").over(w_cum).cast("bigint").alias("cum_novel"),
+    ).orderBy("doc_id")

@@ -78,6 +78,8 @@ SWEEP = [
     # undivided integer CUSUM argmax; largest-remainder integer allocation
     "events_cusum_changepoint",
     "corpus_token_allocation",
+    # keyed-MIN first occurrence + cumulative window over the doc agg
+    "text_novelty_curve",
 ]
 
 

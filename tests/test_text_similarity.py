@@ -593,3 +593,18 @@ def test_power_iteration_finds_planted_direction(spark, tmp_path):
     assert abs(cos) > 0.99, cos
     # renormalization contract: max-abs component is exactly the scale
     assert max(abs(x) for x in v) == 1000.0
+
+
+def test_novelty_curve_first_occurrence_semantics(spark, tmp_path):
+    from nyc_taxi_pyspark_spark.catalog.text import text_novelty_curve
+
+    p = "a1 a2 a3 a4 a5 a6 a7 a8"
+    sf = _write_docs(tmp_path, "novel", [p, p, p + " b"])
+    rows = {r["doc_id"]: r for r in text_novelty_curve(spark, str(sf)).collect()}
+    # doc0 owns the gram; doc1 repeats it wholesale; doc2 adds one new
+    # overlapping gram
+    assert (rows[0]["n_distinct_grams"], rows[0]["n_novel"]) == (1, 1)
+    assert (rows[1]["n_distinct_grams"], rows[1]["n_novel"]) == (1, 0)
+    assert (rows[2]["n_distinct_grams"], rows[2]["n_novel"]) == (2, 1)
+    assert [rows[i]["cum_novel"] for i in (0, 1, 2)] == [1, 1, 2]
+    assert rows[1]["novelty_share"] == 0.0 and rows[0]["novelty_share"] == 1.0
