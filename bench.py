@@ -130,6 +130,7 @@ HEADLINE = [
     "events_cusum_changepoint",
     "corpus_token_allocation",
     "text_novelty_curve",
+    "stream_ewma_monitor",
 ]
 
 
@@ -232,6 +233,7 @@ EXPECTED = {
     "events_cusum_changepoint": 1.05,
     "corpus_token_allocation": 0.65,
     "text_novelty_curve": 1.08,
+    "stream_ewma_monitor": 0.28,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

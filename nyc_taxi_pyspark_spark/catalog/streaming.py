@@ -314,3 +314,86 @@ def stream_state_inspect(spark, sf_dir):
         F.col("value.count").cast("bigint").alias("n_events"),
         F.col("value.sum").cast("bigint").alias("sum_cents"),
     ).orderBy("event_type")
+
+
+@query(
+    "stream_ewma_monitor",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, value,
+               LAG(value, 1) OVER w AS l1, LAG(value, 2) OVER w AS l2,
+               LAG(value, 3) OVER w AS l3, LAG(value, 4) OVER w AS l4,
+               LAG(value, 5) OVER w AS l5, LAG(value, 6) OVER w AS l6,
+               LAG(value, 7) OVER w AS l7, LAG(value, 8) OVER w AS l8,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, value,
+           (l1 * 128 + l2 * 64 + l3 * 32 + l4 * 16
+            + l5 * 8 + l6 * 4 + l7 * 2 + l8 * 1) / 255.0 AS ewma,
+           value - (l1 * 128 + l2 * 64 + l3 * 32 + l4 * 16
+                    + l5 * 8 + l6 * 4 + l7 * 2 + l8 * 1) / 255.0
+               AS deviation
+    FROM lagged WHERE rn = 1 AND l8 IS NOT NULL
+    ORDER BY user_id
+    """,
+)
+def stream_ewma_monitor(spark, sf_dir):
+    """The EWMA anomaly monitor REALLY run as a stateful stream: per-user
+    ordered ring-buffer state (last 8 values) via applyInPandasWithState
+    (streaming/stateful.ewma_monitor_per_user) driven through readStream →
+    update-mode memory sink, reduced to each user's final emission. This
+    is the state SHAPE the totals op cannot express — an EWMA needs the
+    recency ORDER of its history, not just mergeable sums — and the
+    production monitor form of catalog events_ewma_anomaly: the batch
+    query scores history retrospectively; this one maintains the same
+    trailing-8 dyadic EWMA incrementally, O(8 doubles) state per user.
+
+    Oracle: the batch window form evaluated at each user's LAST event
+    (the stream's final emission) — stream state == batch window proof,
+    exact because the dyadic weights make the arithmetic bit-stable
+    between the Python state path and both SQL engines."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from nyc_taxi_pyspark_spark.streaming.runner import (
+        parquet_stream_dir,
+        run_stream_cached,
+    )
+    from nyc_taxi_pyspark_spark.streaming.stateful import (
+        ewma_monitor_per_user,
+    )
+
+    d = parquet_stream_dir(os.path.join(sf_dir, "events.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    updates = run_stream_cached(
+        spark, d, schema, ewma_monitor_per_user, output_mode="update",
+        key="ewma_monitor",
+    )
+    final = (
+        updates.groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("n_events", "value", "ewma", "deviation")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.value").alias("value"),
+            F.col("s.ewma").alias("ewma"),
+            F.col("s.deviation").alias("deviation"),
+        )
+    )
+    return final.orderBy("user_id")

@@ -109,3 +109,71 @@ def running_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "user_id bigint, n_events bigint, value double, ewma double, "
+    "deviation double"
+)
+EWMA_STATE_SCHEMA = "vals array<double>, n bigint"
+_EWMA_LAGS = 8
+
+
+def _ewma_update(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Ordered-history state: a ring buffer of the user's last 8 values
+    (most recent first) carried across micro-batches — the state SHAPE
+    running_totals_per_user cannot express (totals are order-free; an
+    EWMA needs the recency ORDER of its history). Rows are processed in
+    (ts, event_id) order within each batch; the last processed event's
+    trailing-8 dyadic EWMA (weights 128..1 over lags 1..8, /255 — the
+    exact arithmetic of catalog events_ewma_anomaly) is emitted per
+    batch once the buffer is full."""
+    (user_id,) = key
+    if state.exists:
+        vals, n = list(state.get[0]), int(state.get[1])
+    else:
+        vals, n = [], 0
+    last = None
+    for pdf in pdfs:
+        for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+            v = float(row.value)
+            if len(vals) >= _EWMA_LAGS:
+                num = 0.0
+                for j in range(_EWMA_LAGS):
+                    num = num + vals[j] * (2 ** (_EWMA_LAGS - 1 - j))
+                ewma = num / 255.0
+                last = (v, ewma, v - ewma)
+            vals.insert(0, v)
+            del vals[_EWMA_LAGS:]
+            n += 1
+    state.update((vals, n))
+    if last is not None:
+        v, ewma, dev = last
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "value": [v],
+                "ewma": [ewma],
+                "deviation": [dev],
+            }
+        )
+
+
+def ewma_monitor_per_user(events: DataFrame) -> DataFrame:
+    """Stateful per-user trailing-EWMA monitor across micro-batches."""
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_update,
+            EWMA_OUTPUT_SCHEMA,
+            EWMA_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

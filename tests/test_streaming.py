@@ -352,3 +352,56 @@ def test_transform_with_state_twin(spark, events_dir):
     assert {tuple(r) for r in final.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_stream_ewma_matches_batch_window(spark):
+    """The stateful ring-buffer EWMA's final emission per user must equal
+    the batch window form evaluated at that user's last event — including
+    bit-exact doubles (dyadic weights)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nyc_taxi_pyspark_spark.catalog.streaming import stream_ewma_monitor
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["value"], r["ewma"], r["deviation"])
+        for r in stream_ewma_monitor(spark, sf).collect()
+    }
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", j).over(w) for j in range(1, 9)]
+    num = lags[0] * 128
+    for j, lg in enumerate(lags[1:], start=1):
+        num = num + lg * (2 ** (7 - j))
+    batch = (
+        ev.select(
+            "user_id",
+            "value",
+            (num / F.lit(255.0)).alias("ewma"),
+            lags[7].alias("l8"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            )
+            .alias("rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("user_id"))
+            .alias("n_events"),
+        )
+        .filter((F.col("rn") == 1) & F.col("l8").isNotNull())
+    )
+    want = {
+        r["user_id"]: (
+            r["n_events"],
+            r["value"],
+            r["ewma"],
+            r["value"] - r["ewma"],
+        )
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
