@@ -228,7 +228,7 @@ EXPECTED = {
     "text_heavy_hitters": 1.17,    "text_duplicate_spans": 1.21,
     "events_ewma_anomaly": 0.54,
     "stats_mann_whitney": 1.12,
-    "graph_kcore_membership": 5.75,
+    "graph_kcore_membership": 3.56,
     "embed_power_iteration_pc1": 2.99,
     "events_cusum_changepoint": 1.05,
     "corpus_token_allocation": 0.65,

@@ -2066,10 +2066,17 @@ def graph_kcore_membership(spark, sf_dir):
             .distinct()
         ),
     )
+    from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
+
     sym = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the full degree frame ONCE (node-catalog-sized): it
+    # yields the adaptive-k scalar AND serves as peel round 1's degrees,
+    # so the edge view is scanned R+1 times total, not R+2
+    deg = cut_lineage(
+        sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    )
     row = deg.agg(
         F.sum("deg").alias("s"), F.count(F.lit(1)).alias("n")
     ).first()
@@ -2079,7 +2086,7 @@ def graph_kcore_membership(spark, sf_dir):
         )
     k = int(3 * (row["s"] // row["n"]) // 4)
     return (
-        kcore_peel(edges, k, rounds=4)
+        kcore_peel(edges, k, rounds=4, first_round_deg=deg)
         .select("node", "core_degree", F.lit(k).alias("k"))
         .orderBy(F.desc("core_degree"), "node")
         .limit(50)

@@ -227,6 +227,7 @@ def kcore_peel(
     checkpoint: bool = True,
     checkpoint_dir: str | None = None,
     broadcast_keep: bool = True,
+    first_round_deg: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-round k-core peel: iteratively delete nodes of degree < k.
 
@@ -258,6 +259,9 @@ def kcore_peel(
     ``broadcast_keep=False`` falls back to shuffled semi-joins.
     ``checkpoint_dir`` follows :func:`pagerank_int`'s durability
     discipline (localCheckpoint locally, durable URI at cluster scale).
+    ``first_round_deg`` lets a caller that already computed the FULL
+    degree frame (e.g. to derive an adaptive k from it) hand it in so
+    round 1 reuses it instead of re-scanning the edge view.
     """
     sym = edges.select(
         F.col("u").alias("node"), F.col("v").alias("nbr")
@@ -273,8 +277,13 @@ def kcore_peel(
         return live.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
 
     alive = None  # round 1 sees the whole graph: skip the semi-joins
-    for _ in range(rounds):
-        alive = restricted_deg(alive).filter(F.col("deg") >= k).select("node")
+    for i in range(rounds):
+        deg = (
+            first_round_deg
+            if i == 0 and first_round_deg is not None
+            else restricted_deg(alive)
+        )
+        alive = deg.filter(F.col("deg") >= k).select("node")
         if checkpoint:
             alive = cut_lineage(alive, checkpoint_dir)
     return restricted_deg(alive).select(
