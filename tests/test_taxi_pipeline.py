@@ -128,3 +128,22 @@ def test_kpis_shapes(spark, trips):
     buckets = kpi_distance_buckets(cleaned)
     labels = {r.distance_bucket for r in buckets.collect()}
     assert labels <= {"<1mi", "1-2mi", "2-5mi", "5-10mi", ">=10mi"}
+
+
+def test_bench_headline_set_is_consistent():
+    """Every benchmarked name must be a registered catalog query with an
+    expectation entry, and both baseline docs must mention it — guards
+    against typos when headlining a new operator."""
+    import bench
+
+    from nyc_taxi_pyspark_spark.catalog import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"headline names not in catalog: {missing}"
+    no_expected = [n for n in bench.HEADLINE if n not in bench.EXPECTED]
+    assert not no_expected, f"headline names without EXPECTED: {no_expected}"
+    stale = [n for n in bench.EXPECTED if n not in bench.HEADLINE]
+    assert not stale, f"EXPECTED entries not headlined: {stale}"
+    baseline = open("BASELINE.md").read()
+    undocumented = [n for n in bench.HEADLINE if n not in baseline]
+    assert not undocumented, f"headline names not in BASELINE.md: {undocumented}"
