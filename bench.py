@@ -131,6 +131,7 @@ HEADLINE = [
     "corpus_token_allocation",
     "text_novelty_curve",
     "stream_ewma_monitor",
+    "events_pattern_match",
 ]
 
 
@@ -234,6 +235,7 @@ EXPECTED = {
     "corpus_token_allocation": 0.65,
     "text_novelty_curve": 1.08,
     "stream_ewma_monitor": 0.28,
+    "events_pattern_match": 0.55,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

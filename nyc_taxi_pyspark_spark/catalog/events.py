@@ -967,3 +967,65 @@ def events_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# first letter of each event_type: v(iew) c(lick) s(ignup) p(urchase) e(rror)
+_PATTERN = "v[^c]*p"  # a view later converted to purchase with NO click between
+
+
+@query(
+    "events_pattern_match",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(regexp_matches(s, '{_PATTERN}') AS INTEGER) AS matched
+    FROM seq ORDER BY user_id
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """Sequence-pattern detection (the MATCH_RECOGNIZE / CEP capability
+    class): fold each user's timeline into an ordered event-initial
+    string and test a regex over it — here '{v[^c]*p}': a view later
+    followed by a purchase with NO intervening click, the
+    unattributable-conversion shape funnel counting cannot express
+    (funnels check stage ORDER; patterns constrain what happens BETWEEN
+    stages).
+
+    The fold is one groupBy with an in-group sort (array_sort over
+    (ts, event_id, initial) structs — deterministic, no relying on
+    collect_list order); the regex runs once per user. The pattern stays
+    in the RE2∩Java-regex common subset (same discipline as
+    text_scrub_pii) so both engines match identically. State bound: one
+    char per event per user — fine for bounded entities; an unbounded
+    stream would run this as a stateful automaton (one enum state per
+    user) instead of a string fold."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("st"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("st")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        F.col("s").rlike(_PATTERN).cast("int").alias("matched"),
+    ).orderBy("user_id")

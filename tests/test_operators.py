@@ -224,3 +224,33 @@ def test_cusum_changepoint_planted_shift(spark, tmp_path):
     # |S'_40| = 80*40*1000 - 40*120000*... compute: cumsum cents at 40 =
     # 40*1000=40000; total=80*1500=120000; s'=80*40000-40*120000=-1.6e6
     assert r["s_max_scaled"] == 1_600_000
+
+
+def test_pattern_match_between_stage_constraint(spark, tmp_path):
+    """'v[^c]*p' must reject a conversion with a click in between and
+    accept one without — the constraint funnels cannot express."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nyc_taxi_pyspark_spark.catalog.events import events_pattern_match
+
+    rows = [
+        (1, ["view", "purchase"]),                    # clean v..p: match
+        (2, ["view", "click", "purchase"]),           # click between: no
+        (3, ["click", "view", "error", "purchase"]),  # click BEFORE: match
+        (4, ["purchase", "view"]),                    # wrong order: no
+    ]
+    flat = [(u, i, et) for u, ets in rows for i, et in enumerate(ets)]
+    d = tmp_path / "pat"
+    d.mkdir()
+    tbl = pa.table({
+        "event_id": pa.array(range(len(flat)), pa.int64()),
+        "ts": pa.array([i for _, i, _ in flat], pa.timestamp("us")),
+        "user_id": pa.array([u for u, _, _ in flat], pa.int64()),
+        "event_type": pa.array([et for _, _, et in flat]),
+        "value": pa.array([1.0] * len(flat), pa.float64()),
+        "props": pa.array(["{}"] * len(flat)),
+    })
+    pq.write_table(tbl, str(d / "events.parquet"))
+    got = {r["user_id"]: r["matched"]
+           for r in events_pattern_match(spark, str(d)).collect()}
+    assert got == {1: 1, 2: 0, 3: 1, 4: 0}

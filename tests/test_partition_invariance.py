@@ -80,6 +80,8 @@ SWEEP = [
     "corpus_token_allocation",
     # keyed-MIN first occurrence + cumulative window over the doc agg
     "text_novelty_curve",
+    # in-group struct sort fold must not depend on collect order
+    "events_pattern_match",
 ]
 
 
