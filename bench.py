@@ -132,6 +132,7 @@ HEADLINE = [
     "text_novelty_curve",
     "stream_ewma_monitor",
     "events_pattern_match",
+    "embed_binary_hamming_topk",
 ]
 
 
@@ -236,6 +237,7 @@ EXPECTED = {
     "text_novelty_curve": 1.08,
     "stream_ewma_monitor": 0.28,
     "events_pattern_match": 0.55,
+    "embed_binary_hamming_topk": 0.37,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

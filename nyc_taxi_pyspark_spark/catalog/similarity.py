@@ -2053,3 +2053,87 @@ def embed_power_iteration_pc1(spark, sf_dir):
         )
         .orderBy("dim")
     )
+
+
+@query(
+    "embed_binary_hamming_topk",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id,
+               list_sum(list_transform(
+                   range(1, {DIM // 2} + 1),
+                   i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+                             THEN (CAST(1 AS BIGINT) << (i - 1))
+                             ELSE 0 END)) AS lo,
+               list_sum(list_transform(
+                   range({DIM // 2} + 1, {DIM} + 1),
+                   i -> CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+                             THEN (CAST(1 AS BIGINT) << (i - {DIM // 2} - 1))
+                             ELSE 0 END)) AS hi
+        FROM embeddings
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi FROM sig WHERE vec_id = 0)
+    SELECT s.vec_id,
+           CAST(bit_count(CAST(xor(s.lo, q.qlo) AS BIGINT))
+                + bit_count(CAST(xor(s.hi, q.qhi) AS BIGINT))
+                AS INTEGER) AS hamming
+    FROM sig s, q
+    WHERE s.vec_id <> 0
+    ORDER BY hamming, s.vec_id LIMIT 10
+    """,
+)
+def embed_binary_hamming_topk(spark, sf_dir):
+    """Binary-embedding retrieval: each 64-dim float vector collapses to
+    TWO int64 words of sign bits (32 per word — DuckDB range-checks
+    1<<63, so one word cannot be packed engine-identically) and
+    similarity becomes popcount(XOR) — the
+    64x memory / 32x-vs-float32 bandwidth cut that makes exhaustive
+    first-stage scans affordable at corpus scale (binary-quantized
+    retrieval, used as the coarse stage before exact rerank of the
+    survivors; composes with the catalog's int8 kernel as that reranker).
+
+    Everything is integer bit arithmetic — sign-bit pack via shifts,
+    XOR + bit_count scoring — so the scan is pure whole-stage-codegen
+    JVM work with NO float discipline needed at all, and the oracle
+    mirrors it bit-for-bit. The signature is a write-time materialized
+    column at scale (same storage contract as the LSH bucket layout);
+    the query vector's signature is a 1-row broadcast. Top-10 nearest
+    by Hamming distance to vec_id 0, full tie-breaks."""
+    e = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    half = DIM // 2
+
+    def pack(lo_i: int, hi_i: int) -> "F.Column":
+        # 32 sign bits per int64 half: DuckDB range-checks 1<<63, so a
+        # single 64-bit word cannot be packed identically on both engines
+        return F.expr(
+            f"""aggregate(
+                zip_with(slice(cast(embedding as array<double>),
+                               {lo_i}, {half}),
+                         sequence(0, {half - 1}),
+                         (x, i) -> CASE WHEN x >= 0
+                                        THEN shiftleft(1L, i)
+                                        ELSE 0L END),
+                0L, (acc, b) -> acc + b)"""
+        )
+
+    sig = e.select(
+        "vec_id", pack(1, half).alias("lo"), pack(half + 1, DIM).alias("hi")
+    )
+    q = sig.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    return (
+        sig.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+                + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(10)
+    )

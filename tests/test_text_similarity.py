@@ -608,3 +608,39 @@ def test_novelty_curve_first_occurrence_semantics(spark, tmp_path):
     assert (rows[2]["n_distinct_grams"], rows[2]["n_novel"]) == (2, 1)
     assert [rows[i]["cum_novel"] for i in (0, 1, 2)] == [1, 1, 2]
     assert rows[1]["novelty_share"] == 0.0 and rows[0]["novelty_share"] == 1.0
+
+
+def test_binary_hamming_matches_bruteforce(spark, tmp_path):
+    """Popcount-XOR Hamming over packed sign bits == per-dimension sign
+    disagreement count computed in Python."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from nyc_taxi_pyspark_spark.catalog.similarity import (
+        embed_binary_hamming_topk,
+    )
+
+    dim = 64
+    vecs = []
+    for r in range(30):
+        vecs.append([
+            (1.0 if ((r * 7 + i * 13) % 5) > 1 else -1.0) * (0.01 + i / 100)
+            for i in range(dim)
+        ])
+    d = tmp_path / "bh"
+    d.mkdir()
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    def ham(a, b):
+        return sum((x >= 0) != (y >= 0) for x, y in zip(a, b))
+
+    want = sorted(
+        ((ham(vecs[i], vecs[0]), i) for i in range(1, len(vecs))),
+    )[:10]
+    got = [(r["hamming"], r["vec_id"])
+           for r in embed_binary_hamming_topk(spark, str(d)).collect()]
+    assert got == want
