@@ -1029,3 +1029,105 @@ def events_pattern_match(spark, sf_dir):
         F.length("s").cast("bigint").alias("n_events"),
         F.col("s").rlike(_PATTERN).cast("int").alias("matched"),
     ).orderBy("user_id")
+
+
+_OVERLAP_CELL_US = 3_600_000_000  # 1-hour time-grid cells for the overlap join
+
+
+@query(
+    "events_session_overlap",
+    oracle=f"""
+    WITH o AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+    ), s AS (
+        SELECT *, SUM(CASE WHEN prev IS NULL OR us - prev > {SESSION_GAP_US}
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS sess_id
+        FROM o
+    ), sess AS (
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+               MIN(us) AS s_us, MAX(us) AS e_us
+        FROM s GROUP BY user_id, sess_id
+    )
+    SELECT a.user_id AS user_a, a.sess_id AS sess_a,
+           b.user_id AS user_b, b.sess_id AS sess_b,
+           CAST(LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS BIGINT)
+             AS overlap_us
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id AND a.s_us < b.e_us AND b.s_us < a.e_us
+    ORDER BY overlap_us DESC, user_a, sess_a, user_b, sess_b
+    LIMIT 20
+    """,
+)
+def events_session_overlap(spark, sf_dir):
+    """Interval-overlap self-join (Allen's-algebra 'overlaps'): the top-20
+    cross-user pairs of concurrently-active sessions by shared wall-clock
+    micros — co-activity mining, contention analysis, ad co-exposure.
+
+    The oracle's range self-join is the O(n²) trap at scale. The Spark
+    plan never range-joins: each session (built by the same
+    lag/flag/cumsum idiom as ``events_sessionize``, exact integer micros)
+    explodes onto a 1-hour time grid — session length is gap-bounded by
+    construction, so the per-row fanout is tiny and bounded — and
+    candidates come from an EQUI-join on the grid cell, so only sessions
+    sharing an hour ever meet. A pair sharing several cells would surface
+    once per cell; the distinct() collapses it before the top-k. Strict
+    overlap (> 0 µs) keeps touching-at-a-boundary pairs out on both
+    engines. At 100 TB: one user_id exchange for sessionization, one
+    cell-hash exchange for the join (hot hours are the skew axis — the
+    cell is salt-able like any hot join key), TakeOrdered for the top-k;
+    cell width tracks the session-gap bound so fanout stays O(1)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_new = (prev.isNull() | ((us - prev) > SESSION_GAP_US)).cast("int")
+    sess_id = (
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).cast("bigint")
+    sess = (
+        ev.select("user_id", "ts", "event_id", us.alias("us"))
+        .withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    cells = sess.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s_us") / F.lit(_OVERLAP_CELL_US)),
+                F.floor(F.col("e_us") / F.lit(_OVERLAP_CELL_US)),
+            )
+        ),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s_us") < F.col("b.e_us"))
+            & (F.col("b.s_us") < F.col("a.e_us")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sess_id").alias("sess_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sess_id").alias("sess_b"),
+            (
+                F.least(F.col("a.e_us"), F.col("b.e_us"))
+                - F.greatest(F.col("a.s_us"), F.col("b.s_us"))
+            )
+            .cast("bigint")
+            .alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return pairs.orderBy(
+        F.desc("overlap_us"), "user_a", "sess_a", "user_b", "sess_b"
+    ).limit(20)

@@ -2091,3 +2091,190 @@ def graph_kcore_membership(spark, sf_dir):
         .orderBy(F.desc("core_degree"), "node")
         .limit(50)
     )
+
+
+_SKYLINE_BUCKET_CENTS = 10_000  # $100-wide price cells for the grid prune
+
+
+@query(
+    "part_skyline",
+    oracle="""
+    WITH b AS (
+        SELECT p_partkey, p_size,
+               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+        FROM part
+    )
+    SELECT p.p_partkey, p.p_size, p.price_cents
+    FROM b p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM b q
+        WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+          AND (q.price_cents < p.price_cents OR q.p_size > p.p_size)
+    )
+    ORDER BY p.price_cents, p.p_partkey
+    """,
+)
+def part_skyline(spark, sf_dir):
+    """Pareto skyline over parts: the non-dominated (cheapest price,
+    largest size) frontier — ``q`` dominates ``p`` iff q is no more
+    expensive AND no smaller AND strictly better on at least one axis;
+    duplicated (price, size) points tie and all survive.
+
+    The naive form is the oracle's NOT EXISTS — an O(n²) self-join. The
+    distributed plan never compares pairs: dominance against the whole
+    table reduces to two prefix maxima over the price order,
+        M1(p) = max size among strictly cheaper rows   (dominated iff ≥ size)
+        M2(p) = max size among ≤-priced rows           (dominated iff > size)
+    computed in two tiers. Tier 1 buckets price into $100 cells and takes
+    one map-side-combined max-size per cell; the running strict-prefix max
+    over those cell stats is a window over a BOUNDED, data-independent
+    number of rows (price range / cell width — catalog metadata, same
+    budget class as a 1-row stat broadcast) and rejoins via broadcast.
+    Tier 2 resolves within-cell order with RANGE-framed running maxima
+    partitioned by cell (every window here is partitioned — no global
+    sort). Exact integer cents make the frame bounds and the hash check
+    drift-free. At 100 TB: one shuffle for the cell stats, one broadcast,
+    one partitioned window — skyline over any column pair at scan cost."""
+    p = load_table(spark, sf_dir, "part")
+    base = p.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * F.lit(100.0))
+        .cast("bigint")
+        .alias("price_cents"),
+    ).withColumn(
+        "cell", F.floor(F.col("price_cents") / F.lit(_SKYLINE_BUCKET_CENTS))
+    )
+    # Tier 1: per-cell max size (tiny), strict-prefix max over cheaper cells.
+    wcell = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cells = (
+        base.groupBy("cell")
+        .agg(F.max("p_size").alias("cell_max"))
+        .select("cell", F.max("cell_max").over(wcell).alias("prefix_max"))
+    )
+    # Tier 2: within-cell running maxima over exact integer price order.
+    win = Window.partitionBy("cell").orderBy("price_cents")
+    m1 = F.max("p_size").over(win.rangeBetween(Window.unboundedPreceding, -1))
+    m2 = F.max("p_size").over(win.rangeBetween(Window.unboundedPreceding, 0))
+    scored = base.join(F.broadcast(cells), "cell").select(
+        "p_partkey",
+        "p_size",
+        "price_cents",
+        F.greatest(F.coalesce(m1, F.lit(-1)), F.coalesce("prefix_max", F.lit(-1))).alias("m1"),
+        F.greatest(m2, F.coalesce("prefix_max", F.lit(-1))).alias("m2"),
+    )
+    return (
+        scored.filter(
+            (F.col("m1") < F.col("p_size")) & (F.col("m2") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_size", "price_cents")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+_DID_CUTOVER = "2024-01-16 00:00:00"  # events span 2024-01; split mid-month
+
+
+def _did_oracle() -> str:
+    def cell(alias: str, treated: str, post: str) -> str:
+        cond = (
+            f"user_id % 2 = {treated} AND ts "
+            f"{'>=' if post == '1' else '<'} TIMESTAMP '{_DID_CUTOVER}'"
+        )
+        n = f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+        s = (
+            f"(CAST(SUM(CASE WHEN {cond} THEN "
+            f"CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END) AS DOUBLE)"
+            f" / CAST(100 AS DOUBLE))"
+        )
+        return f"{n} AS n_{alias}, {s} AS s_{alias}"
+
+    return f"""
+    WITH s AS (
+        SELECT {cell('c_pre', '0', '0')}, {cell('c_post', '0', '1')},
+               {cell('t_pre', '1', '0')}, {cell('t_post', '1', '1')}
+        FROM events
+    ),
+    m AS (
+        SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+               CASE WHEN n_c_pre > 0
+                    THEN s_c_pre / CAST(n_c_pre AS DOUBLE) END AS mean_c_pre,
+               CASE WHEN n_c_post > 0
+                    THEN s_c_post / CAST(n_c_post AS DOUBLE) END AS mean_c_post,
+               CASE WHEN n_t_pre > 0
+                    THEN s_t_pre / CAST(n_t_pre AS DOUBLE) END AS mean_t_pre,
+               CASE WHEN n_t_post > 0
+                    THEN s_t_post / CAST(n_t_post AS DOUBLE) END AS mean_t_post
+        FROM s
+    )
+    SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+           mean_c_pre, mean_c_post, mean_t_pre, mean_t_post,
+           (mean_t_post - mean_t_pre) - (mean_c_post - mean_c_pre) AS did
+    FROM m
+    """
+
+
+@query("events_diff_in_diff", oracle=_did_oracle())
+def events_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences estimator: treated (odd user_id — the
+    deterministic hash-split stand-in for an experiment arm) vs control,
+    pre vs post the July 1 cutover, outcome = event value. The causal
+    readout is the classic 2×2: (treated post−pre) − (control post−pre),
+    which nets out both the arm's level difference and the common time
+    trend.
+
+    ONE scan, one 1-row conditional aggregate (map-side combined): each
+    cell's count and exact-cents sum come from CASE-guarded integer sums,
+    so the four means and the DiD contrast are a fixed tree of IEEE
+    divisions/subtractions mirrored op-for-op with the oracle — hash-exact
+    despite being float arithmetic. At 100 TB this is the cheapest shape a
+    query can have: scan → partial agg → 1-row final, no shuffle of data
+    rows, and the cutover/arm predicates are scan-evaluated (no join
+    against an assignment table — assignment is a pure key function)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_DID_CUTOVER).cast("timestamp")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+
+    def cell(alias: str, treated: int, post: bool):
+        cond = (F.col("user_id") % 2 == treated) & (
+            (F.col("ts") >= cut) if post else (F.col("ts") < cut)
+        )
+        n = F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{alias}")
+        s = (
+            F.sum(F.when(cond, cents).otherwise(F.lit(0))).cast("double")
+            / F.lit(100).cast("double")
+        ).alias(f"s_{alias}")
+        return n, s
+
+    aggs = []
+    for alias, treated, post in (
+        ("c_pre", 0, False),
+        ("c_post", 0, True),
+        ("t_pre", 1, False),
+        ("t_post", 1, True),
+    ):
+        aggs.extend(cell(alias, treated, post))
+    s = ev.agg(*aggs)
+
+    def mean(alias: str) -> F.Column:
+        # empty-cell guard (empty-input contract: value stats honestly NULL;
+        # the when() also keeps ANSI mode from raising on the 0 divisor)
+        return F.when(
+            F.col(f"n_{alias}") > 0,
+            F.col(f"s_{alias}") / F.col(f"n_{alias}").cast("double"),
+        ).alias(f"mean_{alias}")
+
+    m = s.select(
+        "n_c_pre",
+        "n_c_post",
+        "n_t_pre",
+        "n_t_post",
+        mean("c_pre"),
+        mean("c_post"),
+        mean("t_pre"),
+        mean("t_post"),
+    )
+    did = (F.col("mean_t_post") - F.col("mean_t_pre")) - (
+        F.col("mean_c_post") - F.col("mean_c_pre")
+    )
+    return m.select("*", did.alias("did"))

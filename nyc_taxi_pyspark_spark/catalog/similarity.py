@@ -2137,3 +2137,125 @@ def embed_binary_hamming_topk(spark, sf_dir):
         .orderBy("hamming", "vec_id")
         .limit(10)
     )
+
+
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_CAND_K = 50  # per-ranker candidate-list depth
+
+
+def _hybrid_rrf_oracle() -> str:
+    from nyc_taxi_pyspark_spark.catalog.text import BM25_SCORED_SQL
+
+    # _COSINE_CTE opens its own "WITH q AS (…), sims AS (…)" — splice its
+    # body after the BM25 chain so both rankers share one CTE list.
+    cosine_body = _COSINE_CTE.split("WITH", 1)[1]
+    rrf_term = (
+        "COALESCE(CAST(1 AS DOUBLE) / CAST({k} + {rk} AS DOUBLE),"
+        " CAST(0 AS DOUBLE))"
+    )
+    return f"""
+    WITH {BM25_SCORED_SQL},
+    {cosine_body},
+    lexk AS (
+        SELECT doc_id, rk FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+            FROM bm25s
+        ) WHERE rk <= {_RRF_CAND_K}
+    ),
+    semk AS (
+        SELECT vec_id, rk FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id) AS rk
+            FROM sims
+        ) WHERE rk <= {_RRF_CAND_K}
+    ),
+    ids AS (
+        SELECT doc_id FROM lexk
+        UNION
+        SELECT vec_id AS doc_id FROM semk
+    )
+    SELECT i.doc_id,
+           CAST(l.rk AS INTEGER) AS lex_rank,
+           CAST(s.rk AS INTEGER) AS sem_rank,
+           {rrf_term.format(k=RRF_K, rk='l.rk')}
+             + {rrf_term.format(k=RRF_K, rk='s.rk')} AS rrf
+    FROM ids i
+    LEFT JOIN lexk l ON i.doc_id = l.doc_id
+    LEFT JOIN semk s ON i.doc_id = s.vec_id
+    ORDER BY rrf DESC, i.doc_id
+    LIMIT 10
+    """
+
+
+@query("search_hybrid_rrf", oracle=_hybrid_rrf_oracle())
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical ranking fused with exact-cosine
+    semantic ranking by reciprocal-rank fusion — the standard production
+    search stack (sparse + dense arms, RRF instead of score calibration).
+
+    Each arm independently produces its TakeOrdered top-50 candidate list
+    (the corpus-sized work — scan + top-k, no global sort); ranks are then
+    assigned by a row_number window over those ≤50-row lists (bounded by
+    the candidate depth, not the data — same budget class as the 1-row
+    stat broadcasts) and fused over the candidate union with
+    rrf = Σ 1/(60 + rank), absent arm contributing 0. The fusion stays
+    bit-checkable because ranks are integers and each arm contributes one
+    literal-over-integer double division added in a fixed order. At
+    100 TB: two top-k scans (the dense arm bucket/IVF-prunable via the
+    existing ANN layouts) and a K-row fusion — per-query cost is O(scan) +
+    O(K), never a rank over the corpus. Doc↔vector linkage is the shared
+    doc_id/vec_id key space."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_pyspark_spark.catalog.text import bm25_frame
+
+    lex_top = (
+        bm25_frame(spark, sf_dir)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_CAND_K)
+    )
+    lexk = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    b = _bucketed(spark, sf_dir)
+    qvec, _qb, qnorm = _query_param(spark, sf_dir)
+    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+        "cosine_sim"
+    )
+    sem_top = (
+        b.select("vec_id", sim)
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(_RRF_CAND_K)
+    )
+    semk = sem_top.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine_sim"), "vec_id"))
+        .alias("sem_rank"),
+    )
+    ids = lexk.select("doc_id").union(semk.select("doc_id")).distinct()
+
+    def rrf_arm(rank_col: str) -> F.Column:
+        return F.coalesce(
+            F.lit(1).cast("double")
+            / (F.lit(RRF_K) + F.col(rank_col)).cast("double"),
+            F.lit(0).cast("double"),
+        )
+
+    return (
+        ids.join(lexk, "doc_id", "left")
+        .join(semk, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (rrf_arm("lex_rank") + rrf_arm("sem_rank")).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

@@ -772,10 +772,10 @@ def _bm25_term_sql(t: str) -> str:
     )
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
-    WITH base AS (
+# Shared oracle CTE chain (base → 1-row stats → per-doc score): reused by
+# text_bm25_topk and the hybrid-RRF fusion in catalog/similarity.py.
+BM25_SCORED_SQL = f"""
+    base AS (
         SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
                {', '.join(f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in _BM25_TERMS)}
         FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
@@ -785,17 +785,49 @@ def _bm25_term_sql(t: str) -> str:
                CAST(SUM(dl) AS BIGINT) AS sum_dl,
                {', '.join(f'CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}' for t in _BM25_TERMS)}
         FROM base
-    )
+    ),
+    bm25s AS (
+        SELECT doc_id,
+               {', '.join(f'tf_{t}' for t in _BM25_TERMS)},
+               {' + '.join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS bm25
+        FROM base, stats
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {BM25_SCORED_SQL}
     SELECT doc_id,
            {', '.join(f'CAST(tf_{t} AS INTEGER) AS tf_{t}' for t in _BM25_TERMS)},
-           {' + '.join(_bm25_term_sql(t) for t in _BM25_TERMS)} AS bm25
-    FROM base, stats
+           bm25
+    FROM bm25s
     ORDER BY bm25 DESC, doc_id
     LIMIT 10
     """,
 )
 def text_bm25_topk(spark, sf_dir):
     """BM25 document retrieval for a literal multi-term query, top-10.
+
+    Scoring lives in :func:`bm25_frame` (shared with the hybrid-RRF
+    fusion); this query adds the per-term tf columns and the top-10 take.
+    Scale/exactness notes on the helper."""
+    return (
+        bm25_frame(spark, sf_dir)
+        .select(
+            "doc_id",
+            *[F.col(f"tf_{t}").cast("int").alias(f"tf_{t}") for t in _BM25_TERMS],
+            "bm25",
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+def bm25_frame(spark, sf_dir):
+    """Per-document BM25 scores (doc_id, tf_<term>…, bm25) for the fixed
+    3-term query — the scored frame behind ``text_bm25_topk`` and the
+    lexical arm of ``search_hybrid_rrf``.
 
     Classic BM25 shape (k1=1.2, b=0.75, per-doc length normalization
     against the corpus mean) with the RATIONAL idf (N-df+0.5)/(df+0.5)
@@ -849,15 +881,10 @@ def text_bm25_topk(spark, sf_dir):
     score = term_score(_BM25_TERMS[0])
     for t in _BM25_TERMS[1:]:
         score = score + term_score(t)
-    return (
-        base.crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            *[F.col(f"tf_{t}").cast("int").alias(f"tf_{t}") for t in _BM25_TERMS],
-            score.alias("bm25"),
-        )
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(10)
+    return base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        *[F.col(f"tf_{t}") for t in _BM25_TERMS],
+        score.alias("bm25"),
     )
 
 

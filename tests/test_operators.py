@@ -254,3 +254,119 @@ def test_pattern_match_between_stage_constraint(spark, tmp_path):
     got = {r["user_id"]: r["matched"]
            for r in events_pattern_match(spark, str(d)).collect()}
     assert got == {1: 1, 2: 0, 3: 1, 4: 0}
+
+
+def test_session_overlap_known_intervals(spark, tmp_path):
+    """Three users with hand-built sessions: overlap micros are exact,
+    boundary-touching pairs are excluded, and a pair sharing TWO grid
+    cells surfaces exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.events import events_session_overlap
+
+    m = 60_000_000  # one minute in micros
+    rows = [
+        # user 1: session [0, 20min]
+        (1, 0 * m), (1, 20 * m),
+        # user 2: session [10min, 25min] — overlaps user 1 by 10min
+        (2, 10 * m), (2, 25 * m),
+        # user 3: point session at 20min — touches user 1's end (excluded
+        # from >0 overlap with u1? no: a.s<b.e strictness drops the u1 pair)
+        (3, 20 * m),
+        # users 4/5: sessions [0, 90min] and [55min, 85min] — both span two
+        # 1-hour grid cells; the pair must appear once, overlap 30min
+        (4, 0 * m), (4, 25 * m), (4, 50 * m), (4, 75 * m), (4, 90 * m),
+        (5, 55 * m), (5, 85 * m),
+    ]
+    d = tmp_path / "ov"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+            "user_id": pa.array([u for u, _ in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows)),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = events_session_overlap(spark, str(d)).collect()
+    pairs = {(r["user_a"], r["user_b"]): r["overlap_us"] for r in out}
+    # u1×u2 overlap [10,20] = 10min; u1×u3 touch-at-20 excluded
+    assert pairs[(1, 2)] == 10 * m
+    assert (1, 3) not in pairs
+    # u3's point session is interior to u2's: passes strict bounds with
+    # zero shared micros (documented semantics)
+    assert pairs[(2, 3)] == 0
+    # cross-cell pair appears exactly once with exact overlap
+    assert sum(1 for r in out if (r["user_a"], r["user_b"]) == (4, 5)) == 1
+    assert pairs[(4, 5)] == 30 * m
+
+
+def test_diff_in_diff_planted_effect(spark, tmp_path):
+    """Control drifts +2 over the cutover, treated +10: DiD must be exactly
+    8.0 (all cell values cents-exact)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.quality import events_diff_in_diff
+
+    pre = dt.datetime(2024, 1, 10)
+    post = dt.datetime(2024, 1, 20)
+    rows = []
+    for u in range(4):  # users 0/2 control, 1/3 treated; 1 row per period
+        treated = u % 2
+        rows.append((u, pre, 20.0 if treated else 10.0))
+        rows.append((u, post, 30.0 if treated else 12.0))
+    d = tmp_path / "did"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t for _, t, _ in rows], pa.timestamp("us")),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array(["click"] * len(rows)),
+            "value": pa.array([v for _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    r = events_diff_in_diff(spark, str(d)).first()
+    assert r["n_c_pre"] == 2 and r["n_t_post"] == 2
+    assert r["mean_c_pre"] == 10.0 and r["mean_c_post"] == 12.0
+    assert r["mean_t_pre"] == 20.0 and r["mean_t_post"] == 30.0
+    assert r["did"] == 8.0
+
+
+def test_diff_in_diff_empty_cells_null_means(spark, tmp_path):
+    """Post-cutover-only data: pre cells honestly NULL (no ANSI div-zero),
+    counts still 0."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.quality import events_diff_in_diff
+
+    post = dt.datetime(2024, 1, 20)
+    d = tmp_path / "did0"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1], pa.int64()),
+            "ts": pa.array([post, post], pa.timestamp("us")),
+            "user_id": pa.array([0, 1], pa.int64()),
+            "event_type": pa.array(["click", "click"]),
+            "value": pa.array([10.0, 20.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    r = events_diff_in_diff(spark, str(d)).first()
+    assert r["n_c_pre"] == 0 and r["n_t_pre"] == 0
+    assert r["mean_c_pre"] is None and r["mean_t_pre"] is None
+    assert r["did"] is None

@@ -729,3 +729,45 @@ def test_token_allocation_one_wide_aggregate(spark):
     plan = formatted_plan(df)
     assert "PythonUDF" not in plan
     assert shuffle_count(df) <= 4
+
+
+def test_skyline_no_pairwise_join(spark):
+    """Skyline must never self-join the table: broadcast of the bounded
+    cell stats, partitioned windows, no cartesian/SMJ of data rows."""
+    df = QUERIES["part_skyline"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_hybrid_rrf_topk_arms_no_corpus_rank(spark):
+    """Both retrieval arms must reach their candidate lists via TakeOrdered
+    heaps (never a corpus-wide sort), and fusion stays JVM-side."""
+    df = QUERIES["search_hybrid_rrf"](spark, SF)
+    plan = formatted_plan(df)
+    assert uses_take_ordered(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_session_overlap_equi_join_candidates(spark):
+    """Overlap candidates must come from the grid-cell EQUI join — any
+    nested-loop/cartesian means the range predicate leaked into the join
+    strategy."""
+    df = QUERIES["events_session_overlap"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_diff_in_diff_single_scan_one_row_agg(spark):
+    """DiD is scan → partial agg → 1-row final: at most one exchange, no
+    join, no Python."""
+    df = QUERIES["events_diff_in_diff"](spark, SF)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 1
+    assert "Join" not in plan
+    assert "Python" not in plan

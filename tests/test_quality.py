@@ -493,3 +493,56 @@ def test_mann_whitney_closed_form(spark, tmp_path):
     ).first()
     assert r["u_click"] == r["u_error"] == 8.0
     assert r["z_stat"] == 0.0 and r["rank_biserial"] == 0.0
+
+
+def test_part_skyline_matches_bruteforce(spark, tmp_path):
+    """The bucketed two-tier skyline must equal the O(n²) dominance
+    definition, including duplicated (price, size) points (ties — all
+    survive) and points straddling the $100 cell boundary."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.quality import part_skyline
+
+    # deterministic scatter incl. duplicates + cell-boundary prices
+    pts = []
+    seed = 1234567
+    for i in range(300):
+        seed = (seed * 1103515245 + 12345) % (1 << 31)
+        price = (seed % 40000) / 100.0  # $0–$400, spans 4 cells
+        size = 1 + (seed // 7) % 50
+        pts.append((i, price, size))
+    pts += [(300, 100.00, 30), (301, 100.00, 30), (302, 99.99, 30),
+            (303, 200.00, 50), (304, 200.00, 50)]
+    tbl = pa.table(
+        {
+            "p_partkey": pa.array([i for i, _, _ in pts], pa.int64()),
+            "p_name": pa.array([f"p{i}" for i, _, _ in pts]),
+            "p_brand": pa.array(["b"] * len(pts)),
+            "p_type": pa.array(["t"] * len(pts)),
+            "p_size": pa.array([s for _, _, s in pts], pa.int32()),
+            "p_retailprice": pa.array([p for _, p, _ in pts], pa.float64()),
+        }
+    )
+    d = tmp_path / "sky"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "part.parquet"))
+
+    cents = [(i, round(p * 100), s) for i, p, s in pts]
+    frontier = [
+        (i, s, c)
+        for i, c, s in cents
+        if not any(
+            (qc <= c and qs >= s and (qc < c or qs > s))
+            for _, qc, qs in cents
+        )
+    ]
+    expect = sorted(frontier, key=lambda r: (r[2], r[0]))
+    got = [
+        (r["p_partkey"], r["p_size"], r["price_cents"])
+        for r in part_skyline(spark, str(d)).collect()
+    ]
+    assert got == expect
+    # tie semantics: duplicated frontier points both survive iff either does
+    keys = {k for k, _, _ in got}
+    assert (300 in keys) == (301 in keys)

@@ -644,3 +644,25 @@ def test_binary_hamming_matches_bruteforce(spark, tmp_path):
     got = [(r["hamming"], r["vec_id"])
            for r in embed_binary_hamming_topk(spark, str(d)).collect()]
     assert got == want
+
+
+def test_hybrid_rrf_fusion_arithmetic(spark):
+    """RRF output must be exactly 1/(60+lex) + 1/(60+sem) over the two
+    arms' candidate ranks, with an absent arm contributing 0, ordered by
+    fused score; the query vector's own doc is semantic rank 1."""
+    from nyc_taxi_pyspark_spark.catalog.similarity import search_hybrid_rrf
+
+    rows = search_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "non-empty fusion"
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        arms = 0.0
+        if r["lex_rank"] is not None:
+            arms += 1.0 / float(60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            arms += 1.0 / float(60 + r["sem_rank"])
+        assert r["rrf"] == arms  # bit-exact: same IEEE ops
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+    sem1 = [r for r in rows if r["sem_rank"] == 1]
+    assert sem1 and sem1[0]["doc_id"] == 0  # self-similarity tops the dense arm
