@@ -133,6 +133,10 @@ HEADLINE = [
     "stream_ewma_monitor",
     "events_pattern_match",
     "embed_binary_hamming_topk",
+    "part_skyline",
+    "search_hybrid_rrf",
+    "events_session_overlap",
+    "events_diff_in_diff",
 ]
 
 
@@ -238,6 +242,10 @@ EXPECTED = {
     "stream_ewma_monitor": 0.28,
     "events_pattern_match": 0.55,
     "embed_binary_hamming_topk": 0.37,
+    "part_skyline": 0.81,
+    "search_hybrid_rrf": 1.14,
+    "events_session_overlap": 1.21,
+    "events_diff_in_diff": 0.49,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

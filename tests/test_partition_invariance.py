@@ -82,6 +82,12 @@ SWEEP = [
     "text_novelty_curve",
     # in-group struct sort fold must not depend on collect order
     "events_pattern_match",
+    # round-9 third batch: prefix-max tiers over bucketed price order
+    # (skyline), grid-cell join + pair distinct (overlap), candidate-list
+    # ranks fused across two arms (hybrid RRF)
+    "part_skyline",
+    "events_session_overlap",
+    "search_hybrid_rrf",
 ]
 
 
