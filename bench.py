@@ -137,6 +137,9 @@ HEADLINE = [
     "search_hybrid_rrf",
     "events_session_overlap",
     "events_diff_in_diff",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "graph_link_prediction",
 ]
 
 
@@ -246,6 +249,9 @@ EXPECTED = {
     "search_hybrid_rrf": 1.14,
     "events_session_overlap": 1.21,
     "events_diff_in_diff": 0.49,
+    "privacy_k_anonymity": 0.43,
+    "privacy_l_diversity": 0.71,
+    "graph_link_prediction": 2.11,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -2278,3 +2278,226 @@ def events_diff_in_diff(spark, sf_dir):
         F.col("mean_c_post") - F.col("mean_c_pre")
     )
     return m.select("*", did.alias("did"))
+
+
+# ---------------------------------------------------------------------------
+# Privacy auditing — re-identification risk over quasi-identifiers. The QI
+# tuple is (nation, $1000 account-balance band); balance bands come from the
+# exact-cents integer so the class keys are drift-free across engines.
+
+_QI_BAND_SQL = (
+    "CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+    " / CAST(100000 AS DOUBLE)) AS BIGINT)"
+)
+_K_ANON = 5
+_L_DIV_LIMIT = 20
+
+
+def _qi_band() -> F.Column:
+    cents = F.round(F.col("c_acctbal") * F.lit(100.0)).cast("bigint")
+    return F.floor(cents / F.lit(100000.0)).cast("bigint")
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey, {_QI_BAND_SQL} AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT cnt AS class_size, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(cnt < {_K_ANON} AS INTEGER) AS at_risk
+    FROM cls GROUP BY cnt ORDER BY class_size
+    """,
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity audit: the equivalence-class-size histogram over the
+    quasi-identifier tuple (nation, balance band), flagging classes below
+    k=5 — the rows a linkage attacker can single out. The class-size
+    histogram (not a per-class listing) is the scale-honest output: it is
+    bounded by the largest class size, not the class count.
+
+    Plan: one map-side-combined QI aggregate (the only data-sized
+    shuffle), then a tiny histogram aggregate over class counts. This is
+    the release-gate shape a training-data pipeline runs before shipping
+    any user-derived table; generalize-and-re-audit loops just re-run it
+    with coarser band widths."""
+    c = load_table(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey", _qi_band().alias("bal_band")
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        cls.groupBy(F.col("cnt").alias("class_size"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < _K_ANON).cast("int").alias("at_risk"),
+        )
+        .orderBy("class_size")
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey, {_QI_BAND_SQL} AS bal_band,
+               CAST(COUNT(*) AS BIGINT) AS class_n,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey, bal_band, class_n, l
+    FROM cls ORDER BY l, class_n DESC, c_nationkey, bal_band
+    LIMIT {_L_DIV_LIMIT}
+    """,
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit: for each quasi-identifier class, how many
+    DISTINCT values of the sensitive attribute (market segment) it
+    contains — a class that is k-anonymous but l=1 still leaks the
+    sensitive value of everyone in it (the homogeneity attack
+    k-anonymity alone misses). Reports the 20 worst classes
+    (lowest diversity, largest membership first).
+
+    Plan: ONE QI aggregate computing class size and the distinct-count
+    together (count-distinct partials merge map-side), then TakeOrdered —
+    never a per-class subquery. Same release-gate family as
+    privacy_k_anonymity."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", _qi_band().alias("bal_band"))
+        .agg(
+            F.count("*").alias("class_n"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+        .orderBy("l", F.desc("class_n"), "c_nationkey", "bal_band")
+        .limit(_L_DIV_LIMIT)
+    )
+
+
+_LINKPRED_SEEDS = 20
+
+
+@query(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem
+    ),
+    edges AS (
+        SELECT a.item AS u, b.item AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    sym AS (
+        SELECT u AS src, v AS dst FROM edges
+        UNION ALL SELECT v AS src, u AS dst FROM edges
+    ),
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM sym GROUP BY src
+    ),
+    seeds AS (
+        SELECT node FROM (
+            SELECT node, ROW_NUMBER() OVER (ORDER BY d DESC, node) AS rk
+            FROM deg
+        ) WHERE rk <= {_LINKPRED_SEEDS}
+    ),
+    sn AS (
+        SELECT s.node AS seed, e.dst AS n
+        FROM seeds s JOIN sym e ON e.src = s.node
+    ),
+    wedge AS (
+        SELECT sn.seed, e2.dst AS cand
+        FROM sn JOIN sym e2 ON e2.src = sn.n
+        WHERE e2.dst <> sn.seed
+    ),
+    cn AS (
+        SELECT seed, cand, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM wedge GROUP BY seed, cand
+    )
+    SELECT seed, cand, common_neighbors
+    FROM cn c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.u = LEAST(c.seed, c.cand)
+          AND e.v = GREATEST(c.seed, c.cand)
+    )
+    ORDER BY common_neighbors DESC, seed, cand
+    LIMIT 20
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbors link prediction for a 20-node seed set: for each
+    top-degree seed, the non-adjacent parts sharing the most co-purchase
+    neighbors — 'you-may-also-like' candidate generation, missing-edge
+    inference over crawl/citation graphs.
+
+    All-pairs common-neighbor counting is Σd² wedges — quadratic in hot
+    degrees and the classic scale trap. This query instead scopes to a
+    seed set (how link prediction is actually served: per focal node),
+    so the wedge work is O(Σ_{{seed}} d(seed) · d̄) — seed edges join the
+    shared co-purchase layout (_COPURCHASE_CACHE) once, existing edges
+    are removed with a canonical-key anti join, TakeOrdered emits the
+    top-20. Seeds pick by (degree, node) TakeOrdered; the oracle mirrors
+    that with a ROW_NUMBER cap. At 100 TB the remaining hot spot is a
+    celebrity seed's neighborhood — the same per-key skew the salting
+    escape hatch covers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _COPURCHASE_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: (
+            li.select("l_orderkey", F.col("l_partkey").alias("item"))
+            .distinct()
+            .alias("a")
+            .join(
+                li.select(
+                    "l_orderkey", F.col("l_partkey").alias("item")
+                )
+                .distinct()
+                .alias("b"),
+                "l_orderkey",
+            )
+            .filter(F.col("a.item") < F.col("b.item"))
+            .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+            .distinct()
+        ),
+    )
+    sym = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    seeds = deg.orderBy(F.desc("d"), "node").limit(_LINKPRED_SEEDS).select("node")
+    sn = F.broadcast(seeds).join(
+        sym, seeds["node"] == sym["src"]
+    ).select(F.col("node").alias("seed"), F.col("dst").alias("n"))
+    wedge = sn.join(
+        sym.select(F.col("src").alias("n"), F.col("dst").alias("cand")), "n"
+    ).filter(F.col("cand") != F.col("seed"))
+    cn = wedge.groupBy("seed", "cand").agg(
+        F.count("*").alias("common_neighbors")
+    )
+    canon = cn.select(
+        "seed",
+        "cand",
+        "common_neighbors",
+        F.least("seed", "cand").alias("u"),
+        F.greatest("seed", "cand").alias("v"),
+    )
+    return (
+        canon.join(edges, ["u", "v"], "left_anti")
+        .select("seed", "cand", "common_neighbors")
+        .orderBy(F.desc("common_neighbors"), "seed", "cand")
+        .limit(20)
+    )

@@ -771,3 +771,28 @@ def test_diff_in_diff_single_scan_one_row_agg(spark):
     assert shuffle_count(df) <= 1
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_k_anonymity_two_aggregates_no_python(spark):
+    """QI classes then the size histogram: two exchanges max, all JVM."""
+    df = QUERIES["privacy_k_anonymity"](spark, SF)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) <= 3
+    assert "Python" not in plan and "Join" not in plan
+
+
+def test_l_diversity_single_agg_take_ordered(spark):
+    """Class size + distinct-count in ONE aggregate, worst-20 via heap."""
+    df = QUERIES["privacy_l_diversity"](spark, SF)
+    assert uses_take_ordered(df)
+    assert "Python" not in formatted_plan(df)
+
+
+def test_link_prediction_broadcast_seeds_no_cartesian(spark):
+    """The 20-seed side must broadcast into the wedge join; no pairwise
+    blowup anywhere."""
+    df = QUERIES["graph_link_prediction"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

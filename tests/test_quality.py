@@ -546,3 +546,75 @@ def test_part_skyline_matches_bruteforce(spark, tmp_path):
     # tie semantics: duplicated frontier points both survive iff either does
     keys = {k for k, _, _ in got}
     assert (300 in keys) == (301 in keys)
+
+
+def _write_customers(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(len(rows))]),
+            "c_nationkey": pa.array([n for n, _, _ in rows], pa.int32()),
+            "c_acctbal": pa.array([b for _, b, _ in rows], pa.float64()),
+            "c_mktsegment": pa.array([s for _, _, s in rows]),
+        }
+    )
+    d = tmp_path / "priv"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tbl, str(d / "customer.parquet"))
+    return str(d)
+
+
+def test_k_anonymity_histogram_and_negative_bands(spark, tmp_path):
+    """A singleton class is at risk, a 6-member class is not, and negative
+    balances band by floor (−500 → band −1, not 0)."""
+    from nyc_taxi_pyspark_spark.catalog.quality import privacy_k_anonymity
+
+    rows = [(1, 500.0, "A")] * 6  # class (1, band 0): size 6
+    rows += [(2, 1500.0, "B")]    # class (2, band 1): singleton
+    rows += [(2, -500.0, "B")]    # class (2, band -1): singleton (floor!)
+    d = _write_customers(tmp_path, rows)
+    out = {r["class_size"]: r for r in privacy_k_anonymity(spark, d).collect()}
+    assert out[1]["n_classes"] == 2 and out[1]["at_risk"] == 1
+    assert out[6]["n_classes"] == 1 and out[6]["at_risk"] == 0
+    assert out[1]["n_rows"] == 2 and out[6]["n_rows"] == 6
+
+
+def test_l_diversity_flags_homogeneous_class_first(spark, tmp_path):
+    """A big single-segment class must rank ahead of a small diverse one:
+    order is (l asc, class_n desc)."""
+    from nyc_taxi_pyspark_spark.catalog.quality import privacy_l_diversity
+
+    rows = [(1, 100.0, "A")] * 10          # l=1, n=10 — homogeneity leak
+    rows += [(2, 100.0, "A"), (2, 200.0, "B"), (2, 300.0, "C")]  # l=3, n=3
+    d = _write_customers(tmp_path, rows)
+    out = privacy_l_diversity(spark, d).collect()
+    assert (out[0]["c_nationkey"], out[0]["l"], out[0]["class_n"]) == (1, 1, 10)
+    assert out[1]["l"] == 3
+
+
+def test_link_prediction_closes_the_open_wedge(spark, tmp_path):
+    """Path 1—2—3: the only predicted links are (1,3) and (3,1), each with
+    one common neighbor; adjacent pairs never appear."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.quality import graph_link_prediction
+
+    orders = [(10, 1), (10, 2), (20, 2), (20, 3)]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([o for o, _ in orders], pa.int64()),
+            "l_partkey": pa.array([p for _, p in orders], pa.int64()),
+        }
+    )
+    d = tmp_path / "lp"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "lineitem.parquet"))
+    out = [
+        (r["seed"], r["cand"], r["common_neighbors"])
+        for r in graph_link_prediction(spark, str(d)).collect()
+    ]
+    assert out == [(1, 3, 1), (3, 1, 1)]
