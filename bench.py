@@ -140,6 +140,7 @@ HEADLINE = [
     "privacy_k_anonymity",
     "privacy_l_diversity",
     "graph_link_prediction",
+    "embed_centroid_drift",
 ]
 
 
@@ -252,6 +253,7 @@ EXPECTED = {
     "privacy_k_anonymity": 0.43,
     "privacy_l_diversity": 0.71,
     "graph_link_prediction": 2.11,
+    "embed_centroid_drift": 1.19,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -2259,3 +2259,108 @@ def search_hybrid_rrf(spark, sf_dir):
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+_DRIFT_Q = "1e6"  # element quantizer; re-quantized again at the product fold
+
+
+def _centroid_drift_oracle() -> str:
+    def half_sum(parity: int, alias: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN e.vec_id % 2 = {parity} THEN "
+            f"CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {_DRIFT_Q})"
+            f" AS BIGINT) ELSE 0 END) AS BIGINT) AS {alias}"
+        )
+
+    def fold(xa: str, xb: str, alias: str) -> str:
+        return (
+            f"CAST(SUM(CAST(FLOOR((CAST({xa} AS DOUBLE) * CAST({xb} AS"
+            f" DOUBLE)) / {_DRIFT_Q}) AS BIGINT)) AS DOUBLE) AS {alias}"
+        )
+
+    return f"""
+    WITH d AS (
+        SELECT e.label, g.i, {half_sum(0, 'sa')}, {half_sum(1, 'sb')}
+        FROM embeddings e, generate_series(1, {DIM}) AS g(i)
+        GROUP BY e.label, g.i
+    ),
+    c AS (
+        SELECT label, {fold('sa', 'sb', 'dq')},
+               {fold('sa', 'sa', 'aa')}, {fold('sb', 'sb', 'bb')}
+        FROM d GROUP BY label
+    ),
+    n AS (
+        SELECT label,
+               CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM embeddings GROUP BY label
+    )
+    SELECT n.label, n.n_a, n.n_b,
+           CASE WHEN c.aa > 0 AND c.bb > 0
+                THEN c.dq / (SQRT(c.aa) * SQRT(c.bb)) END AS drift_cos
+    FROM n JOIN c USING (label)
+    ORDER BY n.label
+    """
+
+
+@query("embed_centroid_drift", oracle=_centroid_drift_oracle())
+def embed_centroid_drift(spark, sf_dir):
+    """Embedding-distribution drift monitor: per label, the cosine between
+    the centroids of the two corpus halves (even vs odd vec_id — the
+    deterministic stand-in for yesterday's batch vs today's). drift_cos
+    near 1 means the embedding distribution is stable; a drop is the
+    canary for upstream model/preprocessing changes silently shifting the
+    vector space — checked per label so a single class drifting isn't
+    averaged away.
+
+    Cosine is scale-invariant, so the centroids are never divided: the
+    per-(label, dim) integer element sums ARE the centroid direction, and
+    the cosine folds them directly. Exactness: elements micro-quantize to
+    int64 (order-independent partial sums), the dim-level products
+    re-quantize before the final fold (keeping every accumulator in exact
+    int64 — products of raw sums would overflow), and the single
+    dq/(√aa·√bb) division is the one mirrored IEEE op. Plan: one
+    (label, dim)-keyed aggregate over the posexploded corpus (map-side
+    combined, 64·|labels| rows out), one label-level fold, one broadcast
+    join against the label counts — no per-pair work anywhere; at 100 TB
+    the dim sums are the mergeable per-batch sketch an ingest pipeline
+    persists, and halves generalize to arbitrary batch windows."""
+    emb = _emb(spark, sf_dir)
+    d = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    )
+    qe = F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("bigint")
+    even = F.col("vec_id") % 2 == 0
+    dims = d.groupBy("label", "i").agg(
+        F.sum(F.when(even, qe).otherwise(F.lit(0))).alias("sa"),
+        F.sum(F.when(~even, qe).otherwise(F.lit(0))).alias("sb"),
+    )
+
+    def fold(xa: str, xb: str) -> F.Column:
+        return F.sum(
+            F.floor(
+                (F.col(xa).cast("double") * F.col(xb).cast("double"))
+                / F.lit(1e6)
+            ).cast("bigint")
+        ).cast("double")
+
+    c = dims.groupBy("label").agg(
+        fold("sa", "sb").alias("dq"),
+        fold("sa", "sa").alias("aa"),
+        fold("sb", "sb").alias("bb"),
+    )
+    n = emb.groupBy("label").agg(
+        F.sum(even.cast("bigint")).alias("n_a"),
+        F.sum((~even).cast("bigint")).alias("n_b"),
+    )
+    drift = F.when(
+        (F.col("aa") > 0) & (F.col("bb") > 0),
+        F.col("dq") / (F.sqrt("aa") * F.sqrt("bb")),
+    )
+    return (
+        n.join(F.broadcast(c), "label")
+        .select("label", "n_a", "n_b", drift.alias("drift_cos"))
+        .orderBy("label")
+    )

@@ -67,6 +67,12 @@ REPRESENTATIVE = [
     ("events_cusum_changepoint", "integer CUSUM prefix + argmax"),
     ("graph_kcore_membership", "iterative node-state peel (4 rounds)"),
     ("embed_power_iteration_pc1", "integer power iteration (3 rounds)"),
+    # round-9 third/fourth batches
+    ("part_skyline", "bucketed prefix-max dominance tiers"),
+    ("events_session_overlap", "time-grid interval equi-join"),
+    ("search_hybrid_rrf", "two top-k arms + candidate-list fusion"),
+    ("graph_link_prediction", "seed-scoped wedge join"),
+    ("privacy_k_anonymity", "QI aggregate + size histogram"),
 ]
 
 
@@ -91,6 +97,12 @@ AMP_SUITE = [
     # with keys, so the x32 peel would measure a different graph regime)
     "text_duplicate_spans",
     "events_cusum_changepoint",
+    # round-9 third/fourth batches stay SF-curve-only: amplified copies are
+    # co-active in time, so session-overlap OUTPUT grows quadratically in
+    # the copy count (the LSH-pairs exclusion class); the skyline/privacy/
+    # hybrid inputs (part/customer/candidate lists) stay small at x32; the
+    # link-prediction graph changes regime under key-strided amplification
+    # (the kcore exclusion class).
 ]
 
 AMP_FACTOR = 32

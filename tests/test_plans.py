@@ -796,3 +796,13 @@ def test_link_prediction_broadcast_seeds_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_centroid_drift_bounded_aggregates_no_pairs(spark):
+    """Drift is keyed aggregates + one broadcast join — never per-pair
+    vector work or Python."""
+    df = QUERIES["embed_centroid_drift"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert has_broadcast_join(df)

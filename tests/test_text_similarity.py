@@ -666,3 +666,40 @@ def test_hybrid_rrf_fusion_arithmetic(spark):
         assert r["lex_rank"] is not None or r["sem_rank"] is not None
     sem1 = [r for r in rows if r["sem_rank"] == 1]
     assert sem1 and sem1[0]["doc_id"] == 0  # self-similarity tops the dense arm
+
+
+def test_centroid_drift_identical_and_orthogonal_halves(spark, tmp_path):
+    """Label 0: even/odd halves identical → drift ≈ 1. Label 1: halves on
+    orthogonal axes → drift ≈ 0. Label 2: one empty half → honest NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.similarity import embed_centroid_drift
+    from nyc_taxi_pyspark_spark.operators.similarity import DIM
+
+    def vec(axis, scale=1.0):
+        v = [0.0] * DIM
+        v[axis] = scale
+        return v
+
+    rows = []  # (vec_id, label, embedding)
+    rows += [(0, 0, vec(0)), (1, 0, vec(0)), (2, 0, vec(0)), (3, 0, vec(0))]
+    rows += [(4, 1, vec(1)), (5, 1, vec(2)), (6, 1, vec(1)), (7, 1, vec(2))]
+    rows += [(8, 2, vec(3))]  # even half only
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    d = tmp_path / "drift"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    out = {r["label"]: r for r in embed_centroid_drift(spark, str(d)).collect()}
+    assert abs(out[0]["drift_cos"] - 1.0) < 1e-12
+    assert abs(out[1]["drift_cos"]) < 1e-12
+    assert out[2]["drift_cos"] is None and out[2]["n_b"] == 0
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
