@@ -141,6 +141,7 @@ HEADLINE = [
     "privacy_l_diversity",
     "graph_link_prediction",
     "embed_centroid_drift",
+    "stats_anova_oneway",
 ]
 
 
@@ -254,6 +255,7 @@ EXPECTED = {
     "privacy_l_diversity": 0.71,
     "graph_link_prediction": 2.11,
     "embed_centroid_drift": 1.19,
+    "stats_anova_oneway": 1.19,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

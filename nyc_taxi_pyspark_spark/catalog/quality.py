@@ -2501,3 +2501,134 @@ def graph_link_prediction(spark, sf_dir):
         .orderBy(F.desc("common_neighbors"), "seed", "cand")
         .limit(20)
     )
+
+
+def _anova_oracle() -> str:
+    # per-group exact moments; every cross-group fold re-quantized to int64
+    # so the 5-term sums are order-independent (SUM over groups in double
+    # would be one ulp away between engines)
+    return """
+    WITH g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                 AS sc,
+               CAST(SUM(CAST(ROUND((value * value) * 10000.0) AS BIGINT))
+                    AS BIGINT) AS sqc
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(SUM(sc) AS BIGINT) AS scc
+        FROM g
+    ),
+    terms AS (
+        SELECT g.event_type, tot.k, tot.nn,
+               CAST(FLOOR(CAST(g.n AS DOUBLE)
+                    * ((CAST(g.sc AS DOUBLE) / CAST(100 AS DOUBLE))
+                         / CAST(g.n AS DOUBLE)
+                       - (CAST(tot.scc AS DOUBLE) / CAST(100 AS DOUBLE))
+                         / CAST(tot.nn AS DOUBLE))
+                    * ((CAST(g.sc AS DOUBLE) / CAST(100 AS DOUBLE))
+                         / CAST(g.n AS DOUBLE)
+                       - (CAST(tot.scc AS DOUBLE) / CAST(100 AS DOUBLE))
+                         / CAST(tot.nn AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ssb_q,
+               CAST(FLOOR((CAST(g.sqc AS DOUBLE) / CAST(10000 AS DOUBLE)
+                      - (CAST(g.sc AS DOUBLE) / CAST(100 AS DOUBLE))
+                        * (CAST(g.sc AS DOUBLE) / CAST(100 AS DOUBLE))
+                        / CAST(g.n AS DOUBLE))
+                    * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ssw_q
+        FROM g, tot
+    )
+    SELECT MIN(k) AS k_groups, MIN(nn) AS n_rows,
+           CAST(SUM(ssb_q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             AS ss_between,
+           CAST(SUM(ssw_q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             AS ss_within,
+           CASE WHEN MIN(k) > 1 AND MIN(nn) > MIN(k) AND SUM(ssw_q) > 0
+                THEN (CAST(SUM(ssb_q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                        / (CAST(MIN(k) AS DOUBLE) - CAST(1 AS DOUBLE)))
+                     / (CAST(SUM(ssw_q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
+                        / (CAST(MIN(nn) AS DOUBLE) - CAST(MIN(k) AS DOUBLE)))
+           END AS f_stat
+    FROM terms
+    """
+
+
+@query("stats_anova_oneway", oracle=_anova_oracle())
+def stats_anova_oneway(spark, sf_dir):
+    """One-way ANOVA across event types: does mean event value differ by
+    type? Completes the hypothesis-testing family (Welch t, chi², rank
+    sum) with the k-group omnibus test.
+
+    Everything flows from ONE map-side-combined groupBy(event_type)
+    computing exact integer moments (n, Σcents, Σcents²); the global row
+    re-aggregates those five group rows (exact int sums) and broadcasts
+    back. The only subtle exactness point: SS_between/SS_within are sums
+    over GROUPS of double terms, and k-term double addition is
+    order-sensitive — so each group's term is micro-quantized back to
+    int64 before the fold (same discipline as the embedding kernels), and
+    the F statistic is then a fixed tree of mirrored IEEE divisions. At
+    100 TB this is scan → 5-row aggregate → arithmetic: no data-sized
+    shuffle at all."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    sqc = F.round((F.col("value") * F.col("value")) * F.lit(10000.0)).cast(
+        "bigint"
+    )
+    from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
+
+    # materialize the |event_type|-row moment frame ONCE: it feeds both the
+    # global-total branch and the per-group terms, and without the lineage
+    # cut Catalyst plans two full scans of events
+    g = cut_lineage(
+        ev.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("sc"),
+            F.sum(sqc).alias("sqc"),
+        )
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("sc").alias("scc"),
+    )
+    gm = (F.col("sc").cast("double") / F.lit(100.0)) / F.col("n").cast(
+        "double"
+    )
+    mm = (F.col("scc").cast("double") / F.lit(100.0)) / F.col("nn").cast(
+        "double"
+    )
+    ssb_q = F.floor(
+        F.col("n").cast("double") * (gm - mm) * (gm - mm) * F.lit(1000000.0)
+    ).cast("bigint")
+    ssw_q = F.floor(
+        (
+            F.col("sqc").cast("double") / F.lit(10000.0)
+            - (F.col("sc").cast("double") / F.lit(100.0))
+            * (F.col("sc").cast("double") / F.lit(100.0))
+            / F.col("n").cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "event_type", "k", "nn", ssb_q.alias("ssb_q"), ssw_q.alias("ssw_q")
+    )
+    ssb = F.sum("ssb_q").cast("double") / F.lit(1000000.0)
+    ssw = F.sum("ssw_q").cast("double") / F.lit(1000000.0)
+    # degenerate guards (k=1, N=k, zero within-variance): honest NULL
+    # instead of an ANSI divide-by-zero
+    f_stat = F.when(
+        (F.min("k") > 1) & (F.min("nn") > F.min("k")) & (F.sum("ssw_q") > 0),
+        (ssb / (F.min("k").cast("double") - F.lit(1.0)))
+        / (ssw / (F.min("nn").cast("double") - F.min("k").cast("double"))),
+    )
+    return terms.agg(
+        F.min("k").alias("k_groups"),
+        F.min("nn").alias("n_rows"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+    )

@@ -806,3 +806,12 @@ def test_centroid_drift_bounded_aggregates_no_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert has_broadcast_join(df)
+
+
+def test_anova_no_data_shuffle_beyond_group_agg(spark):
+    """ANOVA: one event_type aggregate, a 1-row broadcast back, no Python."""
+    df = QUERIES["stats_anova_oneway"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert shuffle_count(df) <= 3

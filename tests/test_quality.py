@@ -618,3 +618,47 @@ def test_link_prediction_closes_the_open_wedge(spark, tmp_path):
         for r in graph_link_prediction(spark, str(d)).collect()
     ]
     assert out == [(1, 3, 1), (3, 1, 1)]
+
+
+def _write_events_values(tmp_path, name, rows):
+    """rows: (user_id, event_type, value) triples, timestamps synthetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(range(len(rows)), pa.timestamp("us")),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([t for _, t, _ in rows]),
+            "value": pa.array([v for _, _, v in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_anova_planted_groups_exact_f(spark, tmp_path):
+    """Two groups {8,12} and {18,22}: SSB=100, SSW=16, F=(100/1)/(16/2)
+    = 12.5 exactly (cents-exact moments, dyadic arithmetic)."""
+    from nyc_taxi_pyspark_spark.catalog.quality import stats_anova_oneway
+
+    rows = [(1, "a", 8.0), (1, "a", 12.0), (2, "b", 18.0), (2, "b", 22.0)]
+    d = _write_events_values(tmp_path, "anova", rows)
+    r = stats_anova_oneway(spark, d).first()
+    assert (r["k_groups"], r["n_rows"]) == (2, 4)
+    assert r["ss_between"] == 100.0 and r["ss_within"] == 16.0
+    assert r["f_stat"] == 12.5
+
+
+def test_anova_degenerate_single_group_null_f(spark, tmp_path):
+    """One group (k=1): SS_between 0, F honestly NULL — no ANSI error."""
+    from nyc_taxi_pyspark_spark.catalog.quality import stats_anova_oneway
+
+    rows = [(1, "a", 8.0), (1, "a", 12.0)]
+    d = _write_events_values(tmp_path, "anova1", rows)
+    r = stats_anova_oneway(spark, d).first()
+    assert r["k_groups"] == 1 and r["f_stat"] is None
