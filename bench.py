@@ -142,6 +142,7 @@ HEADLINE = [
     "graph_link_prediction",
     "embed_centroid_drift",
     "stats_anova_oneway",
+    "text_trigram_search",
 ]
 
 
@@ -256,6 +257,7 @@ EXPECTED = {
     "graph_link_prediction": 2.11,
     "embed_centroid_drift": 1.19,
     "stats_anova_oneway": 1.19,
+    "text_trigram_search": 0.69,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -2602,3 +2602,74 @@ def text_novelty_curve(spark, sf_dir):
         ).alias("novelty_share"),
         F.sum("n_novel").over(w_cum).cast("bigint").alias("cum_novel"),
     ).orderBy("doc_id")
+
+
+_TRIGRAM_CACHE = SessionLayoutCache()
+_SEARCH_PHRASE = "spark join"
+
+
+def _phrase_trigrams(phrase: str) -> list[str]:
+    return sorted({phrase[i : i + 3] for i in range(len(phrase) - 2)})
+
+
+@query(
+    "text_trigram_search",
+    oracle=f"""
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, '{_SEARCH_PHRASE}', '')))
+                // {len(_SEARCH_PHRASE)} AS BIGINT) AS n_occurrences
+    FROM documents
+    WHERE contains(text, '{_SEARCH_PHRASE}')
+    ORDER BY doc_id
+    """,
+)
+def text_trigram_search(spark, sf_dir):
+    """Substring search served through a character-trigram inverted index —
+    the grep-at-scale architecture (code search, log search, corpus audit):
+    the index prunes to candidate docs containing ALL of the phrase's
+    trigrams (a superset of true matches by construction), and only those
+    re-read their text for exact verification, so the full-text scan cost
+    is paid by candidates, not the corpus.
+
+    The per-doc distinct-trigram postings persist once per session — the
+    stand-in for the write-time inverted index a 100 TB corpus maintains —
+    and the query side is: pushed IN-filter on the 8 phrase trigrams →
+    per-doc trigram count == 8 → broadcast the candidate ids into the
+    documents scan → exact `contains` verify + occurrence count (integer
+    length arithmetic, engine-portable). The oracle is the direct
+    full-scan predicate: index + verify must give exactly the scan's
+    answer."""
+    d = _docs(spark, sf_dir)
+    tris = _TRIGRAM_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                        " i -> substring(text, i, 3))"
+                    )
+                )
+            ).alias("tri"),
+        ),
+    )
+    q_tris = _phrase_trigrams(_SEARCH_PHRASE)
+    cands = (
+        tris.filter(F.col("tri").isin(q_tris))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tri"))
+        .filter(F.col("n_tri") == len(q_tris))
+        .select("doc_id")
+    )
+    occurrences = F.expr(
+        f"CAST((length(text) - length(replace(text, '{_SEARCH_PHRASE}', '')))"
+        f" DIV {len(_SEARCH_PHRASE)} AS BIGINT)"
+    )
+    return (
+        d.join(F.broadcast(cands), "doc_id")
+        .filter(F.col("text").contains(_SEARCH_PHRASE))
+        .select("doc_id", occurrences.alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

@@ -815,3 +815,13 @@ def test_anova_no_data_shuffle_beyond_group_agg(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert shuffle_count(df) <= 3
+
+
+def test_trigram_search_broadcast_verify_no_python(spark):
+    """Candidates broadcast into the verify scan; no corpus-wide sort or
+    Python anywhere."""
+    df = QUERIES["text_trigram_search"](spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

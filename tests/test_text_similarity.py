@@ -703,3 +703,36 @@ def test_centroid_drift_identical_and_orthogonal_halves(spark, tmp_path):
     assert abs(out[1]["drift_cos"]) < 1e-12
     assert out[2]["drift_cos"] is None and out[2]["n_b"] == 0
     assert out[0]["n_a"] == 2 and out[0]["n_b"] == 2
+
+
+def test_trigram_search_prefilter_is_exact_and_counts_occurrences(spark, tmp_path):
+    """The trigram candidate set is a superset (a doc with all 8 trigrams
+    scattered but no contiguous phrase must be pruned by the verify), and
+    occurrence counting is exact for repeats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.text import text_trigram_search
+
+    docs = [
+        (0, "a spark join b"),                      # 1 hit
+        (1, "spark join x spark join"),             # 2 hits
+        (2, "spa par ark rk  k j jo joi oin nope"), # all trigrams, no phrase
+        (3, "no relevant content here"),            # no trigrams
+        (4, "sparkjoin"),                           # missing 'k j' trigram
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+            "lang": pa.array(["en"] * len(docs)),
+            "source": pa.array(["s"] * len(docs)),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    d = tmp_path / "tri"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {r["doc_id"]: r["n_occurrences"]
+           for r in text_trigram_search(spark, str(d)).collect()}
+    assert out == {0: 1, 1: 2}
