@@ -143,6 +143,9 @@ HEADLINE = [
     "embed_centroid_drift",
     "stats_anova_oneway",
     "text_trigram_search",
+    "graph_brand_modularity",
+    "sample_neyman_allocation",
+    "orders_gini_concentration",
 ]
 
 
@@ -258,6 +261,9 @@ EXPECTED = {
     "embed_centroid_drift": 1.19,
     "stats_anova_oneway": 1.19,
     "text_trigram_search": 0.69,
+    "graph_brand_modularity": 2.07,
+    "sample_neyman_allocation": 0.65,
+    "orders_gini_concentration": 0.90,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -2632,3 +2632,400 @@ def stats_anova_oneway(spark, sf_dir):
         ssw.alias("ss_within"),
         f_stat.alias("f_stat"),
     )
+
+
+def _modularity_oracle() -> str:
+    return """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem
+    ),
+    edges AS (
+        SELECT a.item AS u, b.item AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        GROUP BY a.item, b.item
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    brands AS (SELECT p_partkey AS node, p_brand FROM part),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+        ) GROUP BY node
+    ),
+    dsum AS (
+        SELECT b.p_brand, CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+        FROM deg JOIN brands b ON b.node = deg.node
+        GROUP BY b.p_brand
+    ),
+    within AS (
+        SELECT bu.p_brand, CAST(COUNT(*) AS BIGINT) AS within_edges
+        FROM edges e
+        JOIN brands bu ON bu.node = e.u
+        JOIN brands bv ON bv.node = e.v
+        WHERE bu.p_brand = bv.p_brand
+        GROUP BY bu.p_brand
+    ),
+    terms AS (
+        SELECT d.p_brand, COALESCE(w.within_edges, 0) AS within_edges,
+               d.degree_sum,
+               CAST(COALESCE(w.within_edges, 0) AS DOUBLE)
+                 / CAST(m.m AS DOUBLE)
+               - (CAST(d.degree_sum AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+                 * (CAST(d.degree_sum AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+                 AS term
+        FROM dsum d LEFT JOIN within w ON w.p_brand = d.p_brand, m
+    ),
+    q AS (
+        SELECT CAST(SUM(CAST(FLOOR(term * 1e12) AS BIGINT)) AS DOUBLE)
+                 / 1e12 AS q_total
+        FROM terms
+    )
+    SELECT t.p_brand, t.within_edges, t.degree_sum, t.term, q.q_total
+    FROM terms t, q
+    ORDER BY t.p_brand
+    """
+
+
+@query("graph_brand_modularity", oracle=_modularity_oracle())
+def graph_brand_modularity(spark, sf_dir):
+    """Modularity of the brand partition over the co-purchase graph —
+    attribute assortativity: are same-brand parts co-purchased more than
+    a degree-preserving random graph predicts? Q = Σ_c [e_c/m −
+    (d_c/2m)²]; per-brand terms localize WHICH attribute value clusters.
+    The same query shape audits community quality for any node attribute
+    (domain vs link graph, language vs citation graph) — the curation
+    question 'does this metadata field explain the graph?'.
+
+    All counts are exact integers off the shared co-purchase layout
+    (_COPURCHASE_CACHE): m is a 1-row broadcast, node→brand is a
+    broadcast dim join, within-edges is one filtered aggregate, and the
+    cross-brand Q fold re-quantizes each term to int64 (k-term double
+    sums are order-sensitive) — the one division pair per term is
+    mirrored IEEE. No iteration, no pairwise work beyond the edge list
+    itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _COPURCHASE_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: (
+            li.select("l_orderkey", F.col("l_partkey").alias("item"))
+            .distinct()
+            .alias("a")
+            .join(
+                li.select(
+                    "l_orderkey", F.col("l_partkey").alias("item")
+                )
+                .distinct()
+                .alias("b"),
+                "l_orderkey",
+            )
+            .filter(F.col("a.item") < F.col("b.item"))
+            .select(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+            .distinct()
+        ),
+    )
+    brands = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), "p_brand"
+    )
+    m = edges.agg(F.count("*").alias("m"))
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("d"))
+    dsum_b = (
+        deg.join(F.broadcast(brands), "node")
+        .groupBy("p_brand")
+        .agg(F.sum("d").alias("degree_sum"))
+    )
+    bu = brands.select(
+        F.col("node").alias("u"), F.col("p_brand").alias("brand_u")
+    )
+    bv = brands.select(
+        F.col("node").alias("v"), F.col("p_brand").alias("brand_v")
+    )
+    within = (
+        edges.join(F.broadcast(bu), "u")
+        .join(F.broadcast(bv), "v")
+        .filter(F.col("brand_u") == F.col("brand_v"))
+        .groupBy(F.col("brand_u").alias("p_brand"))
+        .agg(F.count("*").alias("within_edges"))
+    )
+    md = F.col("m").cast("double")
+    half = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
+    term = (
+        F.coalesce(F.col("within_edges"), F.lit(0)).cast("double") / md
+        - half * half
+    )
+    terms = (
+        dsum_b.join(within, "p_brand", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "p_brand",
+            F.coalesce(F.col("within_edges"), F.lit(0))
+            .cast("bigint")
+            .alias("within_edges"),
+            "degree_sum",
+            term.alias("term"),
+        )
+    )
+    q = terms.agg(
+        (
+            F.sum(F.floor(F.col("term") * F.lit(1e12)).cast("bigint")).cast(
+                "double"
+            )
+            / F.lit(1e12)
+        ).alias("q_total")
+    )
+    return (
+        terms.crossJoin(F.broadcast(q))
+        .select("p_brand", "within_edges", "degree_sum", "term", "q_total")
+        .orderBy("p_brand")
+    )
+
+
+_NEYMAN_BUDGET = 1000
+
+
+def _neyman_oracle() -> str:
+    sd = (
+        "SQRT(((CAST(sqc AS DOUBLE) / CAST(10000 AS DOUBLE))"
+        " - (CAST(sc AS DOUBLE) / CAST(100 AS DOUBLE))"
+        " * (CAST(sc AS DOUBLE) / CAST(100 AS DOUBLE))"
+        " / CAST(n AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - CAST(1 AS DOUBLE)))"
+    )
+    return f"""
+    WITH g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+                 AS sc,
+               CAST(SUM(CAST(ROUND((value * value) * 10000.0) AS BIGINT))
+                    AS BIGINT) AS sqc
+        FROM events GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type, n,
+               CASE WHEN n >= 2 THEN {sd} END AS stddev,
+               CASE WHEN n >= 2 THEN
+                   CAST(FLOOR(CAST(n AS DOUBLE) * {sd}
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT)
+               ELSE 0 END AS wq
+        FROM g
+    ),
+    t AS (SELECT CAST(SUM(wq) AS BIGINT) AS wtot FROM s),
+    b AS (
+        SELECT s.event_type, s.n, s.stddev, s.wq, t.wtot,
+               CASE WHEN t.wtot > 0
+                    THEN ({_NEYMAN_BUDGET} * s.wq) // t.wtot ELSE 0 END
+                 AS floor_alloc,
+               CASE WHEN t.wtot > 0
+                    THEN ({_NEYMAN_BUDGET} * s.wq) % t.wtot ELSE 0 END
+                 AS rem
+        FROM s, t
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rk,
+               SUM(floor_alloc) OVER () AS allocated
+        FROM b
+    )
+    SELECT event_type, n AS n_stratum, stddev,
+           CAST(CASE WHEN wtot > 0 THEN floor_alloc
+                + CASE WHEN rk <= {_NEYMAN_BUDGET} - allocated
+                       THEN 1 ELSE 0 END
+                ELSE 0 END AS BIGINT) AS alloc
+    FROM r
+    ORDER BY event_type
+    """
+
+
+@query("sample_neyman_allocation", oracle=_neyman_oracle())
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified-sample allocation: split a 1000-row
+    sample budget across event-type strata proportionally to N_h·S_h —
+    the variance-minimizing design for estimating the mean (high-variance
+    strata earn more of the budget than proportional allocation gives
+    them). Completes the sampling-design family (mixture, weighted,
+    budget, token allocation) with the statistics-driven variant.
+
+    Stratum stddevs come from the exact integer moments of ONE map-side
+    combined aggregate; the N·S weights micro-quantize to int64 so the
+    weight total, the floor shares, and the largest-remainder top-up are
+    all EXACT integer arithmetic (allocations sum to the budget exactly —
+    floor-only under-allocates, naive rounding drifts). Degenerate strata
+    (n<2) weigh 0; an all-degenerate input allocates 0 honestly instead
+    of dividing by zero. Post-aggregate windows run on the |strata|-row
+    frame (the token-allocation discipline)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    sqc = F.round((F.col("value") * F.col("value")) * F.lit(10000.0)).cast(
+        "bigint"
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sc"),
+        F.sum(sqc).alias("sqc"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (
+            F.col("sqc").cast("double") / F.lit(10000.0)
+            - (F.col("sc").cast("double") / F.lit(100.0))
+            * (F.col("sc").cast("double") / F.lit(100.0))
+            / nd
+        )
+        / (nd - F.lit(1.0))
+    )
+    s = g.select(
+        "event_type",
+        "n",
+        F.when(F.col("n") >= 2, sd).alias("stddev"),
+        F.when(
+            F.col("n") >= 2,
+            F.floor(nd * sd * F.lit(1000000.0)).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("wq"),
+    )
+    everything = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = s.select(
+        "event_type",
+        "n",
+        "stddev",
+        "wq",
+        F.sum("wq").over(everything).alias("wtot"),
+    ).select(
+        "event_type",
+        "n",
+        "stddev",
+        "wtot",
+        F.when(
+            F.col("wtot") > 0,
+            F.expr(f"({_NEYMAN_BUDGET} * wq) div wtot"),
+        )
+        .otherwise(F.lit(0))
+        .alias("floor_alloc"),
+        F.when(
+            F.col("wtot") > 0,
+            (F.lit(_NEYMAN_BUDGET) * F.col("wq")) % F.col("wtot"),
+        )
+        .otherwise(F.lit(0))
+        .alias("rem"),
+    )
+    r = b.select(
+        "event_type",
+        "n",
+        "stddev",
+        "wtot",
+        "floor_alloc",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rem"), "event_type"))
+        .alias("rk"),
+        F.sum("floor_alloc").over(everything).alias("allocated"),
+    )
+    alloc = F.when(
+        F.col("wtot") > 0,
+        F.col("floor_alloc")
+        + F.when(
+            F.col("rk") <= F.lit(_NEYMAN_BUDGET) - F.col("allocated"), 1
+        ).otherwise(0),
+    ).otherwise(F.lit(0))
+    return r.select(
+        "event_type",
+        F.col("n").alias("n_stratum"),
+        "stddev",
+        alloc.cast("bigint").alias("alloc"),
+    ).orderBy("event_type")
+
+
+_GINI_BUCKET_CENTS = 100_000  # $1000 revenue cells for the two-tier rank
+
+
+@query(
+    "orders_gini_concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+                    AS BIGINT) AS rc
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT rc, CAST(ROW_NUMBER() OVER (ORDER BY rc, o_custkey)
+                        AS BIGINT) AS i
+        FROM rev
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rc) AS BIGINT) AS t,
+               CAST(SUM(i * rc) AS BIGINT) AS s1
+        FROM ranked
+    )
+    SELECT n AS n_customers, t AS total_cents,
+           CASE WHEN n > 0 AND t > 0
+                THEN CAST(2 * s1 AS DOUBLE) / CAST(n * t AS DOUBLE)
+                     - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
+           END AS gini
+    FROM agg
+    """,
+)
+def orders_gini_concentration(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the concentration /
+    inequality readout next to orders_pareto_share's top-x% view; for a
+    training corpus the same query measures source or domain dominance
+    (a Gini near 1 says a handful of keys own the data).
+
+    Gini needs every key's GLOBAL rank, which naively is one total sort.
+    The rank instead splits two-tier (the skyline discipline): bucket
+    revenues into $1000 cells, take one tiny cell-stats aggregate, prefix
+    counts over the bounded cell frame, and resolve within-cell order
+    with a PARTITIONED row_number — global_rank = cells_below + local
+    rank, exact because a lower cell always means strictly smaller
+    cents. Everything stays int64 (rank·cents terms, totals) up to the
+    int64 budget (~sf1 for this column; past that, split the rank-weighted
+    sum with the dsum_wide hi/lo discipline), and the two final divisions
+    are mirrored IEEE. The oracle is the plain global-window form."""
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+        ).alias("rc")
+    )
+    rev = rev.withColumn(
+        "cell", F.floor(F.col("rc") / F.lit(_GINI_BUCKET_CENTS))
+    )
+    wb = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cells = (
+        rev.groupBy("cell")
+        .agg(F.count("*").alias("n_b"))
+        .select(
+            "cell",
+            F.coalesce(F.sum("n_b").over(wb), F.lit(0)).alias("below"),
+        )
+    )
+    win = Window.partitionBy("cell").orderBy("rc", "o_custkey")
+    ranked = rev.join(F.broadcast(cells), "cell").select(
+        "rc",
+        (F.col("below") + F.row_number().over(win)).cast("bigint").alias("i"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rc").alias("t"),
+        F.sum(F.col("i") * F.col("rc")).alias("s1"),
+    )
+    gini = F.when(
+        (F.col("n") > 0) & (F.col("t") > 0),
+        (F.lit(2) * F.col("s1")).cast("double")
+        / (F.col("n") * F.col("t")).cast("double")
+        - (F.col("n") + F.lit(1)).cast("double") / F.col("n").cast("double"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("t").alias("total_cents"),
+        gini.alias("gini"),
+    )

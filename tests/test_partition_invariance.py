@@ -88,6 +88,11 @@ SWEEP = [
     "part_skyline",
     "events_session_overlap",
     "search_hybrid_rrf",
+    # two-tier global rank (cells below + partitioned row_number) must not
+    # depend on layout; integer remainder ranking; per-community int folds
+    "orders_gini_concentration",
+    "sample_neyman_allocation",
+    "graph_brand_modularity",
 ]
 
 

@@ -825,3 +825,21 @@ def test_trigram_search_broadcast_verify_no_python(spark):
     assert has_broadcast_join(df)
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_modularity_broadcast_dims_no_cartesian(spark):
+    """Brand dim and the 1-row m/Q stats broadcast; the only data-sized
+    work is the edge list itself."""
+    df = QUERIES["graph_brand_modularity"](spark, SF)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_neyman_windows_on_strata_frame_only(spark):
+    """One events aggregate; every window runs on the |strata|-row frame."""
+    df = QUERIES["sample_neyman_allocation"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan

@@ -662,3 +662,97 @@ def test_anova_degenerate_single_group_null_f(spark, tmp_path):
     d = _write_events_values(tmp_path, "anova1", rows)
     r = stats_anova_oneway(spark, d).first()
     assert r["k_groups"] == 1 and r["f_stat"] is None
+
+
+def test_brand_modularity_perfect_partition(spark, tmp_path):
+    """Two same-brand triangles with no cross edges: each term is
+    3/6 − (6/12)² = 0.25, Q = 0.5 exactly (dyadic arithmetic)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.quality import graph_brand_modularity
+
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+            "l_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "p_name": pa.array([f"p{i}" for i in range(6)]),
+            "p_brand": pa.array(["A", "A", "A", "B", "B", "B"]),
+            "p_type": pa.array(["t"] * 6),
+            "p_size": pa.array([1] * 6, pa.int32()),
+            "p_retailprice": pa.array([1.0] * 6, pa.float64()),
+        }
+    )
+    d = tmp_path / "mod"
+    d.mkdir()
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    pq.write_table(part, str(d / "part.parquet"))
+    rows = graph_brand_modularity(spark, str(d)).collect()
+    assert [(r["p_brand"], r["within_edges"], r["degree_sum"]) for r in rows] \
+        == [("A", 3, 6), ("B", 3, 6)]
+    for r in rows:
+        assert r["term"] == 0.25
+        assert r["q_total"] == 0.5
+
+
+def test_neyman_allocation_exact_sum_and_variance_bias(spark, tmp_path):
+    """Allocations sum to the budget exactly, and the high-variance
+    stratum out-earns its proportional share; degenerate strata get 0."""
+    from nyc_taxi_pyspark_spark.catalog.quality import (
+        _NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    rows = []
+    # stratum 'low': 100 rows, tight around 50 (stddev small)
+    rows += [(1, "low", 50.0 + (i % 2) * 0.5) for i in range(100)]
+    # stratum 'high': 100 rows, spread 0..99 (stddev large)
+    rows += [(2, "high", float(i)) for i in range(100)]
+    # degenerate singleton stratum
+    rows += [(3, "one", 42.0)]
+    d = _write_events_values(tmp_path, "neyman", rows)
+    out = {r["event_type"]: r for r in sample_neyman_allocation(spark, d).collect()}
+    assert sum(r["alloc"] for r in out.values()) == _NEYMAN_BUDGET
+    assert out["one"]["alloc"] == 0 and out["one"]["stddev"] is None
+    # equal N, far larger S → 'high' takes the lion's share
+    assert out["high"]["alloc"] > 0.9 * _NEYMAN_BUDGET
+    assert out["high"]["alloc"] + out["low"]["alloc"] == _NEYMAN_BUDGET
+
+
+def test_gini_closed_forms(spark, tmp_path):
+    """Equal revenues → Gini 0; one customer owns everything → (n−1)/n."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.quality import orders_gini_concentration
+
+    def write(name, prices_by_cust):
+        d = tmp_path / name
+        d.mkdir()
+        ck = [c for c, _ in prices_by_cust]
+        tp = [p for _, p in prices_by_cust]
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array(range(len(ck)), pa.int64()),
+                    "o_custkey": pa.array(ck, pa.int64()),
+                    "o_totalprice": pa.array(tp, pa.float64()),
+                }
+            ),
+            str(d / "orders.parquet"),
+        )
+        return str(d)
+
+    eq = orders_gini_concentration(
+        spark, write("g_eq", [(1, 10.0), (2, 10.0), (3, 10.0), (4, 10.0)])
+    ).first()
+    assert eq["gini"] == 0.0
+    one = orders_gini_concentration(
+        spark, write("g_one", [(1, 0.0), (2, 0.0), (3, 0.0), (4, 100.0)])
+    ).first()
+    assert one["gini"] == 0.75  # (n-1)/n, dyadic-exact
