@@ -146,6 +146,7 @@ HEADLINE = [
     "graph_brand_modularity",
     "sample_neyman_allocation",
     "orders_gini_concentration",
+    "corpus_source_overlap",
 ]
 
 
@@ -264,6 +265,7 @@ EXPECTED = {
     "graph_brand_modularity": 2.07,
     "sample_neyman_allocation": 0.65,
     "orders_gini_concentration": 0.90,
+    "corpus_source_overlap": 1.57,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

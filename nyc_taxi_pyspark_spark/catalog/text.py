@@ -2673,3 +2673,101 @@ def text_trigram_search(spark, sf_dir):
         .select("doc_id", occurrences.alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, {_DUCK_WORDS} AS w FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT source,
+                   unnest(list_transform(
+                       range(1, GREATEST(len(w) - {_SPAN_K - 1}, 0) + 1),
+                       i -> array_to_string(w[i : i + {_SPAN_K - 1}], ' ')))
+                       AS gram
+            FROM t
+        )
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS i
+        FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT xa.source AS source_a, xb.source AS source_b,
+           xa.n AS n_a, xb.n AS n_b,
+           COALESCE(i.i, 0) AS n_shared,
+           CAST(COALESCE(i.i, 0) AS DOUBLE)
+             / CAST(xa.n + xb.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+    FROM sizes xa JOIN sizes xb ON xa.source < xb.source
+    LEFT JOIN inter i ON i.sa = xa.source AND i.sb = xb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def corpus_source_overlap(spark, sf_dir):
+    """Source-level duplication map: 8-gram-passage Jaccard between every
+    pair of sources — the crawl-curation question 'which feeds mirror
+    each other' answered at the SOURCE level (doc-level near-dup finds
+    the copies; this ranks which pairs of feeds to deduplicate against
+    each other, or to drop wholesale).
+
+    The gram vocabulary per source is a distinct (source, gram) set (one
+    map-side-combined shuffle); intersections come from a self equi-join
+    on the gram key, where the per-gram fanout is bounded by the SOURCE
+    cardinality (≤ C(|sources|,2) pairs per gram — never corpus-sized),
+    and union sizes arrive by joining the |sources|-row size frame twice.
+    One exact-int Jaccard division per pair. At 100 TB the (source, gram)
+    set is the ingest-time artifact; hot grams (boilerplate shared by
+    every feed) are the skew axis and cap out at the same C(s,2) bound."""
+    d = _docs(spark, sf_dir)
+    wcol = F.col("w")
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(wcol) - (_SPAN_K - 1), F.lit(0))
+        ),
+        lambda i: F.concat_ws(" ", F.slice(wcol, i, _SPAN_K)),
+    )
+    g = (
+        d.select("source", tokens().alias("w"))
+        .filter(F.size("w") >= _SPAN_K)
+        .select("source", F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+    )
+    sizes = g.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        g.alias("a")
+        .join(g.alias("b"), "gram")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    xa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    xb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    pairs = xa.join(xb, F.col("source_a") < F.col("source_b"))
+    shared = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        pairs.join(
+            F.broadcast(inter),
+            (F.col("sa") == F.col("source_a")) & (F.col("sb") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            shared.cast("bigint").alias("n_shared"),
+            (
+                shared.cast("double")
+                / (F.col("n_a") + F.col("n_b") - shared).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -843,3 +843,12 @@ def test_neyman_windows_on_strata_frame_only(spark):
     plan = formatted_plan(df)
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_gram_equijoin_no_cartesian(spark):
+    """Intersections ride the gram equi-join; the only nested-loop is the
+    bounded |sources|² pair grid."""
+    df = QUERIES["corpus_source_overlap"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -736,3 +736,33 @@ def test_trigram_search_prefilter_is_exact_and_counts_occurrences(spark, tmp_pat
     out = {r["doc_id"]: r["n_occurrences"]
            for r in text_trigram_search(spark, str(d)).collect()}
     assert out == {0: 1, 1: 2}
+
+
+def test_source_overlap_identical_and_disjoint_sources(spark, tmp_path):
+    """Mirrored feeds score Jaccard 1.0; disjoint feeds 0.0; counts are
+    distinct-gram cardinalities."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.text import corpus_source_overlap
+
+    text1 = "one two three four five six seven eight nine ten"
+    text2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [(0, text1, "a"), (1, text1, "b"), (2, text2, "c")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t, _ in docs]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array([s for _, _, s in docs]),
+            "n_chars": pa.array([len(t) for _, t, _ in docs], pa.int64()),
+        }
+    )
+    d = tmp_path / "ovl"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {(r["source_a"], r["source_b"]): r
+           for r in corpus_source_overlap(spark, str(d)).collect()}
+    assert out[("a", "b")]["jaccard"] == 1.0
+    assert out[("a", "c")]["jaccard"] == 0.0 and out[("a", "c")]["n_shared"] == 0
+    assert out[("a", "b")]["n_a"] == 3  # 10 tokens -> 3 distinct 8-grams
