@@ -147,6 +147,7 @@ HEADLINE = [
     "sample_neyman_allocation",
     "orders_gini_concentration",
     "corpus_source_overlap",
+    "text_keyphrases_rake",
 ]
 
 
@@ -266,6 +267,7 @@ EXPECTED = {
     "sample_neyman_allocation": 0.65,
     "orders_gini_concentration": 0.90,
     "corpus_source_overlap": 1.57,
+    "text_keyphrases_rake": 1.81,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

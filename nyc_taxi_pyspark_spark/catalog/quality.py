@@ -2181,7 +2181,10 @@ def _did_oracle() -> str:
             f"user_id % 2 = {treated} AND ts "
             f"{'>=' if post == '1' else '<'} TIMESTAMP '{_DID_CUTOVER}'"
         )
-        n = f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+        n = (
+            f"CAST(COALESCE(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)"
+            f" AS BIGINT)"
+        )
         s = (
             f"(CAST(SUM(CASE WHEN {cond} THEN "
             f"CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END) AS DOUBLE)"
@@ -2239,7 +2242,11 @@ def events_diff_in_diff(spark, sf_dir):
         cond = (F.col("user_id") % 2 == treated) & (
             (F.col("ts") >= cut) if post else (F.col("ts") < cut)
         )
-        n = F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(f"n_{alias}")
+        n = (
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            .alias(f"n_{alias}")
+        )
         s = (
             F.sum(F.when(cond, cents).otherwise(F.lit(0))).cast("double")
             / F.lit(100).cast("double")
@@ -2542,7 +2549,8 @@ def _anova_oracle() -> str:
                     * CAST(1000000 AS DOUBLE)) AS BIGINT) AS ssw_q
         FROM g, tot
     )
-    SELECT MIN(k) AS k_groups, MIN(nn) AS n_rows,
+    SELECT CAST(COALESCE(MIN(k), 0) AS BIGINT) AS k_groups,
+           CAST(COALESCE(MIN(nn), 0) AS BIGINT) AS n_rows,
            CAST(SUM(ssb_q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
              AS ss_between,
            CAST(SUM(ssw_q) AS DOUBLE) / CAST(1000000 AS DOUBLE)
@@ -2626,8 +2634,8 @@ def stats_anova_oneway(spark, sf_dir):
         / (ssw / (F.min("nn").cast("double") - F.min("k").cast("double"))),
     )
     return terms.agg(
-        F.min("k").alias("k_groups"),
-        F.min("nn").alias("n_rows"),
+        F.coalesce(F.min("k"), F.lit(0)).cast("bigint").alias("k_groups"),
+        F.coalesce(F.min("nn"), F.lit(0)).cast("bigint").alias("n_rows"),
         ssb.alias("ss_between"),
         ssw.alias("ss_within"),
         f_stat.alias("f_stat"),
@@ -2966,7 +2974,8 @@ _GINI_BUCKET_CENTS = 100_000  # $1000 revenue cells for the two-tier rank
                CAST(SUM(i * rc) AS BIGINT) AS s1
         FROM ranked
     )
-    SELECT n AS n_customers, t AS total_cents,
+    SELECT n AS n_customers,
+           CAST(COALESCE(t, 0) AS BIGINT) AS total_cents,
            CASE WHEN n > 0 AND t > 0
                 THEN CAST(2 * s1 AS DOUBLE) / CAST(n * t AS DOUBLE)
                      - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)
@@ -3026,6 +3035,6 @@ def orders_gini_concentration(spark, sf_dir):
     )
     return agg.select(
         F.col("n").alias("n_customers"),
-        F.col("t").alias("total_cents"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("total_cents"),
         gini.alias("gini"),
     )

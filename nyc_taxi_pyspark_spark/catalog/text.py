@@ -2771,3 +2771,110 @@ def corpus_source_overlap(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_RAKE_STOP = ("a", "the")
+_RAKE_MIN, _RAKE_MAX = 2, 4
+
+
+@query(
+    "text_keyphrases_rake",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+    toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS i, w[i] AS tok FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, len(w))) AS i
+            FROM t
+        )
+    ),
+    runs AS (
+        SELECT doc_id, i, tok,
+               i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+                 AS rid
+        FROM toks WHERE tok NOT IN {_RAKE_STOP}
+    ),
+    phr AS (
+        SELECT doc_id, rid,
+               CAST(COUNT(*) AS BIGINT) AS len,
+               string_agg(tok, ' ' ORDER BY i) AS phrase
+        FROM runs GROUP BY doc_id, rid
+        HAVING COUNT(*) BETWEEN {_RAKE_MIN} AND {_RAKE_MAX}
+    ),
+    members AS (
+        SELECT r.doc_id, r.rid, r.tok, p.len, p.phrase
+        FROM runs r JOIN phr p USING (doc_id, rid)
+    ),
+    deg AS (
+        SELECT tok, CAST(SUM(len) AS BIGINT) AS deg
+        FROM members GROUP BY tok
+    ),
+    occ AS (
+        SELECT m.doc_id, m.rid, m.phrase,
+               CAST(SUM(d.deg) AS BIGINT) AS score
+        FROM members m JOIN deg d USING (tok)
+        GROUP BY m.doc_id, m.rid, m.phrase
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(score) AS score
+    FROM occ GROUP BY phrase
+    ORDER BY score DESC, n_occurrences DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_keyphrases_rake(spark, sf_dir):
+    """RAKE-style keyphrase extraction (degree-scored variant): candidate
+    phrases are maximal stopword-free token runs of length 2–4, each
+    scored by the summed corpus-wide DEGREE of its words (Σ over phrases
+    containing w of that phrase's length) — multi-word technical phrases
+    whose members co-occur in many long candidates rank first. The
+    classic deg/freq ratio is swapped for pure degree so every score is
+    an exact int64 (the ratio's per-word double divisions would need a
+    k-term ordered fold); ranking quality is the same family.
+
+    Plan: token posexplode → per-doc run grouping (the i − row_number
+    run-id idiom over a PARTITIONED window) → phrase aggregate → one
+    word-degree aggregate joined back → per-occurrence score → phrase
+    top-20. Every stage is a keyed aggregate or equi-join; identical
+    phrase text always reproduces the identical score, which the MIN
+    collapse makes explicit."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens()).alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("bigint").alias("i"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = toks.filter(~F.col("tok").isin(*_RAKE_STOP)).withColumn(
+        "rid", F.col("i") - F.row_number().over(w)
+    )
+    phr = (
+        runs.groupBy("doc_id", "rid")
+        .agg(
+            F.count("*").alias("len"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+        )
+        .filter(F.col("len").between(_RAKE_MIN, _RAKE_MAX))
+    )
+    members = runs.select("doc_id", "rid", "tok").join(
+        phr, ["doc_id", "rid"]
+    )
+    deg = members.groupBy("tok").agg(F.sum("len").alias("deg"))
+    occ = (
+        members.join(deg, "tok")
+        .groupBy("doc_id", "rid", "phrase")
+        .agg(F.sum("deg").alias("score"))
+    )
+    return (
+        occ.groupBy("phrase")
+        .agg(F.count("*").alias("n_occurrences"), F.min("score").alias("score"))
+        .select("phrase", "n_occurrences", "score")
+        .orderBy(F.desc("score"), F.desc("n_occurrences"), "phrase")
+        .limit(20)
+    )

@@ -852,3 +852,12 @@ def test_source_overlap_gram_equijoin_no_cartesian(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_rake_partitioned_windows_take_ordered(spark):
+    """Run-splitting windows are per-doc partitioned; top-20 is a heap."""
+    df = QUERIES["text_keyphrases_rake"](spark, SF)
+    plan = formatted_plan(df)
+    assert uses_take_ordered(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan

@@ -766,3 +766,31 @@ def test_source_overlap_identical_and_disjoint_sources(spark, tmp_path):
     assert out[("a", "b")]["jaccard"] == 1.0
     assert out[("a", "c")]["jaccard"] == 0.0 and out[("a", "c")]["n_shared"] == 0
     assert out[("a", "b")]["n_a"] == 3  # 10 tokens -> 3 distinct 8-grams
+
+
+def test_rake_run_splitting_and_degree_scores(spark, tmp_path):
+    """Stopwords split candidate runs; degree scoring is exact: with docs
+    'x y the x y' (twice 'x y') and 'x y z', deg(x)=deg(y)=2+2+3,
+    deg(z)=3 → score('x y')=14, score('x y z')=17."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.text import text_keyphrases_rake
+
+    docs = [(0, "x y the x y"), (1, "x y z")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+            "lang": pa.array(["en"] * 2),
+            "source": pa.array(["s"] * 2),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    d = tmp_path / "rake"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = {r["phrase"]: r for r in text_keyphrases_rake(spark, str(d)).collect()}
+    assert set(out) == {"x y", "x y z"}
+    assert out["x y"]["n_occurrences"] == 2 and out["x y"]["score"] == 14
+    assert out["x y z"]["n_occurrences"] == 1 and out["x y z"]["score"] == 17
