@@ -148,6 +148,7 @@ HEADLINE = [
     "orders_gini_concentration",
     "corpus_source_overlap",
     "text_keyphrases_rake",
+    "join_asof_forward",
 ]
 
 
@@ -268,6 +269,7 @@ EXPECTED = {
     "orders_gini_concentration": 0.90,
     "corpus_source_overlap": 1.57,
     "text_keyphrases_rake": 1.81,
+    "join_asof_forward": 0.54,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -598,3 +598,48 @@ def join_runtime_bloom(spark, sf_dir):
             dsum("l_quantity", 2).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT c.event_id, c.ts, c.user_id,
+           e.ts AS asof_ts,
+           CAST(date_diff('second', c.ts, e.ts) AS BIGINT)
+             AS secs_until_error
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id AND c.ts <= e.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: for each click, the NEXT error by the same user
+    — the time-to-failure / time-to-conversion direction the backward
+    as-of can't answer. Same union + window formulation (one user_id
+    shuffle, linear per-group scan) with the frame flipped to
+    current..following and left rows sorting first at ties so an
+    equal-timestamp error still matches (>= semantics, mirroring DuckDB's
+    forward ASOF JOIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    joined = asof_join(
+        clicks,
+        errors,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["ts"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "ts",
+        "user_id",
+        F.col("asof_ts"),
+        (F.col("asof_ts").cast("long") - F.col("ts").cast("long")).alias(
+            "secs_until_error"
+        ),
+    )

@@ -44,16 +44,20 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
-    ``right_ts <= left_ts`` within the same ``by`` group.
+    ``right_ts <= left_ts`` (direction="backward", the default) or the
+    earliest right row with ``right_ts >= left_ts`` ("forward") within the
+    same ``by`` group.
 
-    Implemented as union + window (last_value ignoring nulls over rows
-    unbounded-preceding..current): a single shuffle on ``by``, linear scan
-    per group — the scalable distributed formulation. Right rows sort before
-    left rows at equal timestamps so ties match (<= semantics, same as
-    DuckDB's ASOF JOIN).
+    Implemented as union + window (last/first_value ignoring nulls over a
+    one-sided row frame): a single shuffle on ``by``, linear scan per
+    group — the scalable distributed formulation. At equal timestamps the
+    right row sorts on the frame side of the left row, so ties match in
+    both directions (<= / >= semantics, same as DuckDB's ASOF JOIN).
     """
+    assert direction in ("backward", "forward"), direction
     lcols = left.columns
     tagged_left = left.withColumn("__is_left", F.lit(1))
     for c in value_cols:
@@ -68,18 +72,26 @@ def asof_join(
         if c not in (by, left_ts):
             tagged_right = tagged_right.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = tagged_left.unionByName(tagged_right)
-    w = (
-        Window.partitionBy(by)
-        .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(left_ts).asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(f"__r_{c}", ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left rows sort BEFORE right rows at equal ts, so the
+        # current..following frame still sees an equal-ts right row
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.col(left_ts).asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(f"__r_{c}", ignorenulls=True).over(w)  # noqa: E731
     filled = unioned.select(
         *lcols,
         F.col("__is_left"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in value_cols
-        ],
+        *[pick(c).alias(f"asof_{c}") for c in value_cols],
     )
     return filled.filter(F.col("__is_left") == 1).drop("__is_left")
 

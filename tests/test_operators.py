@@ -370,3 +370,24 @@ def test_diff_in_diff_empty_cells_null_means(spark, tmp_path):
     assert r["n_c_pre"] == 0 and r["n_t_pre"] == 0
     assert r["mean_c_pre"] is None and r["mean_t_pre"] is None
     assert r["did"] is None
+
+
+def test_asof_forward_picks_next_and_ties_match(spark):
+    """Forward as-of: next right at or after left ts; equal-ts right rows
+    match; lefts past the last right get NULL."""
+    from nyc_taxi_pyspark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 25, "l2"), (1, 40, "l3")], "k int, t int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 25, 100.0), (1, 30, 200.0)], "k int, t int, v double"
+    )
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(
+            left, right, by="k", left_ts="t", right_ts="t",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert out == {"l1": 100.0, "l2": 100.0, "l3": None}
