@@ -149,6 +149,7 @@ HEADLINE = [
     "corpus_source_overlap",
     "text_keyphrases_rake",
     "join_asof_forward",
+    "events_survival_km",
 ]
 
 
@@ -270,6 +271,7 @@ EXPECTED = {
     "corpus_source_overlap": 1.57,
     "text_keyphrases_rake": 1.81,
     "join_asof_forward": 0.54,
+    "events_survival_km": 0.54,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

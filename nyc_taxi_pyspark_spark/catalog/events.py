@@ -1131,3 +1131,98 @@ def events_session_overlap(spark, sf_dir):
     return pairs.orderBy(
         F.desc("overlap_us"), "user_a", "sess_a", "user_b", "sess_b"
     ).limit(20)
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS first_us,
+               epoch_us(MIN(CASE WHEN event_type = 'purchase' THEN ts END))
+                 AS purch_us,
+               epoch_us(MAX(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT user_id,
+               (COALESCE(purch_us, last_us) - first_us) // 1000000
+                 AS duration_s,
+               CASE WHEN purch_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u
+    ),
+    g AS (
+        SELECT CAST(duration_s AS BIGINT) AS duration_s,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(ev) AS BIGINT) AS d_events
+        FROM d GROUP BY duration_s
+    ),
+    r AS (
+        SELECT duration_s, n_all, d_events,
+               CAST(SUM(n_all) OVER (ORDER BY duration_s DESC
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+        FROM g
+    )
+    SELECT duration_s, n_risk, d_events,
+           n_all - d_events AS n_censored_at
+    FROM r WHERE d_events > 0
+    ORDER BY duration_s
+    LIMIT 50
+    """,
+)
+def events_survival_km(spark, sf_dir):
+    """Kaplan-Meier risk table for time-to-first-purchase: per distinct
+    event time t (integer seconds from a user's first event), the number
+    at risk (duration ≥ t, censored users counted until their last
+    observed event), conversions d_t, and same-time censorings — survival
+    analysis' standard life table, here in its hash-checkable integer
+    form (the Π(1−d/n) product curve is a k-term float fold, so the exact
+    inputs are the contract and the curve is one driver-side map away).
+
+    Plan: durations come from ONE conditional-aggregate groupBy(user_id)
+    — no window over raw events — then the risk counts are a reverse
+    cumulative sum over the DISTINCT-DURATION frame (the mann_whitney
+    distinct-value-window class: bounded by value cardinality, not rows;
+    shard it two-tier like the Gini rank if durations are pathologically
+    distinct at scale). Censoring is the standard right-censoring at last
+    observation."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("purch_us"),
+        F.max(us).alias("last_us"),
+    )
+    d = u.select(
+        F.expr("(COALESCE(purch_us, last_us) - first_us) DIV 1000000")
+        .cast("bigint")
+        .alias("duration_s"),
+        F.col("purch_us").isNotNull().cast("int").alias("ev"),
+    )
+    g = d.groupBy("duration_s").agg(
+        F.count("*").alias("n_all"), F.sum("ev").alias("d_events")
+    )
+    w = Window.orderBy(F.desc("duration_s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.select(
+        "duration_s",
+        "n_all",
+        "d_events",
+        F.sum("n_all").over(w).cast("bigint").alias("n_risk"),
+    )
+    return (
+        r.filter(F.col("d_events") > 0)
+        .select(
+            "duration_s",
+            "n_risk",
+            F.col("d_events").cast("bigint").alias("d_events"),
+            (F.col("n_all") - F.col("d_events"))
+            .cast("bigint")
+            .alias("n_censored_at"),
+        )
+        .orderBy("duration_s")
+        .limit(50)
+    )

@@ -391,3 +391,37 @@ def test_asof_forward_picks_next_and_ties_match(spark):
         ).collect()
     }
     assert out == {"l1": 100.0, "l2": 100.0, "l3": None}
+
+
+def test_survival_km_risk_table_hand_computed(spark, tmp_path):
+    """4 users: conversions at t=10 (×2) and t=30; one censored at t=20.
+    Risk table: t=10 → n_risk 4, d 2; t=30 → n_risk 1, d 1; the censored
+    user leaves the risk set after 20."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog.events import events_survival_km
+
+    s = 1_000_000  # one second in micros
+    rows = [
+        (1, 0, "view"), (1, 10 * s, "purchase"),
+        (2, 0, "view"), (2, 10 * s, "purchase"),
+        (3, 0, "view"), (3, 20 * s, "click"),            # censored at 20
+        (4, 0, "view"), (4, 30 * s, "purchase"),
+    ]
+    d = tmp_path / "km"
+    d.mkdir()
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([t for _, t, _ in rows], pa.timestamp("us")),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([e for _, _, e in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = [(r["duration_s"], r["n_risk"], r["d_events"], r["n_censored_at"])
+           for r in events_survival_km(spark, str(d)).collect()]
+    assert out == [(10, 4, 2, 0), (30, 1, 1, 0)]

@@ -861,3 +861,12 @@ def test_rake_partitioned_windows_take_ordered(spark):
     assert uses_take_ordered(df)
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_survival_km_one_user_aggregate(spark):
+    """Durations come from one conditional groupBy(user_id); the only
+    window runs on the distinct-duration frame."""
+    df = QUERIES["events_survival_km"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "Join" not in plan
