@@ -150,6 +150,7 @@ HEADLINE = [
     "text_keyphrases_rake",
     "join_asof_forward",
     "events_survival_km",
+    "stats_ks_test",
 ]
 
 
@@ -272,6 +273,7 @@ EXPECTED = {
     "text_keyphrases_rake": 1.81,
     "join_asof_forward": 0.54,
     "events_survival_km": 0.54,
+    "stats_ks_test": 0.63,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

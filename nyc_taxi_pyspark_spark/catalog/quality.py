@@ -3038,3 +3038,99 @@ def orders_gini_concentration(spark, sf_dir):
         F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("total_cents"),
         gini.alias("gini"),
     )
+
+
+@query(
+    "stats_ks_test",
+    oracle="""
+    WITH g AS (
+        SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS vc,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM events WHERE event_type IN ('click', 'error')
+        GROUP BY vc
+    ),
+    c AS (
+        SELECT vc, n1, n2,
+               CAST(SUM(n1) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c1,
+               CAST(SUM(n2) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS c2,
+               CAST(SUM(n1) OVER () AS BIGINT) AS t1,
+               CAST(SUM(n2) OVER () AS BIGINT) AS t2
+        FROM g
+    ),
+    s AS (
+        SELECT vc, t1, t2, ABS(c1 * t2 - c2 * t1) AS dnum
+        FROM c
+    )
+    SELECT CAST(vc AS DOUBLE) / CAST(100 AS DOUBLE) AS at_value,
+           CAST(dnum AS BIGINT) AS d_numerator,
+           CAST(t1 * t2 AS BIGINT) AS d_denominator,
+           CAST(dnum AS DOUBLE) / CAST(t1 * t2 AS DOUBLE) AS d_stat
+    FROM s
+    ORDER BY dnum DESC, vc
+    LIMIT 1
+    """,
+)
+def stats_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic (click vs error values):
+    D = sup_x |F̂₁(x) − F̂₂(x)|, the distribution-equality test that sees
+    shape differences the t-test's means can't — completing the
+    nonparametric family next to the rank-sum test and the QQ compare.
+
+    Exactness: D is kept RATIONAL — the ECDF difference at x is
+    (c1·N2 − c2·N1)/(N1·N2) with every term an exact int64 (cumulative
+    counts over the DISTINCT-VALUE frame; cents-exact value keys), so the
+    argmax is decided on integers and the one division is display-only.
+    Plan: one map-side-combined value aggregate, cumulative sums over the
+    distinct-value frame (the mann_whitney window class — bounded by
+    value cardinality; shard two-tier at pathological cardinalities), and
+    a 1-row TakeOrdered. Ties on D break toward the smallest value in
+    both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    vc = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    g = ev.groupBy(vc.alias("vc")).agg(
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("n1"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n2"),
+    )
+    wc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    we = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "vc",
+        F.sum("n1").over(wc).alias("c1"),
+        F.sum("n2").over(wc).alias("c2"),
+        F.sum("n1").over(we).alias("t1"),
+        F.sum("n2").over(we).alias("t2"),
+    )
+    s = c.select(
+        "vc",
+        "t1",
+        "t2",
+        F.abs(F.col("c1") * F.col("t2") - F.col("c2") * F.col("t1")).alias(
+            "dnum"
+        ),
+    )
+    return (
+        s.select(
+            (F.col("vc").cast("double") / F.lit(100).cast("double")).alias(
+                "at_value"
+            ),
+            F.col("dnum").cast("bigint").alias("d_numerator"),
+            (F.col("t1") * F.col("t2")).cast("bigint").alias("d_denominator"),
+            (
+                F.col("dnum").cast("double")
+                / (F.col("t1") * F.col("t2")).cast("double")
+            ).alias("d_stat"),
+        )
+        .orderBy(F.desc("d_numerator"), "at_value")
+        .limit(1)
+    )

@@ -93,6 +93,10 @@ SWEEP = [
     "orders_gini_concentration",
     "sample_neyman_allocation",
     "graph_brand_modularity",
+    # distinct-value cumulative counts + integer argmax; reverse cumsum
+    # risk sets over the distinct-duration frame
+    "stats_ks_test",
+    "events_survival_km",
 ]
 
 

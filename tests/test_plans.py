@@ -870,3 +870,11 @@ def test_survival_km_one_user_aggregate(spark):
     plan = formatted_plan(df)
     assert "Python" not in plan
     assert "Join" not in plan
+
+
+def test_ks_distinct_value_frame_take_ordered(spark):
+    """KS: one value aggregate, distinct-value windows, 1-row heap."""
+    df = QUERIES["stats_ks_test"](spark, SF)
+    plan = formatted_plan(df)
+    assert uses_take_ordered(df)
+    assert "Python" not in plan and "Join" not in plan

@@ -756,3 +756,17 @@ def test_gini_closed_forms(spark, tmp_path):
         spark, write("g_one", [(1, 0.0), (2, 0.0), (3, 0.0), (4, 100.0)])
     ).first()
     assert one["gini"] == 0.75  # (n-1)/n, dyadic-exact
+
+
+def test_ks_test_hand_computed(spark, tmp_path):
+    """click={1,2}, error={2,3}: ECDF gap peaks at value 1 with
+    |1·2 − 0·2|/4 = 0.5."""
+    from nyc_taxi_pyspark_spark.catalog.quality import stats_ks_test
+
+    rows = [(1, "click", 1.0), (1, "click", 2.0),
+            (2, "error", 2.0), (2, "error", 3.0),
+            (3, "view", 99.0)]  # other types ignored
+    d = _write_events_values(tmp_path, "ks", rows)
+    r = stats_ks_test(spark, d).first()
+    assert (r["at_value"], r["d_numerator"], r["d_denominator"]) == (1.0, 2, 4)
+    assert r["d_stat"] == 0.5
