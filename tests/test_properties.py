@@ -154,3 +154,83 @@ def test_int8_quantize_invariants(spark, vec):
             if x < 0:
                 assert v <= 0
         assert 127 in [abs(v) for x, v in zip(vec, q) if abs(x) == m]
+
+
+@given(
+    lefts=st.lists(st.integers(0, 1000), min_size=1, max_size=12),
+    rights=st.lists(st.integers(0, 1000), min_size=0, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_asof_forward_matches_bruteforce(spark, lefts, rights):
+    """forward asof_join == per-row min{right.ts >= left.ts} on one key."""
+    from nyc_taxi_pyspark_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(lefts)], "event_id long, k long, t long"
+    ).select("event_id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, t) for t in rights] or [(2, 0)], "k long, t long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"))
+    out = asof_join(
+        left, right, by="k", left_ts="ts", right_ts="ts",
+        value_cols=["ts"], direction="forward",
+    )
+    got = {
+        r.event_id: (r.asof_ts.timestamp() if r.asof_ts else None)
+        for r in out.collect()
+    }
+    want = {
+        i: (min((rt for rt in rights if rt >= t), default=None) if rights else None)
+        for i, t in enumerate(lefts)
+    }
+    want = {i: (float(v) if v is not None else None) for i, v in want.items()}
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 300), st.integers(1, 20)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_skyline_matches_bruteforce_property(spark, pts):
+    """Two-tier skyline == O(n²) dominance on arbitrary point sets,
+    including duplicates and cell-boundary values (cell width 100 at the
+    operator's $100 bucket over cents·1 here means many cross-cell
+    shapes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+    import os
+
+    from nyc_taxi_pyspark_spark.catalog.quality import part_skyline
+
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.table(
+            {
+                "p_partkey": pa.array(range(len(pts)), pa.int64()),
+                "p_name": pa.array([f"p{i}" for i in range(len(pts))]),
+                "p_brand": pa.array(["b"] * len(pts)),
+                "p_type": pa.array(["t"] * len(pts)),
+                "p_size": pa.array([s for _, s in pts], pa.int32()),
+                "p_retailprice": pa.array(
+                    [c / 100.0 for c, _ in pts], pa.float64()
+                ),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "part.parquet"))
+        got = sorted(
+            (r["p_partkey"], r["p_size"], r["price_cents"])
+            for r in part_skyline(spark, d).collect()
+        )
+    cents = [(i, c, s) for i, (c, s) in enumerate(pts)]
+    want = sorted(
+        (i, s, c)
+        for i, c, s in cents
+        if not any(
+            qc <= c and qs >= s and (qc < c or qs > s) for _, qc, qs in cents
+        )
+    )
+    assert got == want
