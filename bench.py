@@ -151,6 +151,7 @@ HEADLINE = [
     "join_asof_forward",
     "events_survival_km",
     "stats_ks_test",
+    "sql_lateral_topn",
 ]
 
 
@@ -274,6 +275,7 @@ EXPECTED = {
     "join_asof_forward": 0.54,
     "events_survival_km": 0.54,
     "stats_ks_test": 0.63,
+    "sql_lateral_topn": 0.52,
 }
 ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline

@@ -107,3 +107,41 @@ def sql_json_extract(spark, sf_dir):
         GROUP BY event_type
         """
     )
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+    """,
+)
+def sql_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 customers
+    per nation by balance) — the SQL-surface twin of the rank-window
+    top-N: Spark 4 decorrelates the lateral into a partitioned window
+    under the hood, so the declarative per-row-subquery form costs the
+    same single shuffle as window_topn_per_group. Proves the front door
+    accepts the LATERAL idiom users bring from DuckDB/Postgres. Acctbal
+    values are 2dp-exact parquet doubles, so ordering and the hash check
+    are drift-free; full (balance, name) tiebreaks keep the top-2 sets
+    deterministic."""
+    _register(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )

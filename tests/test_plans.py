@@ -878,3 +878,12 @@ def test_ks_distinct_value_frame_take_ordered(spark):
     plan = formatted_plan(df)
     assert uses_take_ordered(df)
     assert "Python" not in plan and "Join" not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_no_nested_loop(spark):
+    """The correlated LATERAL LIMIT must decorrelate (window/join plan) —
+    a per-left-row nested-loop execution would be the scale trap."""
+    df = QUERIES["sql_lateral_topn"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "BroadcastHashJoin" in plan
