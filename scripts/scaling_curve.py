@@ -73,6 +73,8 @@ REPRESENTATIVE = [
     ("search_hybrid_rrf", "two top-k arms + candidate-list fusion"),
     ("graph_link_prediction", "seed-scoped wedge join"),
     ("privacy_k_anonymity", "QI aggregate + size histogram"),
+    ("text_keyphrases_rake", "token explode + per-doc run windows"),
+    ("corpus_source_overlap", "source-bounded gram self-join"),
 ]
 
 

@@ -887,3 +887,22 @@ def test_lateral_topn_decorrelates_to_window_no_nested_loop(spark):
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "Window" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gini_partitioned_rank_no_global_sort_of_customers(spark):
+    """Gini's rank is two-tier: the only unpartitioned window runs on the
+    bounded cell frame, and the customer-sized window is partitioned."""
+    df = QUERIES["orders_gini_concentration"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_join(df)
+
+
+def test_asof_forward_single_user_shuffle(spark):
+    """Forward as-of keeps the union+window shape: no join node at all."""
+    df = QUERIES["join_asof_forward"](spark, SF)
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert shuffle_count(df) <= 2
