@@ -1032,6 +1032,7 @@ def events_pattern_match(spark, sf_dir):
 
 
 _OVERLAP_CELL_US = 3_600_000_000  # 1-hour time-grid cells for the overlap join
+_KM_CELL_SECONDS = 3_600  # 1-hour duration cells for the two-tier risk count
 
 
 @query(
@@ -1181,11 +1182,14 @@ def events_survival_km(spark, sf_dir):
 
     Plan: durations come from ONE conditional-aggregate groupBy(user_id)
     — no window over raw events — then the risk counts are a reverse
-    cumulative sum over the DISTINCT-DURATION frame (the mann_whitney
-    distinct-value-window class: bounded by value cardinality, not rows;
-    shard it two-tier like the Gini rank if durations are pathologically
-    distinct at scale). Censoring is the standard right-censoring at last
-    observation."""
+    cumulative sum computed TWO-TIER (the Gini global-rank discipline,
+    mirrored for descending order): tier 1 buckets durations into 1-hour
+    cells, aggregates one count per cell, and takes the exclusive
+    above-suffix over the BOUNDED cell frame (max duration / cell width
+    — catalog metadata, not data-sized), rejoining via broadcast; tier 2
+    is a PARTITIONED reverse prefix within each cell, so no unpartitioned
+    window ever touches the distinct-duration frame. Censoring is the
+    standard right-censoring at last observation."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts"))
     u = ev.groupBy("user_id").agg(
@@ -1203,15 +1207,32 @@ def events_survival_km(spark, sf_dir):
     )
     g = d.groupBy("duration_s").agg(
         F.count("*").alias("n_all"), F.sum("ev").alias("d_events")
+    ).withColumn(
+        "cell", F.floor(F.col("duration_s") / F.lit(_KM_CELL_SECONDS))
     )
-    w = Window.orderBy(F.desc("duration_s")).rowsBetween(
-        Window.unboundedPreceding, 0
+    wa = Window.orderBy(F.desc("cell")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    r = g.select(
+    cells = (
+        g.groupBy("cell")
+        .agg(F.sum("n_all").alias("bc"))
+        .select(
+            "cell",
+            F.coalesce(F.sum("bc").over(wa), F.lit(0)).alias("above"),
+        )
+    )
+    w = (
+        Window.partitionBy("cell")
+        .orderBy(F.desc("duration_s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = g.join(F.broadcast(cells), "cell").select(
         "duration_s",
         "n_all",
         "d_events",
-        F.sum("n_all").over(w).cast("bigint").alias("n_risk"),
+        (F.col("above") + F.sum("n_all").over(w))
+        .cast("bigint")
+        .alias("n_risk"),
     )
     return (
         r.filter(F.col("d_events") > 0)

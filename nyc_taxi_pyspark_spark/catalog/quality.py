@@ -1941,15 +1941,23 @@ def stats_mann_whitney(spark, sf_dir):
 
     Rank computation is the scale trick: instead of ranking N raw rows
     with a global per-row window, group by VALUE first (one map-side-
-    combined shuffle), then take a prefix-sum window over the distinct-
-    value aggregate — |distinct values| rows, orders of magnitude smaller
-    than N — where each tied block's shared midrank is cum + (cnt+1)/2.
+    combined shuffle), where each tied block's shared midrank is
+    cum + (cnt+1)/2. The exclusive prefix count `cum` is computed
+    TWO-TIER (the Gini global-rank discipline) so no unpartitioned
+    window ever touches the distinct-value frame: tier 1 buckets values
+    into unit-width cells, aggregates one count per cell, and runs the
+    exclusive prefix over the BOUNDED cell frame (value range / cell
+    width — catalog metadata, not data-sized), rejoining via broadcast;
+    tier 2 resolves within-cell order with a PARTITIONED window —
+    cum = below(cell) + local exclusive prefix, exact because floor() is
+    monotone so a lower cell always means strictly smaller values.
     Every rank is a multiple of 0.5 and every rank-sum term stays an
     exact dyadic rational below 2^53, so the SUMs are order-independent
     (partition-invariant) and the final statistics are deterministic IEEE
     arithmetic mirrored expression-for-expression with the oracle. The
     tie term sums cnt^3-cnt in exact int64 (precondition: no single tied
-    value holds >2.1M rows, far beyond any real tie mass)."""
+    value holds >2.1M rows, far beyond any real tie mass).
+    tests/test_plans.py gates the partitioned window shape."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
     v = (
         ev.filter(F.col("event_type").isin("click", "error"))
@@ -1960,12 +1968,28 @@ def stats_mann_whitney(spark, sf_dir):
             .cast("bigint")
             .alias("cnt_a"),
         )
+        .withColumn("cell", F.floor(F.col("value")).cast("bigint"))
     )
-    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
-    r = v.select(
+    wb = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cells = (
+        v.groupBy("cell")
+        .agg(F.sum("cnt").alias("bc"))
+        .select(
+            "cell",
+            F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("below"),
+        )
+    )
+    wv = (
+        Window.partitionBy("cell")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = v.join(F.broadcast(cells), "cell").select(
         "cnt",
         "cnt_a",
-        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("cum"),
+        (
+            F.col("below") + F.coalesce(F.sum("cnt").over(wv), F.lit(0))
+        ).alias("cum"),
     )
     s = r.agg(
         F.sum("cnt_a").cast("double").alias("n_a"),
@@ -2221,7 +2245,8 @@ def _did_oracle() -> str:
 def events_diff_in_diff(spark, sf_dir):
     """Difference-in-differences estimator: treated (odd user_id — the
     deterministic hash-split stand-in for an experiment arm) vs control,
-    pre vs post the July 1 cutover, outcome = event value. The causal
+    pre vs post the _DID_CUTOVER mid-January split, outcome = event
+    value. The causal
     readout is the classic 2×2: (treated post−pre) − (control post−pre),
     which nets out both the arm's level difference and the common time
     trend.
@@ -2676,13 +2701,14 @@ def _modularity_oracle() -> str:
     terms AS (
         SELECT d.p_brand, COALESCE(w.within_edges, 0) AS within_edges,
                d.degree_sum,
-               CAST(COALESCE(w.within_edges, 0) AS DOUBLE)
-                 / CAST(m.m AS DOUBLE)
-               - (CAST(d.degree_sum AS DOUBLE)
-                    / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
-                 * (CAST(d.degree_sum AS DOUBLE)
-                    / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
-                 AS term
+               CASE WHEN m.m > 0 THEN
+                 CAST(COALESCE(w.within_edges, 0) AS DOUBLE)
+                   / CAST(m.m AS DOUBLE)
+                 - (CAST(d.degree_sum AS DOUBLE)
+                      / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+                   * (CAST(d.degree_sum AS DOUBLE)
+                      / (CAST(2 AS DOUBLE) * CAST(m.m AS DOUBLE)))
+               END AS term
         FROM dsum d LEFT JOIN within w ON w.p_brand = d.p_brand, m
     ),
     q AS (
@@ -2762,9 +2788,12 @@ def graph_brand_modularity(spark, sf_dir):
     )
     md = F.col("m").cast("double")
     half = F.col("degree_sum").cast("double") / (F.lit(2.0) * md)
-    term = (
+    # honest NULL on a degenerate empty edge set (the ANOVA/DiD/Gini
+    # convention) instead of IEEE NaN/Infinity from the m=0 division
+    term = F.when(
+        F.col("m") > 0,
         F.coalesce(F.col("within_edges"), F.lit(0)).cast("double") / md
-        - half * half
+        - half * half,
     )
     terms = (
         dsum_b.join(within, "p_brand", "left")
@@ -2864,7 +2893,14 @@ def sample_neyman_allocation(spark, sf_dir):
     floor-only under-allocates, naive rounding drifts). Degenerate strata
     (n<2) weigh 0; an all-degenerate input allocates 0 honestly instead
     of dividing by zero. Post-aggregate windows run on the |strata|-row
-    frame (the token-allocation discipline)."""
+    frame (the token-allocation discipline).
+
+    int64 budget: wq = floor(N_h·S_h·1e6) and the top-up compares
+    _NEYMAN_BUDGET·wq against Σwq, so the headroom bound is
+    1000·max(N_h·S_h)·1e6 < 2^63, i.e. max stratum N·S below ~9.2e9 —
+    holds through ~sf100 for this cents-scale column; past that, drop
+    the 1e6 quantizer a decade or split the product with the Gini
+    hi/lo discipline. Exactness claims are scoped to that bound."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2952,6 +2988,7 @@ def sample_neyman_allocation(spark, sf_dir):
 
 
 _GINI_BUCKET_CENTS = 100_000  # $1000 revenue cells for the two-tier rank
+_KS_BUCKET_CENTS = 1_000  # $10 value cells for the KS two-tier ECDF rank
 
 
 @query(
@@ -3069,7 +3106,9 @@ def orders_gini_concentration(spark, sf_dir):
     SELECT CAST(vc AS DOUBLE) / CAST(100 AS DOUBLE) AS at_value,
            CAST(dnum AS BIGINT) AS d_numerator,
            CAST(t1 * t2 AS BIGINT) AS d_denominator,
-           CAST(dnum AS DOUBLE) / CAST(t1 * t2 AS DOUBLE) AS d_stat
+           CASE WHEN t1 > 0 AND t2 > 0
+                THEN CAST(dnum AS DOUBLE) / CAST(t1 * t2 AS DOUBLE)
+           END AS d_stat
     FROM s
     ORDER BY dnum DESC, vc
     LIMIT 1
@@ -3084,12 +3123,19 @@ def stats_ks_test(spark, sf_dir):
     Exactness: D is kept RATIONAL — the ECDF difference at x is
     (c1·N2 − c2·N1)/(N1·N2) with every term an exact int64 (cumulative
     counts over the DISTINCT-VALUE frame; cents-exact value keys), so the
-    argmax is decided on integers and the one division is display-only.
-    Plan: one map-side-combined value aggregate, cumulative sums over the
-    distinct-value frame (the mann_whitney window class — bounded by
-    value cardinality; shard two-tier at pathological cardinalities), and
-    a 1-row TakeOrdered. Ties on D break toward the smallest value in
-    both engines."""
+    argmax is decided on integers and the one division is display-only
+    and NULL-guarded when either sample is empty (mirrored CASE in the
+    oracle). Ties on D break toward the smallest value in both engines.
+
+    Plan — the two-tier global-rank discipline (the Gini pattern), so
+    NO unpartitioned window ever touches the distinct-value frame: one
+    map-side-combined value aggregate, then (tier 1) per-$10-cell count
+    sums whose exclusive prefix runs over the BOUNDED cell frame (value
+    range / cell width — catalog metadata, not data-sized) and rejoins
+    via broadcast, (tier 2) within-cell cumulative sums in a PARTITIONED
+    window, c = below(cell) + local prefix — exact because a lower cell
+    always means a strictly smaller cents key. Finishes in a 1-row
+    TakeOrdered. tests/test_plans.py gates the partitioned shape."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -3099,17 +3145,33 @@ def stats_ks_test(spark, sf_dir):
     g = ev.groupBy(vc.alias("vc")).agg(
         F.sum((F.col("event_type") == "click").cast("bigint")).alias("n1"),
         F.sum((F.col("event_type") == "error").cast("bigint")).alias("n2"),
-    )
-    wc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, 0)
+    ).withColumn("cell", F.floor(F.col("vc") / F.lit(_KS_BUCKET_CENTS)))
+    wb = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
     we = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    c = g.select(
+    cells = (
+        g.groupBy("cell")
+        .agg(F.sum("n1").alias("b1"), F.sum("n2").alias("b2"))
+        .select(
+            "cell",
+            F.coalesce(F.sum("b1").over(wb), F.lit(0)).alias("below1"),
+            F.coalesce(F.sum("b2").over(wb), F.lit(0)).alias("below2"),
+            F.sum("b1").over(we).alias("t1"),
+            F.sum("b2").over(we).alias("t2"),
+        )
+    )
+    win = (
+        Window.partitionBy("cell")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.join(F.broadcast(cells), "cell").select(
         "vc",
-        F.sum("n1").over(wc).alias("c1"),
-        F.sum("n2").over(wc).alias("c2"),
-        F.sum("n1").over(we).alias("t1"),
-        F.sum("n2").over(we).alias("t2"),
+        (F.col("below1") + F.sum("n1").over(win)).alias("c1"),
+        (F.col("below2") + F.sum("n2").over(win)).alias("c2"),
+        "t1",
+        "t2",
     )
     s = c.select(
         "vc",
@@ -3126,9 +3188,10 @@ def stats_ks_test(spark, sf_dir):
             ),
             F.col("dnum").cast("bigint").alias("d_numerator"),
             (F.col("t1") * F.col("t2")).cast("bigint").alias("d_denominator"),
-            (
+            F.when(
+                (F.col("t1") > 0) & (F.col("t2") > 0),
                 F.col("dnum").cast("double")
-                / (F.col("t1") * F.col("t2")).cast("double")
+                / (F.col("t1") * F.col("t2")).cast("double"),
             ).alias("d_stat"),
         )
         .orderBy(F.desc("d_numerator"), "at_value")

@@ -2643,12 +2643,15 @@ def text_trigram_search(spark, sf_dir):
     tris = _TRIGRAM_CACHE.get_or_build(
         spark,
         sf_dir,
-        lambda: d.select(
+        # length >= 3 filter first: sequence(1, 0) is the DESCENDING
+        # [1, 0], so sub-trigram texts would emit bogus postings
+        # (substring at position 0) into the shared session index
+        lambda: d.filter(F.length("text") >= 3).select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                        "transform(sequence(1, length(text) - 2),"
                         " i -> substring(text, i, 3))"
                     )
                 )

@@ -865,19 +865,21 @@ def test_rake_partitioned_windows_take_ordered(spark):
 
 def test_survival_km_one_user_aggregate(spark):
     """Durations come from one conditional groupBy(user_id); the only
-    window runs on the distinct-duration frame."""
+    join is the broadcast of the bounded cell-offset frame."""
     df = QUERIES["events_survival_km"](spark, SF)
     plan = formatted_plan(df)
     assert "Python" not in plan
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_ks_distinct_value_frame_take_ordered(spark):
-    """KS: one value aggregate, distinct-value windows, 1-row heap."""
+    """KS: one value aggregate, two-tier partitioned windows, 1-row heap;
+    the only join is the broadcast of the bounded cell offsets."""
     df = QUERIES["stats_ks_test"](spark, SF)
     plan = formatted_plan(df)
     assert uses_take_ordered(df)
-    assert "Python" not in plan and "Join" not in plan
+    assert "Python" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_lateral_topn_decorrelates_to_window_no_nested_loop(spark):
@@ -897,6 +899,48 @@ def test_gini_partitioned_rank_no_global_sort_of_customers(spark):
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
     assert has_broadcast_join(df)
+
+
+def test_ks_value_frame_window_is_partitioned(spark):
+    """KS's ECDF cumulative sums must NEVER run an unpartitioned window
+    over the distinct-value frame (unbounded cardinality at scale): the
+    two-tier rank hash-partitions the value window on the $10 cell key,
+    and the only SinglePartition exchange feeds the bounded cell frame
+    (value range / cell width — catalog metadata, not data-sized)."""
+    df = QUERIES["stats_ks_test"](spark, SF)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(cell" in plan  # value window sharded by cell
+    assert plan.count("SinglePartition") <= 1  # cell-frame prefix only
+    assert has_broadcast_join(df)  # cell offsets rejoin via broadcast
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survival_km_risk_window_is_partitioned(spark):
+    """Kaplan-Meier's reverse cumulative at-risk count must shard the
+    distinct-duration frame: tier-1 above-suffix on the bounded 1-hour
+    cell frame, tier-2 partitioned reverse prefix within cells."""
+    df = QUERIES["events_survival_km"](spark, SF)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(cell" in plan
+    assert plan.count("SinglePartition") <= 1  # cell-frame suffix only
+    assert has_broadcast_join(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mann_whitney_value_frame_window_is_partitioned(spark):
+    """Same two-tier discipline for the rank-sum midranks: the distinct-
+    value cumulative count is a PARTITIONED window on the unit-width
+    cell; SinglePartition exchanges are only the bounded cell prefix and
+    the final 1-row statistic merge."""
+    df = QUERIES["stats_mann_whitney"](spark, SF)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(cell" in plan
+    assert plan.count("SinglePartition") <= 2  # cell prefix + 1-row agg
+    assert has_broadcast_join(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_asof_forward_single_user_shuffle(spark):
