@@ -159,9 +159,10 @@ HEADLINE = [
 # reference numbers where they exist, first-measured self-baselines
 # otherwise. Used ONLY to flag in-process outliers for an isolated rerun
 # (BASELINE.md §5 bimodality protocol): a query whose warm median lands
-# past ISO_RERUN_FACTOR× its expectation is re-measured in a FRESH process,
-# because late-process JVM state (JIT tiering, GC pacing) makes all five
-# in-process runs slow together and no in-process statistic can see it.
+# past BASELINE_CREEP_FACTOR× its expectation is re-measured in a FRESH
+# process, because late-process JVM state (JIT tiering, GC pacing) makes
+# all five in-process runs slow together and no in-process statistic can
+# see it.
 EXPECTED = {
     "pricing_summary": 0.76,
     "group_by_day": 0.21,
@@ -277,12 +278,17 @@ EXPECTED = {
     "stats_ks_test": 0.63,
     "sql_lateral_topn": 0.52,
 }
-ISO_RERUN_FACTOR = 1.8
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
 # query slower than ROUND_REGRESS_FACTOR x its previous round's recorded
 # number gets a machine adjudication (isolated rerun), so "regression vs
 # JVM noise" is decided by measurement, not judgement
 ROUND_REGRESS_FACTOR = 1.5
+# slow-creep trigger (VERDICT r9 item 3): a query can drift toward the 2x
+# gate a few percent per round without ever tripping the round-over-round
+# check (join_three_way did exactly that, 0.68 -> 1.09 s over 9 rounds).
+# Anything >= 1.5x its BASELINE expectation is adjudicated even if this
+# round's delta is small.
+BASELINE_CREEP_FACTOR = 1.5
 
 
 def _previous_round_timings() -> dict[str, float]:
@@ -382,10 +388,10 @@ def main() -> None:
     for name, t in timings.items():
         if (
             EXPECTED.get(name) is not None
-            and t > ISO_RERUN_FACTOR * EXPECTED[name]
+            and t > BASELINE_CREEP_FACTOR * EXPECTED[name]
         ):
             flagged[name] = (
-                f"> {ISO_RERUN_FACTOR}x expected {EXPECTED[name]}s"
+                f"> {BASELINE_CREEP_FACTOR}x expected {EXPECTED[name]}s"
             )
         elif (
             prev.get(name) is not None

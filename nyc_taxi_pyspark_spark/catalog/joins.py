@@ -136,15 +136,26 @@ def join_anti(spark, sf_dir):
     """,
 )
 def join_three_way(spark, sf_dir):
-    """Three-way fact⋈fact⋈dim: lineitem⋈orders is the only true shuffle
-    join (sort-merge on orderkey, AQE may flip to broadcast per-SF); customer
-    is broadcast. Revenue via exact decimal sum."""
+    """Three-way fact⋈fact⋈dim: lineitem⋈orders is PINNED to the shuffle
+    sort-merge join (the only honest strategy for fact⋈fact — orders does
+    not fit a broadcast at 100 TB); customer is broadcast. Revenue via
+    exact decimal sum.
+
+    The shuffle_merge hint is a round-10 adjudication result: a testdata
+    regeneration shrank orders.parquet under the static broadcast
+    threshold, and Catalyst's flip to a driver-built 150k-row hashed
+    relation crept the warm median 0.68 s → ~1.09 s across rounds 1→9
+    (the worst baseline ratio in the catalog). Interleaved A/B at sf0.1:
+    hinted SMJ 0.63 s vs static broadcast 0.87 s median — the hint
+    restores BOTH the baseline number and the scale-honest plan. See
+    BASELINE.md §'join_three_way adjudication'."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.hint("shuffle_merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_lines"), dsum(revenue, 4).alias("revenue"))
