@@ -18,6 +18,16 @@ Run (where streamlit is installed)::
 
     streamlit run nyc_taxi_pyspark_spark/serve/streamlit_app.py -- \
         --sf-dir /root/testdata/sf0.001
+
+ADR (round 10): the engine will NOT take streamlit as a dependency — the
+data layer must stay identical across the four front doors (CLI, HTTP,
+Streamlit, reports), which forces the framework-free split above, and
+that split is what the tests pin. The live-runtime check exists but is
+environment-gated: ``tests/test_streamlit_adapter.py::
+test_real_streamlit_runtime_smoke`` drives :func:`render` under
+``streamlit.testing.v1.AppTest`` (Streamlit's official script-runner
+harness — a real ScriptRunner, real session state, no browser) whenever
+streamlit is importable, and skips cleanly here where it is not baked in.
 """
 
 from __future__ import annotations

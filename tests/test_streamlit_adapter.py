@@ -97,3 +97,35 @@ def test_render_wires_all_five_tabs(spark, tmp_path):
     # the SQL tab ran the default query through the engine (button stub
     # returns True), so at least 5 dataframes rendered overall
     assert names.count("dataframe") >= 5
+
+
+def test_real_streamlit_runtime_smoke(spark):
+    """Drive render() under Streamlit's own script-runner harness
+    (streamlit.testing.v1.AppTest — real ScriptRunner, real session
+    state, no browser). Environment-gated: streamlit is not in this
+    container's baked-in set, so the test skips here and runs wherever
+    the reference's requirements (which include streamlit) are
+    installed. The framework-free tests above cover the data layer
+    either way — see the module ADR."""
+    import pytest
+
+    testing = pytest.importorskip("streamlit.testing.v1")
+
+    def app():
+        import streamlit as st
+
+        from nyc_taxi_pyspark_spark.serve import streamlit_app as sa
+        from nyc_taxi_pyspark_spark.serve.engine import Engine
+        from nyc_taxi_pyspark_spark.session import get_spark
+
+        eng = Engine(
+            get_spark("st-smoke", shuffle_partitions=8),
+            "/root/testdata/sf0.001",
+        )
+        sa.render(st, eng)
+
+    at = testing.AppTest.from_function(app)
+    at.run(timeout=180)
+    assert not at.exception
+    assert len(at.tabs) == 5  # the reference app5.py five-tab surface
+    assert len(at.dataframe) >= 4  # preview, summary, two KPI tables
