@@ -47,9 +47,43 @@ def merge_upsert(
 ) -> DataFrame:
     """Format-agnostic MERGE emulation: rows of ``target`` whose key has an
     update are replaced; new keys are inserted. (With Delta/Iceberg on the
-    classpath this becomes a real transactional MERGE INTO.)"""
+    classpath this becomes a real transactional MERGE INTO —
+    :func:`delta_merge_upsert`.)"""
     untouched = target.join(updates.select(*keys), list(keys), "left_anti")
     return untouched.unionByName(updates)
+
+
+def delta_merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> None:
+    """REAL transactional MERGE INTO against a Delta table at
+    ``target_path`` — update-all on key match, insert-all otherwise: the
+    same row semantics :func:`merge_upsert` emulates, so the two are
+    interchangeable and the conditional test asserts their equivalence
+    when the jars are present (tests/test_sinks_lakehouse.py). Requires
+    the delta-spark package + jars (optional dev dependency in
+    pyproject.toml); raises the same actionable NotImplementedError as
+    :func:`read_table` where they are absent."""
+    if not format_available(spark, "delta"):
+        raise NotImplementedError(
+            "delta jars are not on the classpath in this environment; "
+            "install the delta-spark extra and build the session via "
+            "delta.configure_spark_with_delta_pip to enable real MERGE INTO"
+        )
+    from delta.tables import DeltaTable  # gated: optional dev dependency
+
+    cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(updates.alias("u"), cond)
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
 
 
 def scd2_close_and_insert(
