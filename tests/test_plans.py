@@ -46,6 +46,19 @@ def test_dim_joins_broadcast(spark):
     assert has_broadcast_join(QUERIES["join_range_buckets"](spark, SF))
 
 
+def test_three_way_fact_join_stays_sort_merge(spark):
+    """The lineitem⋈orders fact join must stay the hinted SMJ — the only
+    plan that exists at 100 TB. Catalyst drifted this to a static orders
+    broadcast once (round-10 adjudication, BASELINE.md §11: +60% warm
+    cost from the driver-built hashed relation); this gate keeps the
+    regression from silently returning. The dim side stays broadcast."""
+    df = QUERIES["join_three_way"](spark, SF)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan  # fact⋈fact pinned
+    assert has_broadcast_join(df)  # customer dim still broadcast
+    assert "CartesianProduct" not in plan
+
+
 def test_topk_uses_heap_not_global_sort(spark):
     assert uses_take_ordered(QUERIES["topk_orders"](spark, SF))
     assert uses_take_ordered(QUERIES["embed_cosine_topk"](spark, SF))
