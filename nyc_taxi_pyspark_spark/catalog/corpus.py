@@ -738,9 +738,14 @@ def text_sliding_chunks(spark, sf_dir):
     which shuffle on the content key with map-side combine."""
     d = _docs(spark, sf_dir)
     w = F.col("w")
+    # size > 0 guard: a zero-token doc would make sequence(0, -1, stride)
+    # throw 'Illegal sequence boundaries' at runtime (the step form does
+    # not go descending like the 2-arg form — it errors). DuckDB's
+    # range(0, 0, stride) is empty, so dropping empty docs matches the
+    # oracle: no chunks from an empty document.
     starts = d.select(
         "doc_id", tokens().alias("w")
-    ).select(
+    ).filter(F.size(w) > 0).select(
         "doc_id",
         "w",
         F.posexplode(
