@@ -275,10 +275,11 @@ def events_variant_shred(spark, sf_dir):
     schema-on-read telemetry: parsing cost is paid once per row, field
     access is a binary probe, and no schema has to be declared for fields
     you don't touch. try_variant_get returns NULL (not an error) for
-    absent paths, and the per-type missing count keeps that contract
-    observable."""
+    absent paths, try_parse_json returns NULL (not a job abort) for
+    malformed records — real telemetry always contains some — and the
+    per-type missing count keeps both contracts observable."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -22,6 +22,7 @@ from nyc_taxi_pyspark_spark.functions.exact import (
     dsum_wide,
     oracle_dsum,
     oracle_dsum_wide,
+    sdiv,
 )
 from nyc_taxi_pyspark_spark.operators.quality import (
     dq_audit,
@@ -343,15 +344,18 @@ def stats_regression(spark, sf_dir):
     )
     nn, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
     sxy, sxx, syy = F.col("__sxy"), F.col("__sxx"), F.col("__syy")
-    slope = ((nn * sxy) - (sx * sy)) / ((nn * sxx) - (sx * sx))
+    # sdiv: a single-row group (or zero x/y variance) yields NULL slope/
+    # intercept/r² — DuckDB's own x/0 semantics, not an ANSI job abort
+    slope = sdiv((nn * sxy) - (sx * sy), (nn * sxx) - (sx * sx))
     return agg.select(
         "l_returnflag",
         "n",
         slope.alias("slope"),
-        ((sy - slope * sx) / nn).alias("intercept"),
-        ((slope * slope) * ((nn * sxx) - (sx * sx)) / ((nn * syy) - (sy * sy))).alias(
-            "r2"
-        ),
+        sdiv(sy - slope * sx, nn).alias("intercept"),
+        sdiv(
+            (slope * slope) * ((nn * sxx) - (sx * sx)),
+            (nn * syy) - (sy * sy),
+        ).alias("r2"),
     ).orderBy("l_returnflag")
 
 
@@ -620,27 +624,30 @@ def stats_ttest(spark, sf_dir):
         na.alias("n_a"), sxa.alias("sx_a"), sxxa.alias("sxx_a"),
         nb.alias("n_b"), sxb.alias("sx_b"), sxxb.alias("sxx_b"),
     )
+    # every division through sdiv: NULL on a degenerate arm (n<2, or a
+    # zero pooled SE) exactly as DuckDB's float division yields NULL —
+    # Spark's ANSI mode would otherwise abort the job on a 1-row arm
     n_a, n_b = F.col("n_a"), F.col("n_b")
-    mean_a = F.col("sx_a") / n_a
-    mean_b = F.col("sx_b") / n_b
-    var_a = (F.col("sxx_a") - (F.col("sx_a") * F.col("sx_a")) / n_a) / (
-        n_a - F.lit(1.0)
+    mean_a = sdiv(F.col("sx_a"), n_a)
+    mean_b = sdiv(F.col("sx_b"), n_b)
+    var_a = sdiv(
+        F.col("sxx_a") - sdiv(F.col("sx_a") * F.col("sx_a"), n_a),
+        n_a - F.lit(1.0),
     )
-    var_b = (F.col("sxx_b") - (F.col("sx_b") * F.col("sx_b")) / n_b) / (
-        n_b - F.lit(1.0)
+    var_b = sdiv(
+        F.col("sxx_b") - sdiv(F.col("sx_b") * F.col("sx_b"), n_b),
+        n_b - F.lit(1.0),
     )
-    se2a, se2b = var_a / n_a, var_b / n_b
+    se2a, se2b = sdiv(var_a, n_a), sdiv(var_b, n_b)
     return s.select(
         n_a.cast("bigint").alias("n_a"),
         n_b.cast("bigint").alias("n_b"),
         (mean_a - mean_b).alias("mean_diff"),
-        ((mean_a - mean_b) / F.sqrt(se2a + se2b)).alias("t_stat"),
-        (
-            ((se2a + se2b) * (se2a + se2b))
-            / (
-                se2a * se2a / (n_a - F.lit(1.0))
-                + se2b * se2b / (n_b - F.lit(1.0))
-            )
+        sdiv(mean_a - mean_b, F.sqrt(se2a + se2b)).alias("t_stat"),
+        sdiv(
+            (se2a + se2b) * (se2a + se2b),
+            sdiv(se2a * se2a, n_a - F.lit(1.0))
+            + sdiv(se2b * se2b, n_b - F.lit(1.0)),
         ).alias("welch_df"),
     )
 
@@ -1077,7 +1084,12 @@ def _chi2_report(cells):
     nn = (F.col("n1") + F.col("n2")).cast("double")
     e1 = n1 * row_tot / nn
     e2 = n2 * row_tot / nn
-    term = (o1 - e1) * (o1 - e1) / e1 + (o2 - e2) * (o2 - e2) / e2
+    # sdiv: a band with zero expected count in one half (every event in
+    # the other half) NULLs that band's term — DuckDB's x/0 does the
+    # same, and SUM skips it identically in both engines
+    term = sdiv((o1 - e1) * (o1 - e1), e1) + sdiv(
+        (o2 - e2) * (o2 - e2), e2
+    )
     tq = F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("bigint")
     terms = cells.join(tot, "event_type").select(
         "event_type", "n1", "n2", tq.alias("tq")
@@ -1757,8 +1769,9 @@ def orders_forecast_linear(spark, sf_dir):
     ).unionByName(future)
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")
-    slope = ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))
-    intercept = (sy - slope * sx) / n
+    # sdiv: a one-month history has zero x-variance; NULL fit, not a crash
+    slope = sdiv((n * sxy) - (sx * sy), (n * sxx) - (sx * sx))
+    intercept = sdiv(sy - slope * sx, n)
     return (
         grid.join(F.broadcast(fit.drop("max_mi")))
         .select(

@@ -20,6 +20,7 @@ from nyc_taxi_pyspark_spark.operators.similarity import (
     l2_norm_py,
     lsh_bucket,
     lsh_bucket_py,
+    safe_div,
 )
 from nyc_taxi_pyspark_spark.sources.io import load_table, parallelize_scan
 
@@ -163,7 +164,7 @@ def embed_cosine_topk(spark, sf_dir):
     TakeOrderedAndProject, no shuffle — the exact baseline."""
     b = _bucketed(spark, sf_dir)
     qvec, _qb, qnorm = _query_param(spark, sf_dir)
-    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+    sim = safe_div(dot(F.col("embedding"), qvec), F.col("nrm") * qnorm).alias(
         "cosine_sim"
     )
     return (
@@ -281,7 +282,7 @@ def embed_ann_topk(spark, sf_dir):
     scan prunes to ~1/2^8 of the corpus when bucket is a partition column."""
     b = _bucketed(spark, sf_dir)
     qvec, qbucket, qnorm = _query_param(spark, sf_dir)
-    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+    sim = safe_div(dot(F.col("embedding"), qvec), F.col("nrm") * qnorm).alias(
         "cosine_sim"
     )
     return (
@@ -370,9 +371,9 @@ def embed_near_dup_pairs(spark, sf_dir):
         F.col("nrm").alias("nrm_b"),
     )
     cands = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    sim = (
-        dot(F.col("vec_a"), F.col("vec_b"))
-        / (F.col("nrm_a") * F.col("nrm_b"))
+    sim = safe_div(
+        dot(F.col("vec_a"), F.col("vec_b")),
+        F.col("nrm_a") * F.col("nrm_b"),
     ).alias("cosine_sim")
     return (
         cands.select("id_a", "id_b", sim)
@@ -449,7 +450,7 @@ def embed_knn_join(spark, sf_dir):
         F.col("nrm").alias("nrm_n"),
     )
     sim = (
-        dot(F.col("vec_q"), F.col("vec_n")) / (F.col("nrm_q") * F.col("nrm_n"))
+        safe_div(dot(F.col("vec_q"), F.col("vec_n")), F.col("nrm_q") * F.col("nrm_n"))
     ).alias("cosine_sim")
     w = Window.partitionBy("id_q").orderBy(F.desc("cosine_sim"), "id_n")
     return (
@@ -571,13 +572,13 @@ def embed_matryoshka_topk(spark, sf_dir):
     q16_norm = F.lit(l2_norm_py(list(vals)[:_MRL_DIM]))
     q64_norm = F.lit(l2_norm_py(list(vals)))
     e16 = F.slice(F.col("embedding"), 1, _MRL_DIM)
-    coarse = dot(e16, q16) / (l2_norm(e16) * q16_norm)
+    coarse = safe_div(dot(e16, q16), l2_norm(e16) * q16_norm)
     shortlist = (
         b.select("vec_id", "embedding", "nrm", coarse.alias("coarse_sim"))
         .orderBy(F.desc("coarse_sim"), "vec_id")
         .limit(_MRL_SHORTLIST)
     )
-    exact = dot(F.col("embedding"), q64) / (F.col("nrm") * q64_norm)
+    exact = safe_div(dot(F.col("embedding"), q64), F.col("nrm") * q64_norm)
     return (
         shortlist.select("vec_id", exact.alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), "vec_id")
@@ -702,7 +703,7 @@ def embed_ann_multiprobe(spark, sf_dir):
 
     b = _bucketed(spark, sf_dir)
     qvec, qbucket, qnorm = _query_param(spark, sf_dir)
-    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+    sim = safe_div(dot(F.col("embedding"), qvec), F.col("nrm") * qnorm).alias(
         "cosine_sim"
     )
     return (
@@ -836,7 +837,7 @@ def embed_ivf_topk(spark, sf_dir):
     qcell = ivf_cell_py(vals, _centroids(spark, sf_dir))
     qnorm = F.lit(l2_norm_py(vals))
     c = _ivf(spark, sf_dir)
-    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+    sim = safe_div(dot(F.col("embedding"), qvec), F.col("nrm") * qnorm).alias(
         "cosine_sim"
     )
     return (
@@ -1126,7 +1127,7 @@ def embed_semantic_dedup(spark, sf_dir):
         "bucket",
     )
     sim = (
-        dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+        safe_div(dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a") * F.col("nrm_b"))
     ).alias("cosine_sim")
     pairs = (
         left.join(right, "bucket")
@@ -1799,9 +1800,9 @@ def embed_contrastive_pairs(spark, sf_dir):
         .select(
             "a_id",
             "vec_id",
-            (
-                dot(F.col("embedding"), F.col("a_vec"))
-                / (F.col("nrm") * F.col("a_nrm"))
+            safe_div(
+                dot(F.col("embedding"), F.col("a_vec")),
+                F.col("nrm") * F.col("a_nrm"),
             ).alias("cosine_sim"),
         )
     )
@@ -1865,7 +1866,7 @@ def embed_filtered_topk(spark, sf_dir):
     added); this query pins the exact-path contract."""
     b = _bucketed(spark, sf_dir).filter(F.col("label").isin(2, 3))
     qvec, _qb, qnorm = _query_param(spark, sf_dir)
-    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+    sim = safe_div(dot(F.col("embedding"), qvec), F.col("nrm") * qnorm).alias(
         "cosine_sim"
     )
     return (
@@ -2224,7 +2225,7 @@ def search_hybrid_rrf(spark, sf_dir):
     )
     b = _bucketed(spark, sf_dir)
     qvec, _qb, qnorm = _query_param(spark, sf_dir)
-    sim = (dot(F.col("embedding"), qvec) / (F.col("nrm") * qnorm)).alias(
+    sim = safe_div(dot(F.col("embedding"), qvec), F.col("nrm") * qnorm).alias(
         "cosine_sim"
     )
     sem_top = (

@@ -163,3 +163,17 @@ def oracle_dstddev(expr: str, scale: int = 4) -> str:
     sxx = oracle_dsum(f"({expr})*({expr})", scale)
     n = f"CAST(COUNT({expr}) AS DOUBLE)"
     return f"SQRT(({sxx} - ({sx})*({sx})/{n}) / ({n} - 1.0))"
+
+
+def sdiv(num: Column, den: Column) -> Column:
+    """Division that yields NULL on a zero denominator instead of the
+    job-aborting DIVIDE_BY_ZERO Spark 4's default ANSI mode raises.
+
+    This is EXACTLY DuckDB's native float-division semantics (x / 0.0 is
+    NULL there), so guarding each division — rather than wrapping whole
+    statistics in bespoke conditions — keeps Spark and the oracle
+    NULL-for-NULL identical on degenerate inputs (single-row variance
+    arms, zero weight totals, empty groups) with no oracle edits. The
+    whole-catalog degenerate-row sweep (tests/
+    test_degenerate_rows_sweep.py) pins the no-crash property."""
+    return F.when(den != 0, num / den)

@@ -80,7 +80,11 @@ def center_values_per_group(
     )
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf[value_col] * 100).round().astype("int64")
+        # dropna BEFORE the int cast: a NULL value would IntCastingNaNError
+        # the whole job; skipping it mirrors the oracle exactly (SQL SUM
+        # skips NULLs, COUNT(*) keeps the full denominator, and the NULL
+        # row's centered value stays NULL through NaN arithmetic)
+        cents = (pdf[value_col] * 100).round().dropna().astype("int64")
         mean = float(cents.sum()) / 100.0 / len(pdf)
         return pd.DataFrame(
             {

@@ -263,7 +263,12 @@ def weighted_sample(
         _hash_bucket(id_col, 1_000_000_007).cast("double")
         + F.lit(0.5)
     ) / F.lit(1_000_000_007.0)
-    key = F.pow(u, F.lit(1.0) / weight)
+    from nyc_taxi_pyspark_spark.functions.exact import sdiv
+
+    # sdiv: a zero-weight row (empty document) gets a NULL key, which
+    # sorts NULLS LAST under DESC — inclusion probability 0, the A-ES
+    # limit — instead of ANSI-aborting the job on 1/0
+    key = F.pow(u, sdiv(F.lit(1.0), weight))
     return (
         df.withColumn("__es_key", key)
         .orderBy(F.desc("__es_key"), F.col(id_col))

@@ -104,8 +104,22 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """NULL instead of ANSI DIVIDE_BY_ZERO on a degenerate denominator.
+    A zero-norm vector has no defined cosine; under Spark 4's default
+    ANSI mode a bare division would abort the whole job on the first
+    zero vector a 100 TB corpus inevitably contains. NULL is the honest
+    answer (and DuckDB's native float-division result), and in a DESC
+    ordering it sorts NULLS LAST, so degenerate candidates can never
+    displace a genuine top-k hit (tests/test_degenerate_rows_sweep.py
+    drives the whole catalog over zero vectors to pin this)."""
+    from nyc_taxi_pyspark_spark.functions.exact import sdiv
+
+    return sdiv(num, den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def signed_projection(vec: Column, signs: list[int]) -> Column:
@@ -133,7 +147,7 @@ def cosine_sim_expr(vec_col: str, query_vec: Column, query_norm: Column | None) 
     broadcast side) avoids re-deriving the same 64-term norm fold per corpus
     row — identical bits, one-third less per-row work."""
     qn = query_norm if query_norm is not None else l2_norm(query_vec)
-    return dot(F.col(vec_col), query_vec) / (l2_norm(F.col(vec_col)) * qn)
+    return safe_div(dot(F.col(vec_col), query_vec), l2_norm(F.col(vec_col)) * qn)
 
 
 def cosine_topk(
@@ -300,7 +314,7 @@ def ann_recall_at_k(
         )
     )
     sim = (
-        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+        safe_div(dot(F.col(vec_col), F.col("q_vec")), F.col("nrm") * F.col("q_nrm"))
     ).alias("sim")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
     exact = (
@@ -380,7 +394,7 @@ def mrl_recall_panel(
     )
     joined = df.join(queries, how="cross")
     full_sim = (
-        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+        safe_div(dot(F.col(vec_col), F.col("q_vec")), F.col("nrm") * F.col("q_nrm"))
     ).alias("sim")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
     exact = (
@@ -391,7 +405,7 @@ def mrl_recall_panel(
     )
     e_pre = F.slice(F.col(vec_col), 1, mrl_dim)
     q_pre = F.slice(F.col("q_vec"), 1, mrl_dim)
-    coarse_sim = (dot(e_pre, q_pre) / (l2_norm(e_pre) * l2_norm(q_pre))).alias(
+    coarse_sim = safe_div(dot(e_pre, q_pre), l2_norm(e_pre) * l2_norm(q_pre)).alias(
         "sim"
     )
     short = (
@@ -493,7 +507,7 @@ def ann_near_recall(
         )
     )
     sim = (
-        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+        safe_div(dot(F.col(vec_col), F.col("q_vec")), F.col("nrm") * F.col("q_nrm"))
     ).alias("sim")
     ground = (
         base.join(queries, how="cross")
@@ -620,7 +634,7 @@ def ivf_recall_at_k(
         )
     )
     sim = (
-        dot(F.col(vec_col), F.col("q_vec")) / (F.col("nrm") * F.col("q_nrm"))
+        safe_div(dot(F.col(vec_col), F.col("q_vec")), F.col("nrm") * F.col("q_nrm"))
     ).alias("sim")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col(id_col))
     exact = (
@@ -741,8 +755,9 @@ def int8_cosine(qvec_col: Column, query_q: list[int]) -> Column:
 
     qlit = F.array(*[F.lit(int(v)).cast("bigint") for v in query_q])
     qn = math.sqrt(sum(v * v for v in query_q))
-    return int_dot(qvec_col, qlit).cast("double") / (
-        F.sqrt(int_dot(qvec_col, qvec_col).cast("double")) * F.lit(qn)
+    return safe_div(
+        int_dot(qvec_col, qlit).cast("double"),
+        F.sqrt(int_dot(qvec_col, qvec_col).cast("double")) * F.lit(qn),
     )
 
 

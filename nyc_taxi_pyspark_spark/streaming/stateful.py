@@ -28,8 +28,13 @@ def _update(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        # exact integer cents — state stays order-independent and portable
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        # exact integer cents — state stays order-independent and portable.
+        # fillna(0) mirrors SQL SUM's NULL-skipping (a NULL value event
+        # counts toward n_events but adds 0 cents); without it a single
+        # NULL row kills the whole streaming query with IntCastingNaNError.
+        cents += int(
+            (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
+        )
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value_cents": [cents]}
