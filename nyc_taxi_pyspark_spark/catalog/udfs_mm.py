@@ -98,7 +98,7 @@ def udf_group_center(spark, sf_dir):
            CAST(16 + ((strpos('0123456789abcdef', md5(text)[3:3]) - 1) * 16
                       + strpos('0123456789abcdef', md5(text)[4:4]) - 1) % 240
                 AS INTEGER) AS fake_height
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def multimodal_features(spark, sf_dir):
@@ -119,7 +119,7 @@ def multimodal_features(spark, sf_dir):
     FROM (
         SELECT doc_id AS media_id, text,
                unnest(generate_series(1, 1 + octet_length(encode(text)) % 4)) AS i
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
     """,
 )
@@ -186,7 +186,7 @@ _DUCK_FAKE_H = (
                 AS INTEGER) AS out_height,
            greatest(w, h) > 224 AS needs_resample
     FROM (SELECT doc_id, {_DUCK_FAKE_W} AS w, {_DUCK_FAKE_H} AS h
-          FROM documents)
+          FROM documents WHERE text IS NOT NULL)
     """,
 )
 def multimodal_resize(spark, sf_dir):
@@ -205,8 +205,10 @@ def multimodal_resize(spark, sf_dir):
     oracle="""
     WITH media AS (
         SELECT doc_id AS media_id, text FROM documents
+        WHERE text IS NOT NULL
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 20 = 0
     ),
     g AS (
         SELECT md5(text) AS checksum, COUNT(*) AS n_copies,

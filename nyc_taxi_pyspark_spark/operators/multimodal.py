@@ -54,7 +54,14 @@ FEATURE_SCHEMA = T.StructType(
 
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as opaque media content — gives the
-    binary-column pipeline a deterministic corpus without media files."""
+    binary-column pipeline a deterministic corpus without media files.
+
+    NULL payloads are filtered here: a row whose blob is missing is an
+    ingest defect with nothing to decode, and letting a None reach the
+    Arrow batches would crash every downstream mapInPandas on
+    md5(None)/len(None) (the degenerate-row sweep pins this). The oracles
+    carry the same ``text IS NOT NULL`` predicate."""
+    docs = docs.filter(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("blob").alias("kind"),

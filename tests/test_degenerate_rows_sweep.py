@@ -115,6 +115,7 @@ def degenerate_sf_dir(tmp_path_factory):
         (4, _TS + datetime.timedelta(seconds=1), 10, "purchase", 9.99, None),
         (5, _TS, 11, "view", 0.0, '{"k": 0}'),
         (6, _TS + datetime.timedelta(hours=40), 11, "mystery", 1.0, "null"),
+        (7, _TS + datetime.timedelta(hours=41), 12, None, 2.0, None),
     ]
     w("events", _t(
         event_id=[r[0] for r in ev],
@@ -135,6 +136,7 @@ def degenerate_sf_dir(tmp_path_factory):
          "", "src2", 60),  # empty lang
         (8, "the quick brown fox jumps over the lazy dog again and again",
          "en", "src3", 60),  # exact dup of 7's text, other source
+        (9, None, None, "src3", 0),  # NULL text and lang
     ]
     w("documents", _t(
         doc_id=[r[0] for r in docs],
