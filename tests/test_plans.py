@@ -942,6 +942,18 @@ def test_survival_km_risk_window_is_partitioned(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_novelty_curve_cumsum_window_is_partitioned(spark):
+    """The novelty running total must never single-task the corpus-sized
+    per-doc frame: tier-1 prefix on the 1/1024 cell frame, tier-2
+    partitioned within-cell prefix, broadcast rejoin."""
+    df = QUERIES["text_novelty_curve"](spark, SF)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(cell" in plan
+    assert has_broadcast_join(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_mann_whitney_value_frame_window_is_partitioned(spark):
     """Same two-tier discipline for the rank-sum midranks: the distinct-
     value cumulative count is a PARTITIONED window on the unit-width
