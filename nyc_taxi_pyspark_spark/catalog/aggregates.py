@@ -503,7 +503,7 @@ def grouping_sets_sums(spark, sf_dir):
         """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+               CAST(SUM(try_cast(ROUND(l_quantity * 100.0) as bigint)) AS DOUBLE) / 100.0
                  AS sum_qty
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())

@@ -153,7 +153,7 @@ def events_retention(spark, sf_dir):
     agg AS (
         SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               CAST(SUM(try_cast(ROUND(value * 100) as bigint)) AS DOUBLE) / 100
                  AS sum_value
         FROM events GROUP BY 1
     )
@@ -585,7 +585,7 @@ def events_markov_transitions(spark, sf_dir):
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_error,
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active,
-           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0
+           CAST(SUM(try_cast(ROUND(value * 100.0) as bigint)) AS DOUBLE) / 100.0
                AS total_value,
            CAST(date_diff('day', CAST(MAX(ts) AS DATE),
                           CAST((SELECT max_ts FROM anchor) AS DATE))
@@ -626,7 +626,7 @@ def events_user_features(spark, sf_dir):
             .cast("bigint")
             .alias("days_active"),
             (
-                F.sum(F.round(F.col("value") * 100.0).cast("bigint")).cast(
+                F.sum(F.round(F.col("value") * 100.0).try_cast("bigint")).cast(
                     "double"
                 )
                 / 100.0
@@ -647,7 +647,7 @@ def events_user_features(spark, sf_dir):
                COUNT(*) OVER pre AS n_prior_events,
                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                    OVER pre AS n_prior_purchases,
-               SUM(CAST(ROUND(value * 100.0) AS BIGINT)) OVER pre
+               SUM(try_cast(ROUND(value * 100.0) as bigint)) OVER pre
                    AS prior_cents
         FROM events
         WINDOW pre AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -680,7 +680,7 @@ def events_leakfree_labels(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cents = F.round(F.col("value") * 100.0).cast("bigint")
+    cents = F.round(F.col("value") * 100.0).try_cast("bigint")
     enriched = ev.select(
         "event_id",
         "user_id",
@@ -862,7 +862,7 @@ def events_ewma_anomaly(spark, sf_dir):
     oracle="""
     WITH c AS (
         SELECT event_type, ts, event_id,
-               CAST(ROUND(value * 100.0) AS BIGINT) AS cents
+               try_cast(ROUND(value * 100.0) as bigint) AS cents
         FROM events
     ),
     tot AS (
@@ -921,7 +921,7 @@ def events_cusum_changepoint(spark, sf_dir):
         "event_type",
         "ts",
         "event_id",
-        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("value") * 100).try_cast("bigint").alias("cents"),
     )
     tot = c.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -373,7 +373,7 @@ def tpch_q5_local_volume(spark, sf_dir):
     oracle=f"""
     WITH per_part AS (
         SELECT l_partkey,
-               (CAST(SUM(CAST(ROUND(l_quantity * 100.0) AS BIGINT))
+               (CAST(SUM(try_cast(ROUND(l_quantity * 100.0) as bigint))
                      AS DOUBLE) / 100.0) / COUNT(l_quantity) AS avg_qty
         FROM lineitem GROUP BY l_partkey
     )

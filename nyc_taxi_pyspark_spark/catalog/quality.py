@@ -162,7 +162,7 @@ def table_diff_orders(spark, sf_dir):
     ),
     means AS (
         SELECT event_type,
-               (CAST(SUM(CAST(ROUND(v * 100.0) AS BIGINT)) AS DOUBLE)
+               (CAST(SUM(try_cast(ROUND(v * 100.0) as bigint)) AS DOUBLE)
                 / 100.0) / COUNT(v) AS grp_mean
         FROM masked GROUP BY event_type
     )
@@ -202,7 +202,7 @@ def null_fill_group_mean(spark, sf_dir):
                date_diff('day', MAX(CAST(o_orderdate AS DATE)),
                          (SELECT max_d FROM anchor)) AS recency_days,
                COUNT(*) AS frequency,
-               SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+               SUM(try_cast(ROUND(o_totalprice * 100.0) as bigint))
                    AS monetary_cents
         FROM orders GROUP BY o_custkey
     ),
@@ -252,7 +252,7 @@ def customer_rfm(spark, sf_dir):
             F.max(F.to_date("o_orderdate")).alias("__last_d"),
             F.count(F.lit(1)).alias("frequency"),
             F.sum(
-                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                F.round(F.col("o_totalprice") * 100).try_cast("bigint")
             ).alias("monetary_cents"),
         )
         .join(F.broadcast(anchor))
@@ -527,7 +527,7 @@ def feature_scaling(spark, sf_dir):
     oracle="""
     WITH monthly AS (
         SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
-               (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+               (CAST(SUM(try_cast(ROUND(o_totalprice * 100.0) as bigint))
                      AS DOUBLE) / 100.0) AS revenue
         FROM orders GROUP BY 1
     )
@@ -563,11 +563,11 @@ def _ttest_oracle() -> str:
         n = f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS DOUBLE)"
         sx = (
             "(CAST(SUM(CASE WHEN event_type = '" + t + "' THEN "
-            "CAST(ROUND(value * 100.0) AS BIGINT) END) AS DOUBLE) / 100.0)"
+            "try_cast(ROUND(value * 100.0) as bigint) END) AS DOUBLE) / 100.0)"
         )
         sxx = (
             "(CAST(SUM(CASE WHEN event_type = '" + t + "' THEN "
-            "CAST(ROUND((value * value) * 10000.0) AS BIGINT) END) AS DOUBLE)"
+            "try_cast(ROUND((value * value) * 10000.0) as bigint) END) AS DOUBLE)"
             " / 10000.0)"
         )
         return f"{n} AS n_{alias}, {sx} AS sx_{alias}, {sxx} AS sxx_{alias}"
@@ -607,10 +607,10 @@ def stats_ttest(spark, sf_dir):
 
     def side(t: str):
         is_t = F.col("event_type") == t
-        cents = F.when(is_t, F.round(F.col("value") * 100).cast("bigint"))
+        cents = F.when(is_t, F.round(F.col("value") * 100).try_cast("bigint"))
         sqc = F.when(
             is_t,
-            F.round(F.col("value") * F.col("value") * 10000).cast("bigint"),
+            F.round(F.col("value") * F.col("value") * 10000).try_cast("bigint"),
         )
         return (
             F.count(F.when(is_t, 1)).cast("double"),
@@ -803,14 +803,14 @@ _DECILE_PS = [i / 10.0 for i in range(1, 10)]
     "histogram_equidepth",
     oracle=f"""
     WITH cuts AS (
-        SELECT quantile_disc(CAST(ROUND(o_totalprice * 100.0) AS BIGINT),
+        SELECT quantile_disc(try_cast(ROUND(o_totalprice * 100.0) as bigint),
                              [{", ".join(str(p) for p in _DECILE_PS)}]) AS cs
         FROM orders
     ),
     b AS (
         SELECT o_totalprice,
                1 + len(list_filter(cs,
-                     c -> CAST(ROUND(o_totalprice * 100.0) AS BIGINT) > c))
+                     c -> try_cast(ROUND(o_totalprice * 100.0) as bigint) > c))
                    AS bucket
         FROM orders CROSS JOIN cuts
     )
@@ -836,14 +836,14 @@ def histogram_equidepth(spark, sf_dir):
     cutpoint share a bucket, so depths are near-equal, not exact — the
     honest semantics of any statistics-based equi-depth histogram."""
     orders = load_table(spark, sf_dir, "orders")
-    cents_sql = "cast(round(o_totalprice * 100.0) as bigint)"
+    cents_sql = "try_cast(round(o_totalprice * 100.0) as bigint)"
     ps = ", ".join(str(p) for p in _DECILE_PS)
     cuts = orders.agg(
         F.expr(
             f"approx_percentile({cents_sql}, array({ps}), 1000000)"
         ).alias("__cs")
     )
-    cents = F.round(F.col("o_totalprice") * 100.0).cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100.0).try_cast("bigint")
     b = orders.join(F.broadcast(cuts)).select(
         "o_totalprice",
         (
@@ -904,11 +904,11 @@ def histogram_equidepth_exact(spark, sf_dir):
     "group_quantiles",
     oracle="""
     SELECT event_type,
-           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.50) / 100.0
+           quantile_cont(try_cast(ROUND(value * 100.0) as bigint), 0.50) / 100.0
                AS p50,
-           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.90) / 100.0
+           quantile_cont(try_cast(ROUND(value * 100.0) as bigint), 0.90) / 100.0
                AS p90,
-           quantile_cont(CAST(ROUND(value * 100.0) AS BIGINT), 0.99) / 100.0
+           quantile_cont(try_cast(ROUND(value * 100.0) as bigint), 0.99) / 100.0
                AS p99
     FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -922,7 +922,7 @@ def group_quantiles(spark, sf_dir):
     group key; at 100 TB swap to approx_percentile with the same output
     schema when exactness isn't required."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
-    cents = "cast(round(value * 100.0) as bigint)"
+    cents = "try_cast(round(value * 100.0) as bigint)"
     return (
         ev.groupBy("event_type")
         .agg(
@@ -943,7 +943,7 @@ def group_quantiles(spark, sf_dir):
            CAST(qs[3] AS DOUBLE) / 100.0 AS p99
     FROM (
         SELECT event_type,
-               quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT),
+               quantile_disc(try_cast(ROUND(value * 100.0) as bigint),
                              [0.5, 0.9, 0.99]) AS qs
         FROM events GROUP BY event_type
     ) ORDER BY event_type
@@ -961,7 +961,7 @@ def group_quantiles_approx(spark, sf_dir):
     EXACT and hash-checkable against DuckDB's discrete quantile — the same
     plan that would run at scale, adjudicated exactly where it can be."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
-    cents = "cast(round(value * 100.0) as bigint)"
+    cents = "try_cast(round(value * 100.0) as bigint)"
     return (
         ev.groupBy("event_type")
         .agg(
@@ -1116,19 +1116,19 @@ def _chi2_report(cells):
     oracle="""
     WITH cuts AS (
         SELECT event_type,
-               quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT), 0.05)
+               quantile_disc(try_cast(ROUND(value * 100.0) as bigint), 0.05)
                    AS lo_c,
-               quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT), 0.95)
+               quantile_disc(try_cast(ROUND(value * 100.0) as bigint), 0.95)
                    AS hi_c
         FROM events GROUP BY event_type
     ),
     clipped AS (
         SELECT e.event_type,
-               CAST(ROUND(value * 100.0) AS BIGINT) AS c, lo_c, hi_c,
+               try_cast(ROUND(value * 100.0) as bigint) AS c, lo_c, hi_c,
                CASE
-                 WHEN CAST(ROUND(value * 100.0) AS BIGINT) < lo_c THEN lo_c
-                 WHEN CAST(ROUND(value * 100.0) AS BIGINT) > hi_c THEN hi_c
-                 ELSE CAST(ROUND(value * 100.0) AS BIGINT)
+                 WHEN try_cast(ROUND(value * 100.0) as bigint) < lo_c THEN lo_c
+                 WHEN try_cast(ROUND(value * 100.0) as bigint) > hi_c THEN hi_c
+                 ELSE try_cast(ROUND(value * 100.0) as bigint)
                END AS wc
         FROM events e JOIN cuts USING (event_type)
     )
@@ -1155,7 +1155,7 @@ def events_value_winsorized(spark, sf_dir):
     keyed per group. Discrete cutpoints are themselves whole cents, so
     the clamp and the post-clamp sum stay in exact int64 end to end."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
-    cents_sql = "cast(round(value * 100.0) as bigint)"
+    cents_sql = "try_cast(round(value * 100.0) as bigint)"
     cuts = ev.groupBy("event_type").agg(
         F.expr(f"approx_percentile({cents_sql}, 0.05, 1000000)").alias(
             "lo_c"
@@ -1164,7 +1164,7 @@ def events_value_winsorized(spark, sf_dir):
             "hi_c"
         ),
     )
-    c = F.round(F.col("value") * 100.0).cast("bigint")
+    c = F.round(F.col("value") * 100.0).try_cast("bigint")
     wc = (
         F.when(c < F.col("lo_c"), F.col("lo_c"))
         .when(c > F.col("hi_c"), F.col("hi_c"))
@@ -1465,7 +1465,7 @@ def benford_first_digit(spark, sf_dir):
     oracle=f"""
     WITH per_cust AS (
         SELECT o_custkey,
-               (CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+               (CAST(SUM(try_cast(ROUND(o_totalprice * 100.0) as bigint))
                      AS BIGINT)) AS rev_cents
         FROM orders GROUP BY o_custkey
     ),
@@ -1503,7 +1503,7 @@ def orders_pareto_share(spark, sf_dir):
     1e6-value accuracy bound), so decile comparisons are int-vs-int."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+        F.sum(F.round(F.col("o_totalprice") * 100).try_cast("bigint")).alias(
             "rev_cents"
         )
     )
@@ -1561,7 +1561,7 @@ def skew_salted_agg(spark, sf_dir):
     sf0.01 each of the 5 event types holds ~20% of all rows, the extreme
     version of the skew AQE mitigates at runtime."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
-    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    cents = F.round(F.col("value") * F.lit(100.0)).try_cast("bigint")
     out = salted_aggregate(
         ev,
         keys=["event_type"],
@@ -1642,7 +1642,7 @@ def join_skew_audit(spark, sf_dir):
                - (year(f.cohort_month) * 12 + month(f.cohort_month))
                    AS months_since,
                o.o_custkey,
-               CAST(ROUND(o.o_totalprice * 100.0) AS BIGINT) AS cents
+               try_cast(ROUND(o.o_totalprice * 100.0) as bigint) AS cents
         FROM orders o JOIN first_order f USING (o_custkey)
     )
     SELECT cohort_month, CAST(months_since AS BIGINT) AS months_since,
@@ -1679,7 +1679,7 @@ def orders_cohort_ltv(spark, sf_dir):
         "cohort_month",
         months_since.cast("bigint").alias("months_since"),
         "o_custkey",
-        F.round(F.col("o_totalprice") * 100.0).cast("bigint").alias("cents"),
+        F.round(F.col("o_totalprice") * 100.0).try_cast("bigint").alias("cents"),
     )
     return (
         joined.groupBy("cohort_month", "months_since")
@@ -1697,7 +1697,7 @@ def orders_cohort_ltv(spark, sf_dir):
     oracle="""
     WITH monthly AS (
         SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+               CAST(SUM(try_cast(ROUND(o_totalprice * 100.0) as bigint))
                     AS BIGINT) AS rev_cents
         FROM orders GROUP BY 1
     ),
@@ -1742,7 +1742,7 @@ def orders_forecast_linear(spark, sf_dir):
     monthly = orders.groupBy(
         (F.year(om) * 12 + F.month(om)).alias("mi")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100.0).cast("bigint"))
+        F.sum(F.round(F.col("o_totalprice") * 100.0).try_cast("bigint"))
         .cast("bigint")
         .alias("rev_cents")
     )
@@ -1788,13 +1788,13 @@ def orders_forecast_linear(spark, sf_dir):
     "events_qq_compare",
     oracle="""
     WITH a AS (
-        SELECT quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT),
+        SELECT quantile_disc(try_cast(ROUND(value * 100.0) as bigint),
                              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
                    AS qs
         FROM events WHERE event_type = 'purchase'
     ),
     b AS (
-        SELECT quantile_disc(CAST(ROUND(value * 100.0) AS BIGINT),
+        SELECT quantile_disc(try_cast(ROUND(value * 100.0) as bigint),
                              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
                    AS qs
         FROM events WHERE event_type = 'view'
@@ -1816,7 +1816,7 @@ def events_qq_compare(spark, sf_dir):
     at the 1e6 accuracy bound), cross-joined as two 1-row frames and
     unrolled to nine decile rows with exact integer-cents differences."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
-    cents_sql = "cast(round(value * 100.0) as bigint)"
+    cents_sql = "try_cast(round(value * 100.0) as bigint)"
     ps = "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)"
 
     def qvec(t):
@@ -2138,7 +2138,7 @@ _SKYLINE_BUCKET_CENTS = 10_000  # $100-wide price cells for the grid prune
     oracle="""
     WITH b AS (
         SELECT p_partkey, p_size,
-               CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+               try_cast(ROUND(p_retailprice * 100) as bigint) AS price_cents
         FROM part
     )
     SELECT p.p_partkey, p.p_size, p.price_cents
@@ -2224,7 +2224,7 @@ def _did_oracle() -> str:
         )
         s = (
             f"(CAST(SUM(CASE WHEN {cond} THEN "
-            f"CAST(ROUND(value * 100.0) AS BIGINT) ELSE 0 END) AS DOUBLE)"
+            f"try_cast(ROUND(value * 100.0) as bigint) ELSE 0 END) AS DOUBLE)"
             f" / CAST(100 AS DOUBLE))"
         )
         return f"{n} AS n_{alias}, {s} AS s_{alias}"
@@ -2274,7 +2274,7 @@ def events_diff_in_diff(spark, sf_dir):
     against an assignment table — assignment is a pure key function)."""
     ev = load_table(spark, sf_dir, "events")
     cut = F.lit(_DID_CUTOVER).cast("timestamp")
-    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    cents = F.round(F.col("value") * F.lit(100.0)).try_cast("bigint")
 
     def cell(alias: str, treated: int, post: bool):
         cond = (F.col("user_id") % 2 == treated) & (
@@ -2331,7 +2331,7 @@ def events_diff_in_diff(spark, sf_dir):
 # exact-cents integer so the class keys are drift-free across engines.
 
 _QI_BAND_SQL = (
-    "CAST(FLOOR(CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+    "CAST(FLOOR(try_cast(ROUND(c_acctbal * 100) as bigint)"
     " / CAST(100000 AS DOUBLE)) AS BIGINT)"
 )
 _K_ANON = 5
@@ -2339,7 +2339,7 @@ _L_DIV_LIMIT = 20
 
 
 def _qi_band() -> F.Column:
-    cents = F.round(F.col("c_acctbal") * F.lit(100.0)).cast("bigint")
+    cents = F.round(F.col("c_acctbal") * F.lit(100.0)).try_cast("bigint")
     return F.floor(cents / F.lit(100000.0)).cast("bigint")
 
 
@@ -2556,9 +2556,9 @@ def _anova_oracle() -> str:
     WITH g AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+               CAST(SUM(try_cast(ROUND(value * 100.0) as bigint)) AS BIGINT)
                  AS sc,
-               CAST(SUM(CAST(ROUND((value * value) * 10000.0) AS BIGINT))
+               CAST(SUM(try_cast(ROUND((value * value) * 10000.0) as bigint))
                     AS BIGINT) AS sqc
         FROM events GROUP BY event_type
     ),
@@ -2620,8 +2620,8 @@ def stats_anova_oneway(spark, sf_dir):
     100 TB this is scan → 5-row aggregate → arithmetic: no data-sized
     shuffle at all."""
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
-    sqc = F.round((F.col("value") * F.col("value")) * F.lit(10000.0)).cast(
+    cents = F.round(F.col("value") * F.lit(100.0)).try_cast("bigint")
+    sqc = F.round((F.col("value") * F.col("value")) * F.lit(10000.0)).try_cast(
         "bigint"
     )
     from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
@@ -2849,9 +2849,9 @@ def _neyman_oracle() -> str:
     return f"""
     WITH g AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+               CAST(SUM(try_cast(ROUND(value * 100.0) as bigint)) AS BIGINT)
                  AS sc,
-               CAST(SUM(CAST(ROUND((value * value) * 10000.0) AS BIGINT))
+               CAST(SUM(try_cast(ROUND((value * value) * 10000.0) as bigint))
                     AS BIGINT) AS sqc
         FROM events GROUP BY event_type
     ),
@@ -2917,8 +2917,8 @@ def sample_neyman_allocation(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
-    sqc = F.round((F.col("value") * F.col("value")) * F.lit(10000.0)).cast(
+    cents = F.round(F.col("value") * F.lit(100.0)).try_cast("bigint")
+    sqc = F.round((F.col("value") * F.col("value")) * F.lit(10000.0)).try_cast(
         "bigint"
     )
     g = ev.groupBy("event_type").agg(
@@ -3009,7 +3009,7 @@ _KS_BUCKET_CENTS = 1_000  # $10 value cells for the KS two-tier ECDF rank
     oracle="""
     WITH rev AS (
         SELECT o_custkey,
-               CAST(SUM(CAST(ROUND(o_totalprice * 100.0) AS BIGINT))
+               CAST(SUM(try_cast(ROUND(o_totalprice * 100.0) as bigint))
                     AS BIGINT) AS rc
         FROM orders GROUP BY o_custkey
     ),
@@ -3052,7 +3052,7 @@ def orders_gini_concentration(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(
-            F.round(F.col("o_totalprice") * F.lit(100.0)).cast("bigint")
+            F.round(F.col("o_totalprice") * F.lit(100.0)).try_cast("bigint")
         ).alias("rc")
     )
     rev = rev.withColumn(
@@ -3094,7 +3094,7 @@ def orders_gini_concentration(spark, sf_dir):
     "stats_ks_test",
     oracle="""
     WITH g AS (
-        SELECT CAST(ROUND(value * 100.0) AS BIGINT) AS vc,
+        SELECT try_cast(ROUND(value * 100.0) as bigint) AS vc,
                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n1,
                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
@@ -3154,7 +3154,7 @@ def stats_ks_test(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "error")
     )
-    vc = F.round(F.col("value") * F.lit(100.0)).cast("bigint")
+    vc = F.round(F.col("value") * F.lit(100.0)).try_cast("bigint")
     g = ev.groupBy(vc.alias("vc")).agg(
         F.sum((F.col("event_type") == "click").cast("bigint")).alias("n1"),
         F.sum((F.col("event_type") == "error").cast("bigint")).alias("n2"),

@@ -16,6 +16,7 @@ from nyc_taxi_pyspark_spark.operators.similarity import (
     N_PLANES,
     dot,
     hyperplane_signs,
+    finite_vec,
     l2_norm,
     l2_norm_py,
     lsh_bucket,
@@ -735,6 +736,7 @@ def _centroids(spark, sf_dir):
         rows = (
             load_table(spark, sf_dir, "embeddings")
             .filter(F.col("vec_id").between(1, N_CENTROIDS))
+            .filter(finite_vec(F.col("embedding")))  # unindexable guard
             .select("vec_id", "embedding")
             .collect()
         )
@@ -1416,7 +1418,8 @@ def embed_pq_codes(spark, sf_dir):
     )
     seeds = [
         (int(r["vec_id"]), [int(x) for x in r["xq"]])
-        for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
+        for r in vq.filter(F.col("vec_id").between(1, PQ_K))
+        .filter(~F.exists("xq", lambda x: x.isNull())).collect()
     ]
     return pq_assign(vq, pq_codebooks(seeds)).select(
         "vec_id", "pq_code", "recon_err_q"
@@ -1493,7 +1496,8 @@ def embed_pq_search(spark, sf_dir):
     )
     seeds = [
         (int(r["vec_id"]), [int(x) for x in r["xq"]])
-        for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
+        for r in vq.filter(F.col("vec_id").between(1, PQ_K))
+        .filter(~F.exists("xq", lambda x: x.isNull())).collect()
     ]
     books = pq_codebooks(seeds)
     qrow = vq.filter(F.col("vec_id") == 0).first()
@@ -1580,7 +1584,8 @@ def embed_ivfpq_search(spark, sf_dir):
     vq = ivf.select("vec_id", "cell", quantize8(F.col("embedding")).alias("xq"))
     seeds = [
         (int(r["vec_id"]), [int(x) for x in r["xq"]])
-        for r in vq.filter(F.col("vec_id").between(1, PQ_K)).collect()
+        for r in vq.filter(F.col("vec_id").between(1, PQ_K))
+        .filter(~F.exists("xq", lambda x: x.isNull())).collect()
     ]
     books = pq_codebooks(seeds)
     query_xq = [int(x) for x in vq.filter(F.col("vec_id") == 0).first()["xq"]]

@@ -63,7 +63,7 @@ _ZART = os.path.join(os.path.dirname(_ART), "zorder")
     "zorder_pruned_scan",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(try_cast(ROUND(l_extendedprice * 100) as bigint)) AS BIGINT)
              AS price_cents,
            MIN(l_orderkey) AS min_orderkey
     FROM lineitem
@@ -90,7 +90,7 @@ def zorder_pruned_scan(spark, sf_dir):
         back.filter((F.col("l_partkey") <= 200) & (F.col("l_suppkey") <= 20))
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            F.sum(F.round(F.col("l_extendedprice") * 100).try_cast("bigint")).alias(
                 "price_cents"
             ),
             F.min("l_orderkey").alias("min_orderkey"),
@@ -105,7 +105,7 @@ _PART = os.path.join(os.path.dirname(_ART), "partitioned")
     "partitioned_pruned_scan",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+           CAST(COALESCE(SUM(try_cast(ROUND(o_totalprice * 100) as bigint)), 0)
                 AS BIGINT) AS total_cents,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
     FROM orders
@@ -133,7 +133,7 @@ def partitioned_pruned_scan(spark, sf_dir):
     return back.filter(F.col("o_year") == 1995).agg(
         F.count("*").alias("n_orders"),
         F.coalesce(
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")),
+            F.sum(F.round(F.col("o_totalprice") * 100).try_cast("bigint")),
             F.lit(0),
         ).alias("total_cents"),
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -201,7 +201,7 @@ def orc_roundtrip(spark, sf_dir):
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)), 0)
+           CAST(COALESCE(SUM(try_cast(ROUND(o_totalprice * 100) as bigint)), 0)
                 AS BIGINT) AS total_cents,
            MAX(o_orderkey) AS max_key
     FROM merged
@@ -239,7 +239,7 @@ def merge_upsert_agg(spark, sf_dir):
     merged = merge_upsert(orders, updates, ["o_orderkey"])
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+        F.sum(F.round(F.col("o_totalprice") * 100).try_cast("bigint")).alias(
             "total_cents"
         ),
         F.max("o_orderkey").alias("max_key"),
@@ -319,7 +319,7 @@ def scd2_versions(spark, sf_dir):
            bit_xor({duck_row_hash(
                "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)"
                " || '|' || o_orderstatus"
-               " || '|' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)"
+               " || '|' || CAST(try_cast(ROUND(o_totalprice * 100) as bigint) AS VARCHAR)"
                " || '|' || strftime(o_orderdate, '%Y-%m-%d')"
                " || '|' || o_orderpriority"
            )}) AS fingerprint
@@ -343,7 +343,7 @@ def orders_content_fingerprint(spark, sf_dir):
         F.col("o_orderkey"),
         F.col("o_custkey"),
         F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        F.round(F.col("o_totalprice") * 100).try_cast("bigint"),
         F.date_format("o_orderdate", "yyyy-MM-dd"),
         F.col("o_orderpriority"),
     )

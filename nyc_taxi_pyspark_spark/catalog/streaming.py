@@ -148,7 +148,7 @@ def stream_static_enrich(spark, sf_dir):
     "stream_stateful_totals",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100.0) AS BIGINT)) AS BIGINT)
+           CAST(SUM(try_cast(ROUND(value * 100.0) as bigint)) AS BIGINT)
                AS sum_value_cents
     FROM events GROUP BY user_id ORDER BY user_id
     """,
@@ -278,7 +278,7 @@ def stream_distribution_drift(spark, sf_dir):
     oracle=f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(try_cast(ROUND(value * 100) as bigint)) AS BIGINT)
                AS sum_cents
     FROM events
     GROUP BY event_type

@@ -71,7 +71,7 @@ def udf_pandas_ratio(spark, sf_dir):
     "udf_group_center",
     oracle="""
     SELECT event_id, user_id, value,
-           value - (CAST(SUM(CAST(round(value * 100) AS BIGINT))
+           value - (CAST(SUM(try_cast(round(value * 100) as bigint))
                          OVER (PARTITION BY user_id) AS DOUBLE)
                     / 100.0 / COUNT(*) OVER (PARTITION BY user_id)) AS centered
     FROM events
@@ -266,7 +266,7 @@ def multimodal_dedup(spark, sf_dir):
     "udf_arrow_center",
     oracle="""
     SELECT event_id, user_id, value,
-           value - (CAST(SUM(CAST(round(value * 100) AS BIGINT))
+           value - (CAST(SUM(try_cast(round(value * 100) as bigint))
                          OVER (PARTITION BY user_id) AS DOUBLE)
                     / 100.0 / COUNT(*) OVER (PARTITION BY user_id)) AS centered
     FROM events

@@ -167,7 +167,7 @@ def window_lead_share(spark, sf_dir):
     "window_range_frame",
     oracle="""
     SELECT o_orderkey, o_orderdate,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+           CAST(SUM(try_cast(ROUND(o_totalprice * 100) as bigint))
                 OVER (ORDER BY date_diff('day', DATE '1992-01-01',
                                          CAST(o_orderdate AS DATE))
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -200,7 +200,7 @@ def window_range_frame(spark, sf_dir):
     days = F.datediff(
         F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
     )
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cents = F.round(F.col("o_totalprice") * 100).try_cast("bigint")
     day_agg = o.groupBy(days.alias("__day")).agg(
         F.sum(cents).alias("__day_cents"),
         F.count("*").alias("__day_orders"),

@@ -49,7 +49,16 @@ def _c(col: Column | str) -> Column:
 
 
 def _cents(col: Column | str, scale: int) -> Column:
-    return F.round(_c(col) * F.lit(float(10**scale))).cast("bigint")
+    """Exact-decimal quantizer with the engine's dirty-data contract:
+    a NON-FINITE measure (NaN/±Inf — one broken sensor in a 100 TB
+    telemetry table), or a finite one whose cents exceed int64, quantizes
+    to NULL via ``try_cast``, which every aggregate then skips exactly
+    like SQL's NULL handling — instead of ANSI mode's CAST_OVERFLOW
+    aborting the whole job (the degenerate-row sweep found 25 queries
+    dying on a single NaN before this guard). A no-op on in-range finite
+    data, so every oracle hash is unchanged. Inline quantizers across the
+    catalog follow the same ``try_cast(... as bigint)`` contract."""
+    return F.round(_c(col) * F.lit(float(10**scale))).try_cast("bigint")
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:
@@ -138,7 +147,7 @@ def oracle_dsum_wide(expr: str, scale: int = 4) -> str:
     for negative inputs too, matching the Spark side's floor-div/pmod pair."""
     s = float(10**scale)
     w = float(_WIDE_SPLIT)
-    c = f"CAST(ROUND(({expr}) * {s}) AS BIGINT)"
+    c = f"TRY_CAST(ROUND(({expr}) * {s}) AS BIGINT)"
     hi = f"SUM(CAST(FLOOR({c} / {w}) AS BIGINT))"
     lo = f"SUM((({c} % {_WIDE_SPLIT}) + {_WIDE_SPLIT}) % {_WIDE_SPLIT})"
     return (
@@ -147,10 +156,12 @@ def oracle_dsum_wide(expr: str, scale: int = 4) -> str:
 
 
 def oracle_dsum(expr: str, scale: int = 4) -> str:
-    """DuckDB SQL text twin of :func:`dsum` for oracle queries."""
+    """DuckDB SQL text twin of :func:`dsum` for oracle queries (TRY_CAST
+    mirrors the Spark side's non-finite→NULL dirty-data contract)."""
     s = float(10**scale)
     return (
-        f"(CAST(SUM(CAST(ROUND(({expr}) * {s}) AS BIGINT)) AS DOUBLE) / {s})"
+        f"(CAST(SUM(TRY_CAST(ROUND(({expr}) * {s}) AS BIGINT)) AS DOUBLE)"
+        f" / {s})"
     )
 
 

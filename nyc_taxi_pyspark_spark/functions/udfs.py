@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -80,11 +81,13 @@ def center_values_per_group(
     )
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
-        # dropna BEFORE the int cast: a NULL value would IntCastingNaNError
-        # the whole job; skipping it mirrors the oracle exactly (SQL SUM
-        # skips NULLs, COUNT(*) keeps the full denominator, and the NULL
+        # keep only FINITE cents before the int cast: a NULL/NaN/Inf value
+        # would IntCastingNaNError the whole job; skipping them mirrors the
+        # engine's dirty-data contract (exact.py::_cents -> NULL, SQL SUM
+        # skips NULLs, COUNT(*) keeps the full denominator, and the dirty
         # row's centered value stays NULL through NaN arithmetic)
-        cents = (pdf[value_col] * 100).round().dropna().astype("int64")
+        raw = pdf[value_col] * 100
+        cents = raw[np.isfinite(raw)].round().astype("int64")
         mean = float(cents.sum()) / 100.0 / len(pdf)
         return pd.DataFrame(
             {
@@ -128,6 +131,9 @@ def center_values_per_group_arrow(
     def center(table: pa.Table) -> pa.Table:
         values = table.column(value_col)
         cents = pc.round(pc.multiply(values, pa.scalar(100.0)))
+        # non-finite cents -> NULL before the int cast (Arrow raises on
+        # NaN/Inf->int64); pc.sum skips NULLs like SQL SUM
+        cents = pc.if_else(pc.is_finite(cents), cents, pa.scalar(None, pa.float64()))
         total = pc.sum(pc.cast(cents, pa.int64())).as_py() or 0
         mean = float(total) / 100.0 / max(table.num_rows, 1)
         return pa.table(

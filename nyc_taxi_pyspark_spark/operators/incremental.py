@@ -44,7 +44,7 @@ def partial_agg_state(
     (exact integer sum at ``scale`` decimal digits), ``min_v``, ``max_v``.
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    cents = F.round(v * F.lit(float(10**scale))).cast("bigint")
+    cents = F.round(v * F.lit(float(10**scale))).try_cast("bigint")
     return df.groupBy(*key_cols).agg(
         F.count(v).alias("n"),
         F.sum(cents).alias("sum_cents"),

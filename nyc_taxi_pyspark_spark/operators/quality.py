@@ -206,7 +206,7 @@ def fill_group_mean(
     shuffle on the group key; no join, no driver state.
     """
     w = Window.partitionBy(*group_cols)
-    cents = F.round(F.col(col) * F.lit(float(10**scale))).cast("bigint")
+    cents = F.round(F.col(col) * F.lit(float(10**scale))).try_cast("bigint")
     mean = (
         F.sum(cents).over(w).cast("double") / F.lit(float(10**scale))
     ) / F.count(F.col(col)).over(w)

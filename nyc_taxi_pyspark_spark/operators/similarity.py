@@ -122,6 +122,21 @@ def cosine(a: Column, b: Column) -> Column:
     return safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def finite_vec(vec: Column) -> Column:
+    """Indexability predicate: every component finite. A vector with a
+    NaN/Inf component (a broken encoder) cannot serve as a centroid, PQ
+    seed, or k-means seed — its distances are undefined and the Python
+    parameter twins (dsum_py et al.) would crash on math.floor(nan). As a
+    CORPUS row it may stay: the JVM floor-fold maps it to NULL-or-garbage
+    scores that sort last (safe_div contract), but parameter collections
+    must filter on this predicate (degenerate-row sweep pins it)."""
+    x = lambda c: c.cast("double")  # noqa: E731
+    return ~F.exists(
+        vec,
+        lambda c: F.isnan(x(c)) | (F.abs(x(c)) == F.lit(float("inf"))),
+    )
+
+
 def signed_projection(vec: Column, signs: list[int]) -> Column:
     """Dot product against a ±1 hyperplane as decimal-exact signed sum."""
     terms = F.zip_with(
@@ -861,7 +876,12 @@ def ivf_train(
     """
     vq = vectors.select(id_col, quantize8(F.col(vec_col)).alias("xq"))
     seeds = (
-        vq.filter(F.col(id_col).between(1, k)).select(id_col, "xq").collect()
+        vq.filter(F.col(id_col).between(1, k))
+        # a NaN/Inf component quantizes to a NULL xq entry — unindexable
+        # as a seed (same contract as finite_vec for raw centroids)
+        .filter(~F.exists("xq", lambda x: x.isNull()))
+        .select(id_col, "xq")
+        .collect()
     )
     if not seeds:
         raise ValueError(

@@ -37,7 +37,7 @@ def checkpointed_type_totals(
     stream = spark.readStream.schema(schema).parquet(source_dir)
     agg = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+        F.sum(F.round(F.col("value") * 100).try_cast("bigint")).alias(
             "sum_cents"
         ),
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -29,12 +30,12 @@ def _update(
     for pdf in pdfs:
         n += len(pdf)
         # exact integer cents — state stays order-independent and portable.
-        # fillna(0) mirrors SQL SUM's NULL-skipping (a NULL value event
-        # counts toward n_events but adds 0 cents); without it a single
-        # NULL row kills the whole streaming query with IntCastingNaNError.
-        cents += int(
-            (pdf["value"].fillna(0.0) * 100).round().astype("int64").sum()
-        )
+        # the finite mask mirrors SQL SUM's NULL-skipping extended by the
+        # engine's dirty-data contract (NULL/NaN/Inf events count toward
+        # n_events but add 0 cents); without it a single such row kills
+        # the whole streaming query with IntCastingNaNError.
+        raw = pdf["value"] * 100
+        cents += int(raw[np.isfinite(raw)].round().astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value_cents": [cents]}
@@ -77,9 +78,8 @@ class RunningTotalsProcessor:
         )
         for pdf in rows:
             n += len(pdf)
-            cents += int(
-                (pdf["value"] * 100).round().astype("int64").sum()
-            )
+            raw = pdf["value"] * 100  # same finite mask as _update
+            cents += int(raw[np.isfinite(raw)].round().astype("int64").sum())
         self._totals.update((n, cents))
         yield pd.DataFrame(
             {

@@ -116,6 +116,9 @@ def degenerate_sf_dir(tmp_path_factory):
         (5, _TS, 11, "view", 0.0, '{"k": 0}'),
         (6, _TS + datetime.timedelta(hours=40), 11, "mystery", 1.0, "null"),
         (7, _TS + datetime.timedelta(hours=41), 12, None, 2.0, None),
+        # non-finite measures: one broken sensor must not abort the job
+        (8, _TS + datetime.timedelta(hours=2), 13, "view", float("nan"), "{}"),
+        (9, _TS + datetime.timedelta(hours=3), 13, "click", float("inf"), "{}"),
     ]
     w("events", _t(
         event_id=[r[0] for r in ev],
@@ -156,6 +159,7 @@ def degenerate_sf_dir(tmp_path_factory):
         (5, [0.5] * dim, 2),
         (6, [float(i) for i in range(dim)], 0),
         (7, [1e-30] * dim, 1),  # denormal-ish norm
+        (8, [float("nan")] + [0.5] * (dim - 1), 0),  # broken encoder output
     ]
     w("embeddings", _t(
         vec_id=[r[0] for r in vecs],
