@@ -20,6 +20,7 @@ from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import (
     dsum,
     dsum_wide,
+    is_finite,
     oracle_dsum,
     oracle_dsum_wide,
     sdiv,
@@ -1915,6 +1916,7 @@ def orders_open_interval_count(spark, sf_dir):
                CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
                     AS BIGINT) AS cnt_a
         FROM events WHERE event_type IN ('click', 'error')
+          AND value IS NOT NULL AND isfinite(value)
         GROUP BY value
     ),
     r AS (
@@ -1970,10 +1972,18 @@ def stats_mann_whitney(spark, sf_dir):
     arithmetic mirrored expression-for-expression with the oracle. The
     tie term sums cnt^3-cnt in exact int64 (precondition: no single tied
     value holds >2.1M rows, far beyond any real tie mass).
-    tests/test_plans.py gates the partitioned window shape."""
+    tests/test_plans.py gates the partitioned window shape.
+
+    Dirty-data contract (chosen, documented): non-finite measures
+    (NULL/NaN/±Inf) are EXCLUDED symmetrically in both engines up front —
+    a rank over NaN is meaningless, and without the filter a NULL value
+    lands in cell NULL (silently dropped by the cell join) while NaN
+    floors into cell 0, both diverging from DuckDB's grouping/order of
+    non-finites. ``is_finite`` / ``oracle_is_finite`` keep the two WHERE
+    clauses expression-identical."""
     ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
     v = (
-        ev.filter(F.col("event_type").isin("click", "error"))
+        ev.filter(F.col("event_type").isin("click", "error") & is_finite("value"))
         .groupBy("value")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
@@ -3100,6 +3110,7 @@ def orders_gini_concentration(spark, sf_dir):
                CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                     AS BIGINT) AS n2
         FROM events WHERE event_type IN ('click', 'error')
+          AND try_cast(ROUND(value * 100.0) AS bigint) IS NOT NULL
         GROUP BY vc
     ),
     c AS (
@@ -3151,10 +3162,15 @@ def stats_ks_test(spark, sf_dir):
     TakeOrdered. tests/test_plans.py gates the partitioned shape."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "error")
-    )
+    # Dirty-data contract: rows whose cents key is NULL (NULL/NaN/Inf value
+    # via try_cast) are excluded from totals and prefixes alike, in BOTH
+    # engines — otherwise Spark's NULLS-FIRST window counts them in every
+    # real cell's c1/c2 while DuckDB's NULLS-LAST counts them in none,
+    # diverging d_numerator/argmax whenever dirty values exist.
     vc = F.round(F.col("value") * F.lit(100.0)).try_cast("bigint")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error") & vc.isNotNull()
+    )
     g = ev.groupBy(vc.alias("vc")).agg(
         F.sum((F.col("event_type") == "click").cast("bigint")).alias("n1"),
         F.sum((F.col("event_type") == "error").cast("bigint")).alias("n2"),

@@ -176,6 +176,26 @@ def oracle_dstddev(expr: str, scale: int = 4) -> str:
     return f"SQRT(({sxx} - ({sx})*({sx})/{n}) / ({n} - 1.0))"
 
 
+def is_finite(col: Column | str) -> Column:
+    """TRUE iff the double is a real number — not NULL, not NaN, not ±Inf.
+
+    The symmetric-filter half of the dirty-data contract: rank/ECDF
+    statistics (Mann-Whitney, KS) EXCLUDE non-finite measures from both
+    engines up front — a rank over NaN is meaningless and the engines
+    order/group non-finites differently (Spark sorts NaN greatest and
+    groups NaN=NaN; DuckDB floor(NaN) errors, ORDER BY differs) — so the
+    only cross-engine-stable contract is symmetric exclusion. Oracle twin:
+    :func:`oracle_is_finite`."""
+    c = _c(col)
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def oracle_is_finite(expr: str) -> str:
+    """DuckDB predicate twin of :func:`is_finite` (isfinite(NaN) is FALSE,
+    isfinite(NULL) is NULL ⇒ WHERE-false)."""
+    return f"({expr} IS NOT NULL AND isfinite({expr}))"
+
+
 def sdiv(num: Column, den: Column) -> Column:
     """Division that yields NULL on a zero denominator instead of the
     job-aborting DIVIDE_BY_ZERO Spark 4's default ANSI mode raises.

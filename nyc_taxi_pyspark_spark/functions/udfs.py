@@ -134,14 +134,20 @@ def center_values_per_group_arrow(
         # non-finite cents -> NULL before the int cast (Arrow raises on
         # NaN/Inf->int64); pc.sum skips NULLs like SQL SUM
         cents = pc.if_else(pc.is_finite(cents), cents, pa.scalar(None, pa.float64()))
-        total = pc.sum(pc.cast(cents, pa.int64())).as_py() or 0
-        mean = float(total) / 100.0 / max(table.num_rows, 1)
+        total = pc.sum(pc.cast(cents, pa.int64())).as_py()
+        if total is None:
+            # all-dirty group: SQL SUM is NULL, so the oracle's centered
+            # column is NULL — mirror it instead of fabricating mean=0
+            centered = pa.nulls(table.num_rows, pa.float64())
+        else:
+            mean = float(total) / 100.0 / max(table.num_rows, 1)
+            centered = pc.subtract(values, pa.scalar(mean))
         return pa.table(
             {
                 "event_id": table.column("event_id"),
                 group_col: table.column(group_col),
                 value_col: values,
-                "centered": pc.subtract(values, pa.scalar(mean)),
+                "centered": centered,
             }
         )
 
@@ -152,10 +158,50 @@ def center_values_per_group_arrow(
     )
 
 
-def add_running_index(df: DataFrame, order_col: str) -> Iterator:
-    """U3's general form — mapInPandas per-partition batch transform.
-    (See operators.multimodal for the production use of this shape.)"""
-    raise NotImplementedError("template; see operators/multimodal.py")
+def add_running_index(
+    df: DataFrame, order_col: str, index_col: str = "idx"
+) -> DataFrame:
+    """U3's general form — mapInPandas per-partition batch transform: a
+    global 0-based running index in ``order_col`` order, the distributed
+    two-pass twin of ``row_number() OVER (ORDER BY order_col) - 1`` WITHOUT
+    its single-partition window.
+
+    Pass 1: range-repartition on the key + sort within partitions, then one
+    narrow per-partition count; the cumulative offsets collected to the
+    driver are ``numPartitions`` longs — bounded state, not data. Pass 2:
+    mapInPandas stamps ``offset[pid] + local position`` per Arrow batch.
+    The frame is persisted between the two passes so both jobs read the
+    same shuffle output (partition layout pinned; at cluster scale a
+    checkpoint to reliable storage serves the same purpose). Ties in
+    ``order_col`` receive an arbitrary-but-consistent order, exactly like
+    the window form.
+    """
+    from pyspark import StorageLevel, TaskContext
+
+    part = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
+    part = part.persist(StorageLevel.MEMORY_AND_DISK)
+    counts = (
+        part.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )  # bounded: one row per partition
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[int(r["pid"])] = acc
+        acc += int(r["count"])
+
+    out_schema = T.StructType(part.schema.fields + [T.StructField(index_col, T.LongType())])
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        base = offsets.get(ctx.partitionId() if ctx else 0, 0)
+        seen = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[index_col] = np.arange(base + seen, base + seen + len(pdf), dtype="int64")
+            seen += len(pdf)
+            yield pdf
+
+    return part.mapInPandas(stamp, out_schema)
 
 
 def make_tokenize_udtf():

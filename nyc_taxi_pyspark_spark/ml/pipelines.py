@@ -215,6 +215,50 @@ def fit_and_evaluate_classification(
     return model, metrics
 
 
+def save_model_with_metrics(
+    model: PipelineModel, metrics: dict[str, float], out_dir: str
+) -> str:
+    """S12 — persist the fitted pipeline AND its evaluation metrics in the
+    reference's artifact layout (spark_jobs/04a_reg_total_lr_PIPE.py:84-87):
+    ``out_dir/model`` (PipelineModel) + ``out_dir/metrics.json``. The UI
+    reads the JSON back (app5.py:172-181) — without it a saved model dir
+    carries no record of how good the model was.
+
+    Returns the model path (``out_dir/model``).
+    """
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    model_path = os.path.join(out_dir, "model")
+    model.write().overwrite().save(model_path)
+    with open(os.path.join(out_dir, "metrics.json"), "w", encoding="utf-8") as f:
+        json.dump(metrics, f, indent=2)
+    return model_path
+
+
+def load_saved_metrics(model_dir: str) -> dict[str, float] | None:
+    """Read ``metrics.json`` from a model artifact dir (app5.py:172-181).
+
+    Accepts either the artifact root (``out_dir`` with ``model/`` +
+    ``metrics.json``) or the model subdir itself — the JSON is looked up
+    beside the given path and one level up. Returns None when absent or
+    unreadable, matching the reference UI's soft-fail.
+    """
+    import json
+    import os
+
+    for d in (model_dir, os.path.dirname(os.path.normpath(model_dir))):
+        p = os.path.join(d, "metrics.json")
+        if os.path.exists(p):
+            try:
+                with open(p, encoding="utf-8") as f:
+                    return json.load(f)
+            except Exception:
+                return None
+    return None
+
+
 def score_with_threshold(
     model: PipelineModel, df: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

@@ -56,7 +56,24 @@ def sample_for_scoring_compat(df: DataFrame, n: int, seed: int = 7) -> DataFrame
 
 
 def load_model(path: str) -> PipelineModel:
+    """Load a PipelineModel from either a bare model dir or the reference's
+    artifact layout (``out_dir/model`` + ``out_dir/metrics.json``,
+    app5.py:160-169 — the UI appends ``model`` when ``stages/`` lives one
+    level down)."""
+    import os
+
+    if not os.path.isdir(os.path.join(path, "stages")) and os.path.isdir(
+        os.path.join(path, "model", "stages")
+    ):
+        path = os.path.join(path, "model")
     return PipelineModel.load(path)
+
+
+def load_metrics(model_dir: str) -> dict | None:
+    """metrics.json beside the model, or None (app5.py:172-181)."""
+    from nyc_taxi_pyspark_spark.ml.pipelines import load_saved_metrics
+
+    return load_saved_metrics(model_dir)
 
 
 def score_batch(

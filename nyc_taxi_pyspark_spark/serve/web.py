@@ -268,7 +268,11 @@ class WebApp:
                 b"no model configured - start the server with --model <dir> "
                 b"(train one with ml.pipelines.fit_and_evaluate_classification)",
             )
-        from nyc_taxi_pyspark_spark.serve.scoring import load_model, score_batch
+        from nyc_taxi_pyspark_spark.serve.scoring import (
+            load_metrics,
+            load_model,
+            score_batch,
+        )
         from nyc_taxi_pyspark_spark.sources.io import to_pandas_sanitized
 
         threshold = float(q.get("threshold", ["0.5"])[0])
@@ -279,9 +283,29 @@ class WebApp:
             c for c in ("proba1", "pred_at_threshold", "prediction") if c in scored.columns
         ]
         pdf = to_pandas_sanitized(scored.select(*cols), max_rows=n)
+        # S12 parity: the reference UI shows the training metrics saved
+        # beside the model (app5.py:172-181 reads metrics.json).
+        metrics = load_metrics(self.model_dir)
         if q.get("format", ["html"])[0] == "json":
-            return 200, "application/json", pdf.to_json(orient="records").encode()
-        return 200, "text/html", _page(f"score @ {threshold}", _table_html(pdf))
+            import json as _json
+
+            body = {
+                "metrics": metrics,
+                "rows": _json.loads(pdf.to_json(orient="records")),
+            }
+            return 200, "application/json", _json.dumps(body).encode()
+        metric_html = (
+            "<p>training metrics: "
+            + ", ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+            + "</p>"
+            if metrics
+            else ""
+        )
+        return (
+            200,
+            "text/html",
+            _page(f"score @ {threshold}", metric_html + _table_html(pdf)),
+        )
 
     def explain(self, q) -> tuple[int, str, bytes]:
         """Physical plan for user SQL without executing it — the same

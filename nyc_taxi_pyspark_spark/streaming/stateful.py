@@ -17,7 +17,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value_cents bigint"
-STATE_SCHEMA = "n bigint, cents bigint"
+STATE_SCHEMA = "n bigint, cents bigint, n_finite bigint"
+
+
+def _totals_row(user_id, n: int, cents: int, n_fin: int) -> pd.DataFrame:
+    # all-dirty key ⇒ NULL sum, exactly like SQL SUM over an all-NULL
+    # group (the oracle's SUM(try_cast(...))); cents=0 would be a value
+    # the input never summed to.
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value_cents": pd.array(
+                [cents if n_fin > 0 else None], dtype="Int64"
+            ),
+        }
+    )
 
 
 def _update(
@@ -26,20 +41,22 @@ def _update(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, cents = state.get if state.exists else (0, 0)
+    n, cents, n_fin = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
         # exact integer cents — state stays order-independent and portable.
         # the finite mask mirrors SQL SUM's NULL-skipping extended by the
         # engine's dirty-data contract (NULL/NaN/Inf events count toward
-        # n_events but add 0 cents); without it a single such row kills
-        # the whole streaming query with IntCastingNaNError.
+        # n_events but add no cents); without it a single such row kills
+        # the whole streaming query with IntCastingNaNError. n_finite
+        # tracks whether ANY finite value was seen so an all-dirty key can
+        # emit SQL's NULL rather than a fabricated 0.
         raw = pdf["value"] * 100
-        cents += int(raw[np.isfinite(raw)].round().astype("int64").sum())
-    state.update((n, cents))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "sum_value_cents": [cents]}
-    )
+        fin = raw[np.isfinite(raw)]
+        n_fin += len(fin)
+        cents += int(fin.round().astype("int64").sum())
+    state.update((n, cents, n_fin))
+    yield _totals_row(user_id, n, cents, n_fin)
 
 
 def running_totals_per_user(events: DataFrame) -> DataFrame:
@@ -73,21 +90,17 @@ class RunningTotalsProcessor:
 
     def handleInputRows(self, key, rows, timerValues):
         (user_id,) = key
-        n, cents = (
-            self._totals.get() if self._totals.exists() else (0, 0)
+        n, cents, n_fin = (
+            self._totals.get() if self._totals.exists() else (0, 0, 0)
         )
         for pdf in rows:
             n += len(pdf)
             raw = pdf["value"] * 100  # same finite mask as _update
-            cents += int(raw[np.isfinite(raw)].round().astype("int64").sum())
-        self._totals.update((n, cents))
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "n_events": [n],
-                "sum_value_cents": [cents],
-            }
-        )
+            fin = raw[np.isfinite(raw)]
+            n_fin += len(fin)
+            cents += int(fin.round().astype("int64").sum())
+        self._totals.update((n, cents, n_fin))
+        yield _totals_row(user_id, n, cents, n_fin)
 
     def close(self) -> None:
         pass

@@ -180,7 +180,14 @@ def build_sf1(src_sf_dir: str) -> None:
                 )
             if t == "documents":
                 df = df.withColumn(
-                    "text", F.concat_ws(" ", F.col("text"), F.col("__copy"))
+                    # concat_ws SKIPS null args, which would turn a
+                    # NULL-text doc into the copy-index string — keep the
+                    # source's NULL distribution in the scaled corpus
+                    "text",
+                    F.when(
+                        F.col("text").isNotNull(),
+                        F.concat_ws(" ", F.col("text"), F.col("__copy")),
+                    ),
                 )
             df = df.drop("__copy").repartition(32)
         df.write.mode("overwrite").parquet(out)
@@ -223,7 +230,14 @@ def build_amp(src_sf_dir: str) -> None:
                 )
             if t == "documents":
                 df = df.withColumn(
-                    "text", F.concat_ws(" ", F.col("text"), F.col("__copy"))
+                    # concat_ws SKIPS null args, which would turn a
+                    # NULL-text doc into the copy-index string — keep the
+                    # source's NULL distribution in the scaled corpus
+                    "text",
+                    F.when(
+                        F.col("text").isNotNull(),
+                        F.concat_ws(" ", F.col("text"), F.col("__copy")),
+                    ),
                 )
             df = df.drop("__copy").repartition(32)
         df.write.mode("overwrite").parquet(out)

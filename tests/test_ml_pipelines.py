@@ -128,3 +128,38 @@ def test_cross_validation_grid_search(spark, trips):
     # deterministic under the fixed seed: rerun picks the same point
     _, best2, _ = cross_validate_classification(cfg, "label_tip", train, num_folds=2)
     assert best2 == best
+
+
+def test_save_model_with_metrics_artifact_layout(featured, tmp_path):
+    """S12 — the reference persists metrics.json beside every saved model
+    (spark_jobs/04a_reg_total_lr_PIPE.py:84-87) and the UI reads it back
+    (app5.py:172-181): fit -> save_model_with_metrics -> metrics.json
+    round-trips, and serve.scoring loads the model from the artifact root."""
+    import json
+    import os
+
+    from nyc_taxi_pyspark_spark.ml.pipelines import (
+        load_saved_metrics,
+        save_model_with_metrics,
+    )
+    from nyc_taxi_pyspark_spark.serve.scoring import load_metrics, load_model
+
+    train, test = train_test_split(featured, "label_tip")
+    model, metrics = fit_and_evaluate_classification(
+        classification_lr(CFG, "label_tip"), train, test, "label_tip"
+    )
+    out = str(tmp_path / "artifact")
+    model_path = save_model_with_metrics(model, metrics, out)
+    assert model_path == os.path.join(out, "model")
+    with open(os.path.join(out, "metrics.json"), encoding="utf-8") as f:
+        assert json.load(f) == pytest.approx(metrics)
+    # reader accepts the artifact root AND the model subdir (app5 looks up)
+    assert load_saved_metrics(out) == pytest.approx(metrics)
+    assert load_saved_metrics(model_path) == pytest.approx(metrics)
+    assert load_metrics(out) == pytest.approx(metrics)
+    # layout-tolerant load: artifact root or bare model dir both work
+    a = load_model(out).transform(test).agg(F.sum("prediction")).first()[0]
+    b = load_model(model_path).transform(test).agg(F.sum("prediction")).first()[0]
+    assert a == pytest.approx(b)
+    # absent metrics -> soft None, matching the reference UI
+    assert load_saved_metrics(str(tmp_path)) is None

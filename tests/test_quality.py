@@ -3,6 +3,7 @@ operators (operators/quality.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nyc_taxi_pyspark_spark.operators.quality import (
@@ -770,3 +771,55 @@ def test_ks_test_hand_computed(spark, tmp_path):
     r = stats_ks_test(spark, d).first()
     assert (r["at_value"], r["d_numerator"], r["d_denominator"]) == (1.0, 2, 4)
     assert r["d_stat"] == 0.5
+
+
+def test_rank_stats_dirty_values_match_oracle_and_clean_subset(spark, tmp_path):
+    """Dirty-data contract for the rank/ECDF statistics (round-11 ADVICE):
+    NULL/NaN/Inf measures are excluded SYMMETRICALLY in both engines, so on
+    a table with dirty rows (a) Spark equals the DuckDB oracle and (b) both
+    equal the same query on the clean subset — dirty rows have no effect."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog import ORACLES
+    from nyc_taxi_pyspark_spark.catalog.quality import (
+        stats_ks_test,
+        stats_mann_whitney,
+    )
+
+    clean = [("click", 1.0), ("click", 2.5), ("click", 7.0),
+             ("error", 2.5), ("error", 4.0), ("error", 9.0), ("error", 1.5)]
+    dirty = [("click", None), ("error", float("nan")), ("click", float("inf")),
+             ("error", float("-inf"))]
+
+    def mk(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        tbl = pa.table({
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([0] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows]),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        })
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    dirty_dir, clean_dir = mk("dirty", clean + dirty), mk("clean", clean)
+
+    for name, fn in (("stats_mann_whitney", stats_mann_whitney),
+                     ("stats_ks_test", stats_ks_test)):
+        got = fn(spark, dirty_dir).first().asDict()
+        want_clean = fn(spark, clean_dir).first().asDict()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{dirty_dir}/events.parquet'"
+        )
+        oracle = con.execute(ORACLES[name]).fetchdf().iloc[0].to_dict()
+        con.close()
+        assert set(got) == set(oracle) == set(want_clean), name
+        for k in got:
+            assert got[k] == pytest.approx(oracle[k], rel=1e-12), (name, k)
+            assert got[k] == pytest.approx(want_clean[k], rel=1e-12), (name, k)

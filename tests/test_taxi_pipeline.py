@@ -147,3 +147,34 @@ def test_bench_headline_set_is_consistent():
     baseline = open("BASELINE.md").read()
     undocumented = [n for n in bench.HEADLINE if n not in baseline]
     assert not undocumented, f"headline names not in BASELINE.md: {undocumented}"
+
+
+def test_add_running_index_matches_row_number(spark):
+    """U3 general form: the two-pass mapInPandas running index equals
+    row_number() OVER (ORDER BY key) - 1 on a duplicate-free key, across a
+    skewed multi-partition layout."""
+    from pyspark.sql import Window
+
+    from nyc_taxi_pyspark_spark.functions.udfs import add_running_index
+
+    df = (
+        spark.range(0, 997)
+        .withColumn("key", (F.col("id") * 2654435761) % 1000003)
+        .withColumn("payload", F.col("id") % 7)
+        .repartition(9, "payload")
+    )
+    got = add_running_index(df, "key", index_col="idx")
+    want = df.withColumn(
+        "idx", F.row_number().over(Window.orderBy("key")) - F.lit(1)
+    )
+    assert got.count() == 997
+    mismatches = (
+        got.select("key", "idx")
+        .join(want.select("key", F.col("idx").alias("w_idx")), "key")
+        .filter(F.col("idx") != F.col("w_idx"))
+        .count()
+    )
+    assert mismatches == 0
+    # schema: original columns + the new long index
+    assert got.schema["idx"].dataType.typeName() == "long"
+    assert [f.name for f in got.schema.fields[:-1]] == df.columns

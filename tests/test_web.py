@@ -155,3 +155,55 @@ def test_explain_route(web):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _get(f"{web}/explain?q=SELECT+nope+FROM+no_table")
     assert exc.value.code == 400
+
+
+@pytest.fixture(scope="module")
+def web_with_model(spark, tmp_path_factory):
+    """A second server with a trained model artifact configured — S12's
+    serving half: /score must surface the metrics.json saved beside the
+    model (reference app5.py:172-181)."""
+    from nyc_taxi_pyspark_spark.ml.pipelines import (
+        FeatureConfig,
+        classification_lr,
+        fit_and_evaluate_classification,
+        save_model_with_metrics,
+        train_test_split,
+    )
+    from nyc_taxi_pyspark_spark.serve.app import _featured_trips
+
+    featured = _featured_trips(spark, n=500).na.fill({"payment_type": 5})
+    cfg = FeatureConfig(
+        numeric_cols=["trip_distance", "pickup_hour"],
+        categorical_cols=["payment_type"],
+    )
+    train, test = train_test_split(featured, "label_tip")
+    model, metrics = fit_and_evaluate_classification(
+        classification_lr(cfg, "label_tip"), train, test, "label_tip"
+    )
+    out = str(tmp_path_factory.mktemp("model_artifact"))
+    save_model_with_metrics(model, metrics, out)
+    app = WebApp(
+        Engine(spark, SF_DIR),
+        reports_dir=str(tmp_path_factory.mktemp("reports2")),
+        trips_n=500,
+        model_dir=out,
+    )
+    server = make_server(app)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, metrics
+    server.shutdown()
+
+
+def test_score_surfaces_saved_metrics(web_with_model):
+    base, metrics = web_with_model
+    status, body = _get(f"{base}/score?n=10&format=json")
+    assert status == 200
+    out = json.loads(body)
+    assert set(out) == {"metrics", "rows"}
+    assert out["metrics"] == pytest.approx(metrics)
+    assert 0 < len(out["rows"]) <= 10
+    assert "proba1" in out["rows"][0]
+    status, html = _get(f"{base}/score?n=5")
+    assert status == 200 and "training metrics" in html and "auc=" in html
