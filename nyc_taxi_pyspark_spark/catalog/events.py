@@ -1097,15 +1097,57 @@ def events_session_overlap(spark, sf_dir):
         .groupBy("user_id", "sess_id")
         .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
     )
+    pairs, _ = session_overlap_pairs(sess)
+    return pairs.orderBy(
+        F.desc("overlap_us"), "user_a", "sess_a", "user_b", "sess_b"
+    ).limit(20)
+
+
+def session_overlap_pairs(
+    sess,
+    max_sessions_per_cell: int | None = None,
+    cell_us: int = _OVERLAP_CELL_US,
+):
+    """Cross-user overlapping-session pairs from a (user_id, sess_id,
+    s_us, e_us) frame via the time-grid equi-join, with an OPT-IN
+    co-activity cap.
+
+    The pair count grows quadratically with per-cell co-activity (k
+    concurrent sessions in an hour cell → ~k²/2 candidate pairs — the sf1
+    rehearsal measured 4.6× output on a 10× step, SCALING.md). The cap is
+    the dial for that: with ``max_sessions_per_cell`` set, cells whose
+    session count exceeds it are EXCLUDED from the pair join, and the
+    truncation is REPORTED, never silent — the second return value is
+    ``{"capped_cells": ..., "capped_sessions": ...}`` (one bounded agg
+    job over per-cell counts; None when no cap is set, and the default
+    plan is then byte-identical to the uncapped original). A pair is
+    still found if it shares ANY surviving cell, so capping a hot hour
+    drops only pairs whose entire overlap sits inside capped cells.
+    """
     cells = sess.withColumn(
         "cell",
         F.explode(
             F.sequence(
-                F.floor(F.col("s_us") / F.lit(_OVERLAP_CELL_US)),
-                F.floor(F.col("e_us") / F.lit(_OVERLAP_CELL_US)),
+                F.floor(F.col("s_us") / F.lit(cell_us)),
+                F.floor(F.col("e_us") / F.lit(cell_us)),
             )
         ),
     )
+    report = None
+    if max_sessions_per_cell is not None:
+        counts = cells.groupBy("cell").agg(F.count("*").alias("k"))
+        hot = counts.filter(F.col("k") > max_sessions_per_cell)
+        r = hot.agg(
+            F.count("*").alias("capped_cells"),
+            F.coalesce(F.sum("k"), F.lit(0)).alias("capped_sessions"),
+        ).first()
+        report = {
+            "capped_cells": int(r["capped_cells"]),
+            "capped_sessions": int(r["capped_sessions"]),
+        }
+        # anti-join beats a counts rejoin: the hot list is tiny (it is
+        # the report the caller just saw), so it broadcasts
+        cells = cells.join(F.broadcast(hot.select("cell")), "cell", "left_anti")
     a, b = cells.alias("a"), cells.alias("b")
     pairs = (
         a.join(
@@ -1129,9 +1171,7 @@ def events_session_overlap(spark, sf_dir):
         )
         .distinct()
     )
-    return pairs.orderBy(
-        F.desc("overlap_us"), "user_a", "sess_a", "user_b", "sess_b"
-    ).limit(20)
+    return pairs, report
 
 
 @query(
