@@ -5,6 +5,20 @@ The reference counts rows before/after each cleaning step with separate
 whole plan per count — at 100 TB that's the pipeline run twice. ``observe``
 attaches accumulator-backed metrics to the ONE pass that produces the
 output: row accounting becomes free.
+
+Known Spark 4.1 interaction (pinned by tests/test_ml_pipelines.py::
+test_evaluate_survives_prior_observation): once any ``Observation`` has
+been registered in a session, the ObservationManager's listener stays on
+the session's listener bus forever (the observations map itself empties
+correctly), and an ML pipeline FIT performed *after* that produces a
+model whose transform output fails DataFrame→RDD conversion with ``Task
+not serializable … NotSerializableException: ObservationManager`` —
+breaking every collect/write/evaluate on the transform output (the
+prediction UDF captures the model, whose trainingSummary holds the
+session). ``ml.pipelines.strip_training_summaries`` removes the capture
+after every engine fit, and ``fit_and_evaluate_*`` additionally fall back
+to native DataFrame-only metrics if the closure bug still surfaces — so
+observe-then-train sessions keep working.
 """
 
 from __future__ import annotations

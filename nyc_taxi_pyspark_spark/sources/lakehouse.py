@@ -42,6 +42,54 @@ def read_table(spark: SparkSession, fmt: str, path: str) -> DataFrame:
     return spark.read.format(fmt).load(path)
 
 
+def read_table_as_of(
+    spark: SparkSession,
+    fmt: str,
+    path: str,
+    version: int | None = None,
+    timestamp: str | None = None,
+) -> DataFrame:
+    """Time-travel read — the ``VERSION AS OF`` / ``TIMESTAMP AS OF`` the
+    lakehouse formats provide natively (Delta ``versionAsOf`` /
+    ``timestampAsOf``; Iceberg ``snapshot-id`` / ``as-of-timestamp``; Hudi
+    ``as.of.instant``), completing the staged-batch story next to
+    :func:`delta_merge_upsert`: reproduce yesterday's training set from
+    today's table, diff two snapshot states, audit a bad merge. Exactly
+    one of ``version``/``timestamp`` must be given. The format-agnostic
+    emulation of the same capability is ``scd2_close_and_insert`` +
+    ``scd2_point_in_time_join`` (catalog), which run anywhere; this is
+    the formats-native path behind the same availability gate as MERGE
+    (tests/test_sinks_lakehouse.py runs it in a subprocess where the
+    delta jars exist, and skips cleanly here)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unknown lakehouse format {fmt!r}; one of {_FORMATS}")
+    if (version is None) == (timestamp is None):
+        raise ValueError("pass exactly one of version= or timestamp=")
+    if fmt == "hudi" and version is not None:
+        raise ValueError("hudi time travel is timestamp-based; pass timestamp=")
+    if not format_available(spark, fmt):
+        raise NotImplementedError(
+            f"{fmt} jars are not on the classpath in this environment; add the "
+            f"spark-{fmt} package to spark.jars.packages to enable time travel"
+        )
+    reader = spark.read.format(fmt)
+    if fmt == "delta":
+        reader = (
+            reader.option("versionAsOf", version)
+            if version is not None
+            else reader.option("timestampAsOf", timestamp)
+        )
+    elif fmt == "iceberg":
+        reader = (
+            reader.option("snapshot-id", version)
+            if version is not None
+            else reader.option("as-of-timestamp", timestamp)
+        )
+    else:  # hudi
+        reader = reader.option("as.of.instant", timestamp)
+    return reader.load(path)
+
+
 def merge_upsert(
     target: DataFrame, updates: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

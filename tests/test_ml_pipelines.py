@@ -163,3 +163,70 @@ def test_save_model_with_metrics_artifact_layout(featured, tmp_path):
     assert a == pytest.approx(b)
     # absent metrics -> soft None, matching the reference UI
     assert load_saved_metrics(str(tmp_path)) is None
+
+
+def test_native_metrics_match_evaluator_definitions(spark):
+    """The DataFrame-only fallback metrics equal the evaluator definitions
+    on a hand-checkable frame (AUC = Mann-Whitney midrank form == ROC
+    trapezoid with tie grouping; accuracy/rmse/mae/r2 = their formulas)."""
+    from pyspark.ml.linalg import Vectors
+
+    from nyc_taxi_pyspark_spark.ml.pipelines import (
+        _native_classification_metrics,
+        _native_regression_metrics,
+    )
+
+    # scores: two positives at .9/.6, two negatives at .6/.2
+    # midranks: .2→1, .6→(2+3)/2=2.5, .9→4; R+ = 4 + 2.5 = 6.5
+    # AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875
+    rows = [
+        (Vectors.dense([0.1, 0.9]), 1.0, 1),
+        (Vectors.dense([0.4, 0.6]), 1.0, 1),
+        (Vectors.dense([0.4, 0.6]), 1.0, 0),
+        (Vectors.dense([0.8, 0.2]), 0.0, 0),
+    ]
+    pred = spark.createDataFrame(rows, ["probability", "prediction", "y"])
+    m = _native_classification_metrics(pred, "y")
+    assert m["auc"] == pytest.approx(0.875)
+    assert m["accuracy"] == pytest.approx(0.75)  # row 3 predicted 1, label 0
+
+    reg = spark.createDataFrame(
+        [(1.0, 1.5), (2.0, 2.0), (3.0, 2.5)], ["y", "prediction"]
+    )
+    r = _native_regression_metrics(reg, "y")
+    assert r["rmse"] == pytest.approx((0.5**2 * 2 / 3) ** 0.5)
+    assert r["mae"] == pytest.approx(1.0 / 3)
+    # sst = 2.0, sse = 0.5 -> r2 = 0.75
+    assert r["r2"] == pytest.approx(0.75)
+
+
+def test_evaluate_survives_prior_observation(featured):
+    """Spark 4.1 bug regression (round-11): an Observation registered
+    BEFORE a pipeline fit poisons the fitted model's DF->RDD path, which
+    MLlib's RDD-backed evaluators use — fit_and_evaluate_* must detect the
+    specific Task-not-serializable/ObservationManager failure and fall
+    back to the native DataFrame metrics, so observe-then-train sessions
+    keep working."""
+    from pyspark.sql import Observation
+
+    obs = Observation("poison_probe")
+    featured.observe(obs, F.count(F.lit(1)).alias("n")).count()
+    assert obs.get["n"] > 0
+
+    train, test = train_test_split(featured, "label_tip")
+    model, metrics = fit_and_evaluate_classification(
+        classification_lr(CFG, "label_tip"), train, test, "label_tip"
+    )
+    assert 0.5 <= metrics["auc"] <= 1.0
+    assert 0.5 <= metrics["accuracy"] <= 1.0
+    # the serving path (collect on the transform output) must work too —
+    # before the strip_training_summaries fix, EVERY collect/write on a
+    # post-observation model's output died, not just the evaluators
+    scored = score_with_threshold(model, test, threshold=0.5)
+    rows = scored.select("proba1", "pred_at_threshold").limit(5).collect()
+    assert len(rows) > 0 and all(0.0 <= r.proba1 <= 1.0 for r in rows)
+    train_r, test_r = train_test_split(featured, "total_amount")
+    _, reg = fit_and_evaluate_regression(
+        regression_lr(CFG, "total_amount"), train_r, test_r, "total_amount"
+    )
+    assert reg["rmse"] > 0 and reg["r2"] > 0.5

@@ -235,3 +235,68 @@ def test_csv_quarantine_split(spark, tmp_path):
     }
     raws = sorted(r.raw_line for r in bad.collect())
     assert raws == ["2,notanumber,beta", "4,40"]
+
+
+def test_time_travel_gate_and_arg_validation(spark):
+    from nyc_taxi_pyspark_spark.sources.lakehouse import read_table_as_of
+
+    with pytest.raises(ValueError, match="exactly one"):
+        read_table_as_of(spark, "delta", "/x")
+    with pytest.raises(ValueError, match="exactly one"):
+        read_table_as_of(spark, "delta", "/x", version=0, timestamp="2024-01-01")
+    with pytest.raises(ValueError, match="timestamp-based"):
+        read_table_as_of(spark, "hudi", "/x", version=0)
+    with pytest.raises(ValueError, match="unknown lakehouse format"):
+        read_table_as_of(spark, "parquet2", "/x", version=0)
+    if not format_available(spark, "delta"):
+        with pytest.raises(NotImplementedError, match="delta"):
+            read_table_as_of(spark, "delta", "/x", version=0)
+
+
+def test_delta_time_travel_when_available(tmp_path):
+    """VERSION AS OF, conditionally: write v0, overwrite as v1, read both
+    versions back — in a fresh subprocess where the delta-spark optional
+    dependency exists, skip-clean where it does not (this container)."""
+    pytest.importorskip("delta")
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+        from delta import configure_spark_with_delta_pip
+        from pyspark.sql import SparkSession
+
+        builder = (
+            SparkSession.builder.master("local[2]")
+            .appName("delta-timetravel-test")
+            .config("spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+            .config("spark.ui.enabled", "false")
+        )
+        spark = configure_spark_with_delta_pip(builder).getOrCreate()
+        from nyc_taxi_pyspark_spark.sources.lakehouse import read_table_as_of
+
+        path = {repr(str(tmp_path / "tt"))}
+        spark.createDataFrame([(1, "a")], "k int, v string") \\
+            .write.format("delta").save(path)                      # v0
+        spark.createDataFrame([(1, "A"), (2, "b")], "k int, v string") \\
+            .write.format("delta").mode("overwrite").save(path)    # v1
+        v0 = {{(r.k, r.v) for r in
+              read_table_as_of(spark, "delta", path, version=0).collect()}}
+        v1 = {{(r.k, r.v) for r in
+              read_table_as_of(spark, "delta", path, version=1).collect()}}
+        assert v0 == {{(1, "a")}}, v0
+        assert v1 == {{(1, "A"), (2, "b")}}, v1
+        print("DELTA_TIME_TRAVEL_OK")
+        """
+    )
+    proc = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=600,
+    )
+    assert "DELTA_TIME_TRAVEL_OK" in proc.stdout, proc.stderr[-2000:]
