@@ -230,3 +230,29 @@ def test_evaluate_survives_prior_observation(featured):
         regression_lr(CFG, "total_amount"), train_r, test_r, "total_amount"
     )
     assert reg["rmse"] > 0 and reg["r2"] > 0.5
+
+
+def test_native_auc_partition_invariant(spark):
+    """The fallback AUC's ranks are exact integers over distinct scores,
+    so the statistic must be bit-identical under any input layout."""
+    from pyspark.ml.linalg import Vectors
+
+    from nyc_taxi_pyspark_spark.ml.pipelines import _native_classification_metrics
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (Vectors.dense([1 - s, s]), float(s >= 0.5), y)
+        for s, y in (
+            (round(rng.random(), 3), rng.randint(0, 1)) for _ in range(400)
+        )
+    ]
+    base = spark.createDataFrame(rows, ["probability", "prediction", "y"])
+    vals = {
+        tuple(
+            _native_classification_metrics(df, "y").items()
+        )
+        for df in (base.coalesce(1), base.repartition(17), base.repartition(5, "y"))
+    }
+    assert len(vals) == 1

@@ -178,3 +178,24 @@ def test_add_running_index_matches_row_number(spark):
     # schema: original columns + the new long index
     assert got.schema["idx"].dataType.typeName() == "long"
     assert [f.name for f in got.schema.fields[:-1]] == df.columns
+
+
+def test_add_running_index_partition_invariant(spark):
+    """The two-pass index must be a pure function of the data and order
+    key — identical under 1-partition, hash-partitioned, and default
+    layouts of the same input (the 100 TB knob-vs-semantics contract)."""
+    from nyc_taxi_pyspark_spark.functions.udfs import add_running_index
+
+    base = spark.range(0, 500).withColumn(
+        "key", (F.col("id") * 48271) % 100003
+    )
+    layouts = [base.coalesce(1), base.repartition(13, "key"), base.repartition(32)]
+    results = []
+    for df in layouts:
+        rows = add_running_index(df, "key").select("key", "idx").collect()
+        results.append(sorted((r["key"], r["idx"]) for r in rows))
+    assert results[0] == results[1] == results[2]
+    # and the index is a permutation of 0..n-1 following key order
+    keys_by_idx = [k for k, _ in sorted(results[0], key=lambda t: t[1])]
+    assert keys_by_idx == sorted(keys_by_idx)
+    assert sorted(i for _, i in results[0]) == list(range(500))
