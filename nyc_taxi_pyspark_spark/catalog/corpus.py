@@ -178,7 +178,7 @@ def _gopher_oracle() -> str:
         SELECT doc_id, n_tokens,
                CAST(sum_len AS DOUBLE) / n_tokens AS mean_word_len,
                CAST(short_hits AS DOUBLE) / n_tokens AS short_word_ratio,
-               CAST(stop_hits AS INTEGER) AS stopword_hits,
+               CAST(COALESCE(stop_hits, 0) AS INTEGER) AS stopword_hits,
                CASE WHEN n_tokens BETWEEN {GOPHER_MIN_TOKENS} AND
                     {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END AS flag_tokens,
                CASE WHEN CAST(sum_len AS DOUBLE) / n_tokens
@@ -187,7 +187,7 @@ def _gopher_oracle() -> str:
                CASE WHEN CAST(short_hits AS DOUBLE) / n_tokens
                         <= {GOPHER_SHORT_WORD_MAX_RATIO}
                     THEN 1 ELSE 0 END AS flag_short_words,
-               CASE WHEN stop_hits >= {GOPHER_MIN_STOPWORD_HITS}
+               CASE WHEN COALESCE(stop_hits, 0) >= {GOPHER_MIN_STOPWORD_HITS}
                     THEN 1 ELSE 0 END AS flag_stopwords
         FROM t
     )
@@ -347,8 +347,8 @@ _N_SHARDS = 8
             "nyc_taxi_pyspark_spark.operators.integrity",
             fromlist=["duck_row_hash"],
         ).duck_row_hash(
-            "CAST(doc_id AS VARCHAR) || '|' || lang || '|' "
-            "|| CAST(n_chars AS VARCHAR)"
+            "CAST(doc_id AS VARCHAR) || '|' || COALESCE(lang, '(null)')"
+            " || '|' || CAST(n_chars AS VARCHAR)"
         )
     ),
 )
@@ -362,8 +362,14 @@ def corpus_shard_manifest(spark, sf_dir):
     payloads (composes orders_content_fingerprint per shard). One scan,
     one 8-key aggregate, map-side combined."""
     d = _docs(spark, sf_dir)
+    # coalesce, not concat_ws's silent NULL-skip: a NULL-lang doc must
+    # keep a three-field key (and a DISTINCT fingerprint from lang='')
+    # in both engines (round-11 dirty-parity audit)
     key = F.concat_ws(
-        "|", F.col("doc_id"), F.col("lang"), F.col("n_chars")
+        "|",
+        F.col("doc_id"),
+        F.coalesce(F.col("lang"), F.lit("(null)")),
+        F.col("n_chars"),
     )
     return (
         d.select(

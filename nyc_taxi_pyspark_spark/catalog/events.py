@@ -343,7 +343,8 @@ def events_attribution(spark, sf_dir):
         FROM o
     ), paths AS (
         SELECT user_id, sess_id,
-               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+               string_agg(coalesce(event_type, '(null)'),
+                          '>' ORDER BY ts, event_id) AS path
         FROM s GROUP BY user_id, sess_id
     )
     SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
@@ -381,6 +382,12 @@ def events_top_paths(spark, sf_dir):
                     lambda s: s["event_type"],
                 ),
                 ">",
+                # a NULL event_type is a journey step, not a separator to
+                # swallow: array_join would silently DROP it (an all-NULL
+                # session becomes path "") while the oracle's string_agg
+                # yields NULL — the placeholder keeps both engines and the
+                # session length honest (round-11 dirty-parity audit)
+                "(null)",
             ).alias("path")
         )
     )
@@ -606,8 +613,11 @@ def events_user_features(spark, sf_dir):
     anchor = ev.agg(F.max("ts").alias("__max_ts"))
 
     def n_type(t):
+        # when/otherwise, not a bare boolean cast: (NULL == t) is NULL, so
+        # a user whose types are all NULL would sum to NULL where the
+        # oracle's CASE..ELSE 0 gives 0 (round-11 dirty-parity audit)
         return (
-            F.sum((F.col("event_type") == t).cast("int"))
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
             .cast("bigint")
             .alias(f"n_{t}")
         )
@@ -978,7 +988,7 @@ _PATTERN = "v[^c]*p"  # a view later converted to purchase with NO click between
     oracle=f"""
     WITH seq AS (
         SELECT user_id,
-               string_agg(substr(event_type, 1, 1), ''
+               string_agg(coalesce(substr(event_type, 1, 1), '?'), ''
                           ORDER BY ts, event_id) AS s
         FROM events GROUP BY user_id
     )
@@ -1011,7 +1021,13 @@ def events_pattern_match(spark, sf_dir):
             "user_id",
             F.struct(
                 F.col("ts"), F.col("event_id"),
-                F.substring("event_type", 1, 1).alias("c"),
+                # '?' placeholder (outside the pattern alphabet): a NULL
+                # event_type is an event in the timeline, not a char to
+                # drop — array_join would swallow it while the oracle's
+                # string_agg NULLs the whole sequence (r11 dirty audit)
+                F.coalesce(
+                    F.substring("event_type", 1, 1), F.lit("?")
+                ).alias("c"),
             ).alias("st"),
         )
         .groupBy("user_id")

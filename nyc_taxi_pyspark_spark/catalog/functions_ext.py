@@ -228,11 +228,15 @@ def lambda_functions(spark, sf_dir):
 @query(
     "json_struct_parse",
     oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k_value,
-           CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS INTEGER)
-             AS k_bucket
-    FROM events
+    WITH g AS (
+        SELECT event_id,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS INTEGER)
+               END AS k
+        FROM events
+    )
+    SELECT event_id, k AS k_value, CAST(k % 10 AS INTEGER) AS k_bucket
+    FROM g
     """,
 )
 def json_struct_parse(spark, sf_dir):
@@ -252,16 +256,20 @@ def json_struct_parse(spark, sf_dir):
 @query(
     "events_variant_shred",
     oracle="""
+    WITH g AS (
+        SELECT event_type,
+               CASE WHEN json_valid(props)
+                    THEN CAST(json_extract(props, '$.k') AS BIGINT)
+               END AS k
+        FROM events
+    )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS sum_k,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-               AS max_k,
-           CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT)
-                              IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_missing
-    FROM events
+    FROM g
     GROUP BY event_type
     ORDER BY event_type
     """,

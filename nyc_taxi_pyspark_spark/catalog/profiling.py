@@ -128,7 +128,13 @@ def _fuzzy_oracle() -> str:
     )
     return f"""
     WITH k AS (
+        -- fixed-width contract (operators.linkage.fuzzy_self_matches
+        -- filters length(key) == width): a name too short to yield the
+        -- full 9-char key is not a linkage candidate; without the filter
+        -- the oracle's out-of-range substr('') pads missing positions as
+        -- "equal" and fabricates pairs (round-11 dirty-parity audit)
         SELECT c_custkey AS id, substr(c_name, 10, 9) AS key FROM customer
+        WHERE length(substr(c_name, 10, 9)) = 9
     ),
     p AS (
         SELECT a.id AS id_a, b.id AS id_b, CAST({diff} AS INTEGER) AS n_diff

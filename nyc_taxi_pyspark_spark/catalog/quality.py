@@ -169,8 +169,12 @@ def table_diff_orders(spark, sf_dir):
     )
     SELECT m.event_id, m.event_type, mm.grp_mean AS value
     FROM masked m JOIN means mm USING (event_type)
-    WHERE m.v IS NULL
+    WHERE m.event_id % 10 = 0
     """,
+    # the mask predicate, NOT "v IS NULL": an event whose value is NULL in
+    # the source data satisfies v IS NULL without being masked, so the
+    # proxy diverges from the Spark plan's event_id-stripe filter the
+    # moment real data has NULL measures (round-11 dirty-parity audit)
 )
 def null_fill_group_mean(spark, sf_dir):
     """Group-aware imputation (ref global null-fill,
@@ -989,6 +993,7 @@ _DRIFT_ORACLE = """
                END AS band,
                CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END AS is_first
         FROM events
+        WHERE value IS NULL OR isfinite(value)
     ),
     cells AS (
         SELECT event_type, band,
@@ -1058,7 +1063,14 @@ def events_distribution_drift(spark, sf_dir):
 
 def _drift_banded(ev):
     """(event_type, band, is_first) projection shared by the batch and
-    streaming drift monitors — 10 equal-width value bands, month split."""
+    streaming drift monitors — 10 equal-width value bands, month split.
+
+    Dirty-data contract: non-finite measures are excluded symmetrically
+    (Spark floors NaN into band 0 and saturates Inf into band 9 while
+    DuckDB's cast errors — a NaN is not a small value and a chi-square
+    over it is meaningless); a NULL measure keeps its own NULL band,
+    which both engines group identically."""
+    ev = ev.filter(F.col("value").isNull() | is_finite("value"))
     band = F.least(
         F.floor(F.col("value") / F.lit(50.0)).cast("bigint"), F.lit(9)
     )

@@ -21,6 +21,7 @@ from nyc_taxi_pyspark_spark.operators.similarity import (
     l2_norm_py,
     lsh_bucket,
     lsh_bucket_py,
+    qfloor,
     safe_div,
 )
 from nyc_taxi_pyspark_spark.sources.io import load_table, parallelize_scan
@@ -112,8 +113,17 @@ _DUCK_X = "CAST(e.embedding[i] AS DOUBLE)"
 
 
 def _duck_acc(expr: str) -> str:
-    """Integer micro-quantized sum — mirrors operators.similarity._dsum_terms."""
-    return f"(CAST(SUM(CAST(FLOOR(({expr}) * 1e14) AS BIGINT)) AS DOUBLE) / 1e14)"
+    """Integer micro-quantized sum — mirrors operators.similarity._dsum_terms.
+
+    TRY_CAST + COALESCE are the dirty-data half of the contract: a term
+    whose cents exceed int64 (NaN/±Inf from a broken encoder — DuckDB's
+    FLOOR passes them through and a plain CAST errors) becomes NULL, SUM
+    skips it, and an all-dirty vector coalesces to 0 — exactly the 0 the
+    Spark fold's between-guard contributes for the same terms."""
+    return (
+        f"(CAST(COALESCE(SUM(TRY_CAST(FLOOR(({expr}) * 1e14) AS BIGINT)), 0)"
+        f" AS DOUBLE) / 1e14)"
+    )
 
 
 @query(
@@ -860,7 +870,11 @@ from nyc_taxi_pyspark_spark.operators.similarity import (  # noqa: E402
 )
 
 _DUCK_Q = (
-    f"CASE WHEN m > 0 THEN list_transform(embedding, "
+    # isfinite(m): Spark's NaN > 0 is FALSE (zeros branch) while DuckDB
+    # sorts NaN greatest (TRUE), and any non-finite component forces
+    # m = max|x| non-finite on both engines — so guarding m alone keeps
+    # the branches symmetric on dirty vectors (dirty-parity audit, r11)
+    f"CASE WHEN isfinite(m) AND m > 0 THEN list_transform(embedding, "
     f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {float(Q_LEVELS)} / m + 0.5) AS BIGINT)) "
     f"ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END"
 )
@@ -1286,13 +1300,13 @@ def _ivf_train_oracle() -> str:
 
     def term(xq: str, cs: str, cn: str) -> str:
         d = f"(CAST({xq} AS DOUBLE)/1e8 - CAST({cs} AS DOUBLE)/CAST({cn} AS DOUBLE)/1e8)"
-        return f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+        return f"COALESCE(TRY_CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT), 0)"
 
     return f"""
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding,
-                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+                   x -> COALESCE(TRY_CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT), 0)) AS xq
         FROM embeddings
     ),
     c0 AS (
@@ -1367,12 +1381,12 @@ def _pq_oracle() -> str:
         "(CAST(v.xq[m.m*{S}+i] AS DOUBLE)/1e8"
         " - CAST(cb.xq[m.m*{S}+i] AS DOUBLE)/CAST(1 AS DOUBLE)/1e8)"
     ).format(S=PQ_SUB)
-    term = f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+    term = f"COALESCE(TRY_CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT), 0)"
     return f"""
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding,
-                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+                   x -> COALESCE(TRY_CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT), 0)) AS xq
         FROM embeddings
     ),
     cb AS (SELECT vec_id AS code, xq FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
@@ -1434,13 +1448,13 @@ def _pq_search_oracle() -> str:
             f"(CAST({xcol}[m.m*{PQ_SUB}+i] AS DOUBLE)/1e8"
             f" - CAST(cb.xq[m.m*{PQ_SUB}+i] AS DOUBLE)/CAST(1 AS DOUBLE)/1e8)"
         )
-        return f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+        return f"COALESCE(TRY_CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT), 0)"
 
     return f"""
     WITH v AS (
         SELECT vec_id,
                list_transform(embedding,
-                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+                   x -> COALESCE(TRY_CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT), 0)) AS xq
         FROM embeddings
     ),
     cb AS (SELECT vec_id AS code, xq FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
@@ -1515,13 +1529,13 @@ def _ivfpq_oracle() -> str:
             f"(CAST({xcol}[m.m*{PQ_SUB}+i] AS DOUBLE)/1e8"
             f" - CAST(cb.xq[m.m*{PQ_SUB}+i] AS DOUBLE)/CAST(1 AS DOUBLE)/1e8)"
         )
-        return f"CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT)"
+        return f"COALESCE(TRY_CAST(FLOOR(({d} * {d}) * 1e14) AS BIGINT), 0)"
 
     return _duck_ivf_cells() + f""",
     v AS (
         SELECT vec_id,
                list_transform(embedding,
-                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS xq
+                   x -> COALESCE(TRY_CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT), 0)) AS xq
         FROM embeddings
     ),
     cb AS (SELECT vec_id AS code, xq FROM v WHERE vec_id BETWEEN 1 AND {PQ_K}),
@@ -1602,14 +1616,14 @@ def embed_ivfpq_search(spark, sf_dir):
     )
     SELECT dim,
            CAST(COUNT(*) AS BIGINT) AS n,
-           (CAST(SUM(CAST(FLOOR(x * 1e14) AS BIGINT)) AS DOUBLE) / 1e14)
+           (CAST(COALESCE(SUM(TRY_CAST(FLOOR(x * 1e14) AS BIGINT)), 0) AS DOUBLE) / 1e14)
                / COUNT(*) AS mean,
            SQRT(
-             (CAST(SUM(CAST(FLOOR(x * x * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+             (CAST(COALESCE(SUM(TRY_CAST(FLOOR(x * x * 1e12) AS BIGINT)), 0) AS DOUBLE) / 1e12)
                  / COUNT(*)
-             - ((CAST(SUM(CAST(FLOOR(x * 1e14) AS BIGINT)) AS DOUBLE) / 1e14)
+             - ((CAST(COALESCE(SUM(TRY_CAST(FLOOR(x * 1e14) AS BIGINT)), 0) AS DOUBLE) / 1e14)
                  / COUNT(*))
-               * ((CAST(SUM(CAST(FLOOR(x * 1e14) AS BIGINT)) AS DOUBLE) / 1e14)
+               * ((CAST(COALESCE(SUM(TRY_CAST(FLOOR(x * 1e14) AS BIGINT)), 0) AS DOUBLE) / 1e14)
                  / COUNT(*))
            ) AS std,
            MIN(x) AS min_val, MAX(x) AS max_val
@@ -1628,12 +1642,8 @@ def embed_dim_stats(spark, sf_dir):
     of the identical cast doubles are exact."""
     e = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
     x = F.col("x")
-    q_mean = F.sum(F.floor(x * F.lit(1e14)).cast("bigint")).cast(
-        "double"
-    ) / F.lit(1e14)
-    q_sq = F.sum(
-        F.floor(x * x * F.lit(1e12)).cast("bigint")
-    ).cast("double") / F.lit(1e12)
+    q_mean = F.sum(qfloor(x * F.lit(1e14))).cast("double") / F.lit(1e14)
+    q_sq = F.sum(qfloor(x * x * F.lit(1e12))).cast("double") / F.lit(1e12)
     n = F.count(F.lit(1))
     mean = q_mean / n
     return (
@@ -1658,7 +1668,7 @@ def embed_dim_stats(spark, sf_dir):
     oracle=f"""
     WITH sums AS (
         SELECT i AS dim,
-               CAST(SUM(CAST(FLOOR({_DUCK_X} * 1e14) AS BIGINT)) AS BIGINT)
+               CAST(COALESCE(SUM(TRY_CAST(FLOOR({_DUCK_X} * 1e14) AS BIGINT)), 0) AS BIGINT)
                    AS s_q,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM embeddings e, generate_series(1, {DIM}) AS g(i)
@@ -1669,9 +1679,9 @@ def embed_dim_stats(spark, sf_dir):
     ),
     dists AS (
         SELECT e.vec_id,
-               CAST(SUM(CAST(FLOOR(
+               CAST(COALESCE(SUM(TRY_CAST(FLOOR(
                    ({_DUCK_X} - c.m) * ({_DUCK_X} - c.m) * 1e12
-               ) AS BIGINT)) AS DOUBLE) / 1e12 AS dist2
+               ) AS BIGINT)), 0) AS DOUBLE) / 1e12 AS dist2
         FROM embeddings e, generate_series(1, {DIM}) AS g(i)
         JOIN centroid c ON c.dim = i
         GROUP BY e.vec_id
@@ -1697,9 +1707,7 @@ def embed_outlier_docs(spark, sf_dir):
         .select((F.col("pos") + 1).alias("dim"), x.alias("x"))
         .groupBy("dim")
         .agg(
-            F.sum(F.floor(F.col("x") * F.lit(1e14)).cast("bigint")).alias(
-                "s_q"
-            ),
+            F.sum(qfloor(F.col("x") * F.lit(1e14))).alias("s_q"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -1716,9 +1724,9 @@ def embed_outlier_docs(spark, sf_dir):
     diff = F.zip_with(
         F.col("embedding"),
         F.col("__c"),
-        lambda a, b: F.floor(
+        lambda a, b: qfloor(
             (a.cast("double") - b) * (a.cast("double") - b) * F.lit(1e12)
-        ).cast("bigint"),
+        ),
     )
     dist2 = (
         F.aggregate(
@@ -1937,8 +1945,8 @@ def _power_iteration_oracle() -> str:
     parts = [
         f"""x AS (
         SELECT e.vec_id, i - 1 AS dim,
-               CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {_PI_Q})
-                    AS BIGINT) AS val
+               COALESCE(TRY_CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {_PI_Q})
+                    AS BIGINT), 0) AS val
         FROM embeddings e, generate_series(1, {DIM}) AS g(i)
     )""",
         f"""v0 AS (
@@ -2010,9 +2018,7 @@ def embed_power_iteration_pc1(spark, sf_dir):
         .select(
             "vec_id",
             "dim",
-            F.floor(F.col("xf").cast("double") * _PI_Q)
-            .cast("bigint")
-            .alias("val"),
+            qfloor(F.col("xf").cast("double") * _PI_Q).alias("val"),
         ),
     )
 
@@ -2274,14 +2280,14 @@ def _centroid_drift_oracle() -> str:
     def half_sum(parity: int, alias: str) -> str:
         return (
             f"CAST(SUM(CASE WHEN e.vec_id % 2 = {parity} THEN "
-            f"CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * {_DRIFT_Q})"
-            f" AS BIGINT) ELSE 0 END) AS BIGINT) AS {alias}"
+            f"COALESCE(TRY_CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) *"
+            f" {_DRIFT_Q}) AS BIGINT), 0) ELSE 0 END) AS BIGINT) AS {alias}"
         )
 
     def fold(xa: str, xb: str, alias: str) -> str:
         return (
-            f"CAST(SUM(CAST(FLOOR((CAST({xa} AS DOUBLE) * CAST({xb} AS"
-            f" DOUBLE)) / {_DRIFT_Q}) AS BIGINT)) AS DOUBLE) AS {alias}"
+            f"CAST(COALESCE(SUM(TRY_CAST(FLOOR((CAST({xa} AS DOUBLE) * CAST({xb}"
+            f" AS DOUBLE)) / {_DRIFT_Q}) AS BIGINT)), 0) AS DOUBLE) AS {alias}"
         )
 
     return f"""
@@ -2337,7 +2343,7 @@ def embed_centroid_drift(spark, sf_dir):
     d = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("i", "x")
     )
-    qe = F.floor(F.col("x").cast("double") * F.lit(1e6)).cast("bigint")
+    qe = qfloor(F.col("x").cast("double") * F.lit(1e6))
     even = F.col("vec_id") % 2 == 0
     dims = d.groupBy("label", "i").agg(
         F.sum(F.when(even, qe).otherwise(F.lit(0))).alias("sa"),
@@ -2346,10 +2352,10 @@ def embed_centroid_drift(spark, sf_dir):
 
     def fold(xa: str, xb: str) -> F.Column:
         return F.sum(
-            F.floor(
+            qfloor(
                 (F.col(xa).cast("double") * F.col(xb).cast("double"))
                 / F.lit(1e6)
-            ).cast("bigint")
+            )
         ).cast("double")
 
     c = dims.groupBy("label").agg(

@@ -88,7 +88,9 @@ def sql_insight_topk(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(SUM(CAST(CASE WHEN json_valid(props) THEN
+                    json_extract_string(props, '$.k') END AS BIGINT))
+                AS BIGINT)
              AS sum_k
     FROM events
     GROUP BY event_type

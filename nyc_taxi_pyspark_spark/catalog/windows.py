@@ -64,12 +64,16 @@ def window_lag_gap(spark, sf_dir):
     "window_running_sum",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CASE WHEN isfinite(value)
+                         THEN CAST(value AS DECIMAL(18,2)) END) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_value
     FROM events
     """,
+    # the isfinite CASE mirrors Spark's double->decimal cast, which yields
+    # NULL on NaN/Inf (SUM then skips it); DuckDB 1.0's cast — even
+    # TRY_CAST — errors on NaN instead (dirty-parity audit, round 11)
 )
 def window_running_sum(spark, sf_dir):
     """Running total per user over event time (decimal-exact, so the value
@@ -89,12 +93,15 @@ def window_running_sum(spark, sf_dir):
     "window_moving_avg",
     oracle="""
     SELECT event_id, user_id, ts,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(SUM(CASE WHEN isfinite(value)
+                         THEN CAST(value AS DECIMAL(18,2)) END) OVER w
+                AS DOUBLE)
              / COUNT(value) OVER w AS moving_avg_3
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
+    # isfinite CASE: same dirty-data mirror as window_running_sum
 )
 def window_moving_avg(spark, sf_dir):
     """3-row moving average per user (rolling frame)."""

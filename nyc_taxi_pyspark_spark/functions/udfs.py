@@ -88,13 +88,20 @@ def center_values_per_group(
         # row's centered value stays NULL through NaN arithmetic)
         raw = pdf[value_col] * 100
         cents = raw[np.isfinite(raw)].round().astype("int64")
-        mean = float(cents.sum()) / 100.0 / len(pdf)
+        if len(cents) == 0:
+            # all-dirty group: SQL SUM is NULL, so the oracle's centered
+            # column is NULL — mirror it instead of fabricating mean=0
+            # (Inf - 0 would even surface as a spurious Inf "centered")
+            centered = pd.Series([None] * len(pdf), dtype="float64")
+        else:
+            mean = float(cents.sum()) / 100.0 / len(pdf)
+            centered = pdf[value_col] - mean
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 group_col: pdf[group_col],
                 value_col: pdf[value_col],
-                "centered": pdf[value_col] - mean,
+                "centered": centered,
             }
         )
 

@@ -161,11 +161,27 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(0),
         lambda a, x: a + x,
     )
-    mean_len = sum_len.cast("double") / n_tok.cast("double")
-    short_ratio = short_hits.cast("double") / n_tok.cast("double")
-    flag_tokens = n_tok.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
-    flag_mean_len = (mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI)
-    flag_short = short_ratio <= GOPHER_SHORT_WORD_MAX_RATIO
+    from nyc_taxi_pyspark_spark.functions.exact import sdiv
+
+    # sdiv + coalesce(false): a token-less doc has UNDEFINED ratios (NULL,
+    # matching the oracle's NULL/0) but must FAIL the rules outright —
+    # a bare comparison on NULL would leave the flag NULL where the
+    # oracle's CASE yields 0 (round-11 dirty-parity audit)
+    mean_len = sdiv(sum_len.cast("double"), n_tok.cast("double"))
+    short_ratio = sdiv(short_hits.cast("double"), n_tok.cast("double"))
+    # NULL-text doc: n_tok and the aggregate folds are NULL — every flag
+    # must still read FALSE (and hits 0), like the oracle's CASE..ELSE 0
+    flag_tokens = F.coalesce(
+        n_tok.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS), F.lit(False)
+    )
+    flag_mean_len = F.coalesce(
+        (mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI),
+        F.lit(False),
+    )
+    flag_short = F.coalesce(
+        short_ratio <= GOPHER_SHORT_WORD_MAX_RATIO, F.lit(False)
+    )
+    stop_hits = F.coalesce(stop_hits, F.lit(0))
     flag_stop = stop_hits >= GOPHER_MIN_STOPWORD_HITS
     return df.select(
         "doc_id",

@@ -81,13 +81,29 @@ def lsh_bucket_py(
     return "".join(bits)
 
 
+_TERM_LIM = float(2**63 - 1024)  # per-term int64 headroom
+
+
 def _dsum_terms(terms: Column) -> Column:
     """Order-independent sum of an array of doubles via integer folding
-    (micro-quantized at 1e-14; see _SCALE note above)."""
+    (micro-quantized at 1e-14; see _SCALE note above).
+
+    Non-finite contract (round-11 dirty-parity audit): a NaN term already
+    folded to 0 (Spark floor(NaN)=0), but an ±Inf term floored to
+    ±Long.MAX and ABORTED the whole job on the next ANSI add — one broken
+    encoder component killing every similarity query over the corpus. The
+    between-guard maps ANY term outside int64 range (NaN, ±Inf, or a
+    physically absurd |x|>2^63/1e14 component) to a 0 contribution, which
+    is bit-identical to the oracle twin's ``SUM(TRY_CAST(...))`` skipping
+    the NULL (catalog.similarity._duck_acc)."""
+    q = lambda x: x * F.lit(_SCALE)  # noqa: E731
     return F.aggregate(
         terms,
         F.lit(0).cast("bigint"),
-        lambda acc, x: acc + F.floor(x * F.lit(_SCALE)).cast("bigint"),
+        lambda acc, x: acc
+        + F.when(q(x).between(-_TERM_LIM, _TERM_LIM), F.floor(q(x)))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
         lambda acc: acc.cast("double") / F.lit(_SCALE),
     )
 
@@ -782,14 +798,28 @@ Q8 = 10**8  # component quantization scale for k-means training
 Q14 = 10**14  # distance-term quantization scale (same as _SCALE)
 
 
+def qfloor(expr: Column) -> Column:
+    """Guarded micro-quantizer: floor(expr) as bigint, 0 when expr sits
+    outside int64 range (NaN, ±Inf, or an absurd finite magnitude) — the
+    same non-finite contract as :func:`_dsum_terms`'s fold term. Without
+    the guard, floor saturates ±Inf to ±Long.MAX and the NEXT integer
+    add/multiply aborts the whole job under ANSI mode (round-11
+    dirty-parity audit: one broken encoder component killed six
+    similarity queries). Oracle twin:
+    ``COALESCE(TRY_CAST(FLOOR(expr) AS BIGINT), 0)``."""
+    return (
+        F.when(expr.between(-_TERM_LIM, _TERM_LIM), F.floor(expr))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+
+
 def quantize8(vec: Column) -> Column:
     """Components as exact micro-integers: floor(x · 1e8). float32 → double
     is exact, the scaled floor is deterministic IEEE, so every engine derives
     the identical integer vector — the foundation that makes iterative
-    k-means hash-checkable."""
-    return F.transform(
-        vec, lambda x: F.floor(x.cast("double") * F.lit(float(Q8))).cast("bigint")
-    )
+    k-means hash-checkable. Non-finite components quantize to 0 (qfloor)."""
+    return F.transform(vec, lambda x: qfloor(x.cast("double") * F.lit(float(Q8))))
 
 
 def kmeans_dist_q(xq: Column, comps: list[float]) -> Column:
@@ -801,11 +831,11 @@ def kmeans_dist_q(xq: Column, comps: list[float]) -> Column:
     terms = F.zip_with(
         xq,
         c_arr,
-        lambda x, c: F.floor(
+        lambda x, c: qfloor(
             (x.cast("double") / F.lit(float(Q8)) - c)
             * (x.cast("double") / F.lit(float(Q8)) - c)
             * F.lit(float(Q14))
-        ).cast("bigint"),
+        ),
     )
     return F.aggregate(terms, F.lit(0).cast("bigint"), lambda a, t: a + t)
 

@@ -70,9 +70,15 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     if srows != orows:
         # find first differing row for the report
         diffs = [i for i, (a, b) in enumerate(zip(srows, orows)) if a != b]
-        i = diffs[0] if diffs else min(len(srows), len(orows)) - 1
+        # no differing pair ⇒ one side is a strict prefix (row counts
+        # differ); point at the first extra row, and never index an empty
+        # side (an empty-vs-nonempty result used to IndexError and kill
+        # the whole run)
+        i = diffs[0] if diffs else min(len(srows), len(orows))
+        s_i = srows[i][:300] if i < len(srows) else "<no row>"
+        o_i = orows[i][:300] if i < len(orows) else "<no row>"
         problems.append(
-            f"values differ at sorted row {i}:\n  spark : {srows[i][:300]}\n  oracle: {orows[i][:300]}"
+            f"values differ at sorted row {i}:\n  spark : {s_i}\n  oracle: {o_i}"
         )
         # Tolerance report: per float column, compare the value-sorted column
         # vectors and report max-abs diff — distinguishes float drift (tiny

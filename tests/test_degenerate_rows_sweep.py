@@ -35,9 +35,16 @@ def _ts_arr(vals):
     return pa.array(vals, type=pa.timestamp("us"))
 
 
-@pytest.fixture(scope="module")
-def degenerate_sf_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("degensf")
+def write_degenerate_tables(dirpath) -> str:
+    """Materialize the 10-table adversarial fixture under ``dirpath``.
+
+    Module-level (not just a fixture) so the dirty-data ORACLE-parity
+    audit (scripts/dirty_parity_audit.py) can run check_parity against the
+    same fixture the no-crash sweep uses."""
+    import pathlib
+
+    d = pathlib.Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
 
     def w(name: str, table: pa.Table) -> None:
         ref = pq.read_schema(f"/root/testdata/sf0.001/{name}.parquet")
@@ -160,6 +167,13 @@ def degenerate_sf_dir(tmp_path_factory):
         (6, [float(i) for i in range(dim)], 0),
         (7, [1e-30] * dim, 1),  # denormal-ish norm
         (8, [float("nan")] + [0.5] * (dim - 1), 0),  # broken encoder output
+        # r11 dirty-parity audit additions: ±Inf components previously
+        # ABORTED every fold-based similarity query (floor(Inf)=Long.MAX,
+        # next ANSI add overflows); all-NaN exercises the all-dirty-vector
+        # COALESCE in the oracle accumulator
+        (9, [float("inf")] + [0.5] * (dim - 1), 1),
+        (10, [float("-inf"), float("inf")] + [0.25] * (dim - 2), 2),
+        (11, [float("nan")] * dim, 0),
     ]
     w("embeddings", _t(
         vec_id=[r[0] for r in vecs],
@@ -167,6 +181,11 @@ def degenerate_sf_dir(tmp_path_factory):
         label=pa.array([r[2] for r in vecs], pa.int32()),
     ))
     return str(d)
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf_dir(tmp_path_factory):
+    return write_degenerate_tables(tmp_path_factory.mktemp("degensf"))
 
 
 # the documented clean-failure contract (same set as the empty sweep,
@@ -195,3 +214,54 @@ def test_every_query_survives_degenerate_rows(spark, degenerate_sf_dir):
                 f"{str(ex).splitlines()[0][:160]}"
             )
     assert not failures, f"{len(failures)} defects:\n" + "\n".join(failures)
+
+
+def test_dirty_oracle_parity_representative_subset(degenerate_sf_dir):
+    """Cross-engine ORACLE parity on the dirty fixture for the families the
+    round-11 audit found divergent (rank/ECDF stats, decimal window sums,
+    the fold-based embedding family) plus their neighbors — the in-suite
+    tripwire for NULL/NaN/Inf-handling asymmetries between the Spark plan
+    and its DuckDB oracle. The full-catalog version is
+    scripts/dirty_parity_audit.py (audit artifact, run per round)."""
+    import subprocess
+
+    subset = [
+        "stats_mann_whitney", "stats_ks_test", "window_running_sum",
+        "window_moving_avg", "embed_norms", "embed_cosine_topk",
+        "embed_lsh_buckets", "embed_near_dup_pairs", "embed_knn_join",
+        "embed_dim_stats", "embed_outlier_docs", "embed_power_iteration_pc1",
+        "embed_centroid_drift", "embed_ann_int8", "embed_semantic_dedup",
+        "search_hybrid_rrf", "udf_group_center", "stream_stateful_totals",
+        "exact_quantiles", "events_value_winsorized",
+        "events_distribution_drift", "histogram_totalprice",
+    ]
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "scripts",
+                "check_parity.py",
+            ),
+            degenerate_sf_dir,
+            *subset,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        env={
+            **os.environ,
+            "PYTHONPATH": os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            ),
+        },
+    )
+    bad = [
+        ln
+        for ln in proc.stdout.splitlines()
+        if ln.startswith("FAIL") or ln.startswith("      ")
+    ]
+    assert f"{len(subset)} pass, 0 fail" in proc.stdout, (
+        "dirty-data oracle divergence:\n" + "\n".join(bad[:40])
+        + "\n" + proc.stdout[-800:] + proc.stderr[-400:]
+    )
