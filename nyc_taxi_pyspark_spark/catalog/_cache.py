@@ -23,17 +23,39 @@ before reading layout-backed queries.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 class SessionLayoutCache:
-    """One live persisted DataFrame, keyed by (applicationId, sf_dir)."""
+    """One live persisted DataFrame, keyed by (SparkSession identity,
+    applicationId, sf_dir).
+
+    The SESSION must be part of the key, not just the applicationId: a
+    DataFrame is bound to the session that built it, and sibling sessions
+    from ``newSession()`` share one applicationId while holding separate
+    SQL confs and separate temp-view catalogs. Handing session A's cached
+    frame to session B silently runs B's query under A's
+    shuffle-partition/AQE layout, and ``createOrReplaceTempView`` on it
+    registers the view in A's catalog where B's ``spark.sql`` can never
+    see it (the layout-invariance audit caught exactly that in
+    ``sql_dup_clusters_recursive``). Alternating sibling sessions
+    therefore rebuild rather than share — correct, just unshared; one
+    session per catalog run (the normal shape) still pays the build once.
+    """
 
     def __init__(self) -> None:
+        self._session: SparkSession | None = None
         self._key: tuple[str, str] | None = None
         self._value: DataFrame | None = None
+        # the serving layer can run catalog queries from concurrent
+        # request threads; without the lock two simultaneous misses
+        # double-build and the loser's persist() leaks (displaced with no
+        # unpersist). build() runs under the lock — a duplicate build
+        # costs more than the brief serialization it prevents.
+        self._lock = threading.Lock()
 
     def get_or_build(
         self,
@@ -42,23 +64,34 @@ class SessionLayoutCache:
         build: Callable[[], DataFrame],
     ) -> DataFrame:
         key = (spark.sparkContext.applicationId, sf_dir)
-        if self._key != key:
-            displaced = self._value
-            self._key, self._value = key, build().persist()
-            if displaced is not None:
-                try:
-                    displaced.unpersist()
-                except Exception:
-                    pass  # dead session: blocks are already gone
-        return self._value
+        with self._lock:
+            if self._key != key or self._session is not spark:
+                displaced = self._value
+                self._session, self._key, self._value = (
+                    spark,
+                    key,
+                    build().persist(),
+                )
+                if displaced is not None:
+                    try:
+                        displaced.unpersist()
+                    except Exception:
+                        pass  # dead session: blocks are already gone
+            return self._value
 
     def invalidate(self) -> None:
         """Drop the live entry so the next get_or_build rebuilds from the
         current table state — the explicit escape hatch of the snapshot
         contract (module docstring) for in-place table mutation."""
-        displaced, self._key, self._value = self._value, None, None
-        if displaced is not None:
-            try:
-                displaced.unpersist()
-            except Exception:
-                pass  # dead session: blocks are already gone
+        with self._lock:
+            displaced, self._session, self._key, self._value = (
+                self._value,
+                None,
+                None,
+                None,
+            )
+            if displaced is not None:
+                try:
+                    displaced.unpersist()
+                except Exception:
+                    pass  # dead session: blocks are already gone

@@ -2,7 +2,8 @@
 
 The catalog's persisted layouts (_COPURCHASE_CACHE, the MinHash/SimHash
 signature layouts, IVF centroids, the trigram postings) are all instances
-of SessionLayoutCache, keyed by (applicationId, sf_dir). These tests pin
+of SessionLayoutCache, keyed by (session identity, applicationId,
+sf_dir). These tests pin
 the documented contract: an entry is a SNAPSHOT of the table at first use
 (same semantics as Spark's CACHE TABLE — in-place file mutation is not
 detected), invalidate() is the explicit escape hatch, and switching
@@ -108,6 +109,70 @@ def test_dir_switch_rebuilds_and_displaces(spark, tmp_path):
         spark, a, lambda: spark.read.parquet(a + "/t.parquet")
     )
     assert da2.count() == 2
+
+
+def test_sibling_session_rebuilds_in_its_own_session(spark, tmp_path):
+    """Sibling sessions share an applicationId but NOT temp-view catalogs
+    or SQL confs, so the session must be part of the cache key: handing
+    session A's frame to session B registers B's temp views in A's
+    catalog (the layout audit caught this in sql_dup_clusters_recursive)
+    and runs B's query under A's layout conf. A sibling call must rebuild
+    with a frame bound to the sibling."""
+    table = str(tmp_path / "t.parquet")
+    _write(spark, table, 4)
+    cache = SessionLayoutCache()
+    builds = []
+
+    def build_on(sess):
+        def build():
+            builds.append(1)
+            return sess.read.parquet(table)
+
+        return build
+
+    da = cache.get_or_build(spark, str(tmp_path), build_on(spark))
+    assert da.count() == 4 and len(builds) == 1
+
+    sib = spark.newSession()
+    db = cache.get_or_build(sib, str(tmp_path), build_on(sib))
+    assert len(builds) == 2  # same appId, different session => rebuild
+    assert db.sparkSession is sib
+    # the sibling's frame registers temp views in the SIBLING's catalog
+    db.createOrReplaceTempView("__cache_sib_probe")
+    assert sib.sql("SELECT COUNT(*) AS n FROM __cache_sib_probe").first().n == 4
+    sib.catalog.dropTempView("__cache_sib_probe")
+
+
+def test_concurrent_misses_build_once(spark, tmp_path):
+    """Two request threads missing simultaneously must not double-build:
+    the loser's persist() would be displaced with no unpersist (a storage
+    leak in a long-lived serving process). The lock serializes the build;
+    the second thread sees the fresh entry and reuses it."""
+    import threading
+    import time
+
+    table = str(tmp_path / "t.parquet")
+    _write(spark, table, 3)
+    cache = SessionLayoutCache()
+    builds = []
+
+    def build():
+        builds.append(1)
+        time.sleep(0.2)  # widen the race window
+        return spark.read.parquet(table)
+
+    results = []
+
+    def worker():
+        results.append(cache.get_or_build(spark, str(tmp_path), build))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(builds) == 1
+    assert all(r is results[0] for r in results)
 
 
 def test_invalidate_is_safe_when_empty():

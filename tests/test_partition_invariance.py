@@ -97,6 +97,11 @@ SWEEP = [
     # risk sets over the distinct-duration frame
     "stats_ks_test",
     "events_survival_km",
+    # regression for the session-keyed layout cache: this query registers
+    # a temp view over the cached pair frame, so running it in two
+    # sibling sessions breaks (TABLE_OR_VIEW_NOT_FOUND) if the cache ever
+    # hands one session's frame to the other again
+    "sql_dup_clusters_recursive",
 ]
 
 
