@@ -100,10 +100,21 @@ def run_stream_cached(
 
 
 def parquet_stream_dir(src_file: str) -> str:
-    """Expose a single parquet FILE as a readStream-able DIRECTORY via a
-    deterministic per-source symlink dir (no data copy; reused across
-    invocations instead of leaking a mkdtemp per run; stale links from a
-    regenerated source are replaced)."""
+    """Expose a parquet table — a single FILE or a Spark-written DIRECTORY
+    of part files — as a readStream-able directory via a deterministic
+    per-source symlink dir (no data copy; reused across invocations
+    instead of leaking a mkdtemp per run; stale links from a regenerated
+    source are replaced).
+
+    The directory case is the one that matters at scale: every
+    Spark/ingest-written table is a directory of part-*.parquet, and
+    Spark's file stream source does NOT recurse into a nested directory —
+    symlinking the directory itself silently yields an EMPTY stream (the
+    input-layout audit caught exactly that in stream_stateful_totals). A
+    directory source therefore gets one symlink PER data file, and links
+    whose target no longer belongs to the source (regeneration changed
+    the part set) are pruned so the stream never reads a stale mix.
+    """
     import hashlib
     import os
     import tempfile
@@ -112,29 +123,55 @@ def parquet_stream_dir(src_file: str) -> str:
     tag = hashlib.sha1(src.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"stateful_stream_{tag}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, os.path.basename(src))
-    # Replace anything at the link path that is not a symlink resolving to
-    # src: a stale symlink (source regenerated), but also a plain file or
-    # directory squatting there — lexists catches dangling symlinks that
-    # exists() would miss. Creation races with a concurrent session: both
-    # can pass the lexists check, so the loser's symlink() raises
-    # FileExistsError — benign iff what won resolves to src (re-validated
-    # below), one retry covers the unlink/symlink interleave.
-    for _ in range(2):
-        if os.path.islink(link):
-            if os.path.realpath(link) == src:
-                return d
-            os.unlink(link)
-        elif os.path.lexists(link):
-            os.unlink(link)
-        try:
-            os.symlink(src, link)
-        except FileExistsError:
-            continue  # concurrent creator won; re-validate
-        break
-    if not (os.path.islink(link) and os.path.realpath(link) == src):
-        raise RuntimeError(
-            f"parquet_stream_dir: {link!r} is contended by another writer "
-            f"and does not resolve to {src!r}"
+    if os.path.isdir(src):
+        wanted = {
+            n: os.path.join(src, n)
+            for n in os.listdir(src)
+            if n.endswith(".parquet") and not n.startswith((".", "_"))
+        }
+        if not wanted:
+            raise RuntimeError(
+                f"parquet_stream_dir: no part-*.parquet data files in {src!r}"
+            )
+    else:
+        wanted = {os.path.basename(src): src}
+    # Prune anything in the link dir that is not a symlink resolving to a
+    # CURRENT data file: stale links from a regenerated source (lexists
+    # catches dangling symlinks that exists() would miss), but also a
+    # plain file or directory squatting on a link name.
+    for n in os.listdir(d):
+        p = os.path.join(d, n)
+        ok = (
+            os.path.islink(p)
+            and n in wanted
+            and os.path.realpath(p) == os.path.realpath(wanted[n])
         )
+        if not ok:
+            os.unlink(p)
+    # Creation races with a concurrent session: both can pass the prune,
+    # so the loser's symlink() raises FileExistsError — benign iff what
+    # won resolves to the same target (re-validated), one retry covers
+    # the unlink/symlink interleave.
+    for name, target in wanted.items():
+        link = os.path.join(d, name)
+        for _ in range(2):
+            if os.path.islink(link) and os.path.realpath(link) == (
+                os.path.realpath(target)
+            ):
+                break
+            if os.path.lexists(link):
+                os.unlink(link)
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                continue  # concurrent creator won; re-validate
+            break
+        if not (
+            os.path.islink(link)
+            and os.path.realpath(link) == os.path.realpath(target)
+        ):
+            raise RuntimeError(
+                f"parquet_stream_dir: {link!r} is contended by another "
+                f"writer and does not resolve to {target!r}"
+            )
     return d

@@ -18,11 +18,21 @@ every groupBy/join/window, AQE's runtime coalescing and join re-planning
 vs the static plan, and different task interleavings for every
 accumulation. Divergence = order-dependent or layout-dependent logic.
 
+A second, independent axis — INPUT layout — is exercised with
+``--reshard``: every table is rewritten as a multi-file copy with a
+different row order (repartition round-robin), and each query runs in ONE
+session against the original and the resharded directory. Sibling
+sessions share identical scan splits, so only this mode catches
+input-order dependence (a first() without ordering, an id minted from
+partition position, a fold whose result leaks accumulation order). The
+rows are bit-identical to the driver's tables — only the physical layout
+changes.
+
 Queries whose CONTRACT is layout-dependent are triaged in _EXPECTED;
 the audit exits non-zero only on an UNEXPECTED divergence. Usage:
 
     PYTHONPATH=/root/repo python scripts/layout_invariance_audit.py \
-        [sf_dir] [query ...]
+        [--reshard] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -40,12 +50,49 @@ sys.path.insert(0, _REPO)
 # are seeded PER PARTITION (seed + partition index drive the stream), so a
 # different input/shuffle layout legitimately selects different rows; the
 # determinism these queries promise — same seed + same layout => same rows
-# — is pinned by their own tests, not by this audit.
+# — is pinned by their own tests, not by this audit. They pass the
+# sibling-session mode (identical scan splits) but legitimately diverge
+# under --reshard (different input partitioning reseeds every stream).
 _EXPECTED: dict[str, str] = {
     "sampled_agg": "seeded per-partition Bernoulli sample (O5 contract)",
     "stratified_sample": "seeded per-partition sampleBy (O5 contract)",
     "corpus_weighted_sample": "seeded per-partition A-ES keys (contract)",
+    # percentile_approx merges per-partition QuantileSummaries sketches;
+    # the merge ORDER (hence the input layout) moves the estimate within
+    # the sketch's documented error bound. The exact twin
+    # (exact_quantiles) is the invariant path; this query exists to cover
+    # the approximate operator and is rows-only in the driver gate too.
+    "approx_quantiles": "approximate sketch, layout-dependent by design",
+    # the query's OUTPUT is per-file lineage (_metadata.file_name): a
+    # different physical file set is a different correct answer — its
+    # docstring promises one row per file
+    "scan_file_lineage": "per-file lineage surface (physical layout IS the output)",
 }
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def _build_resharded(spark, sf_dir: str, out_dir: str, n_files: int = 7) -> None:
+    """Rewrite each table as an n-file copy with a different row order.
+
+    repartition() is a round-robin shuffle: rows land in different files
+    in different order, but the row SET is bit-identical. Reads go through
+    ``load_table`` so the events timestamp-unit sniffing applies, and
+    writes inherit the session's TIMESTAMP_MICROS convention — a
+    Spark-written copy is exactly what an ingest job would have produced.
+    """
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+
+    for t in _TABLES:
+        (
+            load_table(spark, sf_dir, t)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"{t}.parquet"))
+        )
 
 
 def _canon_hash(pdf) -> str:
@@ -64,6 +111,8 @@ def _canon_hash(pdf) -> str:
 
 
 def main(argv: list[str]) -> int:
+    reshard = "--reshard" in argv
+    argv = [a for a in argv if a != "--reshard"]
     sf_dir = (
         argv[0]
         if argv and os.path.isdir(argv[0])
@@ -75,12 +124,25 @@ def main(argv: list[str]) -> int:
     from nyc_taxi_pyspark_spark.session import get_spark
 
     base = get_spark("layout-audit")
-    sess_a = base.newSession()
-    sess_a.conf.set("spark.sql.shuffle.partitions", "3")
-    sess_a.conf.set("spark.sql.adaptive.enabled", "false")
-    sess_b = base.newSession()
-    sess_b.conf.set("spark.sql.shuffle.partitions", "32")
-    sess_b.conf.set("spark.sql.adaptive.enabled", "true")
+    if reshard:
+        # one session, two INPUT layouts: original vs multi-file reshard
+        import tempfile
+
+        reshard_dir = tempfile.mkdtemp(prefix="reshard_")
+        print(f"building resharded copy of {sf_dir} -> {reshard_dir}")
+        _build_resharded(base, sf_dir, reshard_dir)
+        run_a = lambda fn: fn(base, sf_dir)  # noqa: E731
+        run_b = lambda fn: fn(base, reshard_dir)  # noqa: E731
+    else:
+        # one input layout, two SESSION layouts (shuffle count + AQE)
+        sess_a = base.newSession()
+        sess_a.conf.set("spark.sql.shuffle.partitions", "3")
+        sess_a.conf.set("spark.sql.adaptive.enabled", "false")
+        sess_b = base.newSession()
+        sess_b.conf.set("spark.sql.shuffle.partitions", "32")
+        sess_b.conf.set("spark.sql.adaptive.enabled", "true")
+        run_a = lambda fn: fn(sess_a, sf_dir)  # noqa: E731
+        run_b = lambda fn: fn(sess_b, sf_dir)  # noqa: E731
 
     n_pass = n_diverge = n_error = 0
     unexpected: list[str] = []
@@ -90,8 +152,8 @@ def main(argv: list[str]) -> int:
             continue
         t0 = time.time()
         try:
-            ha = _canon_hash(fn(sess_a, sf_dir).toPandas())
-            hb = _canon_hash(fn(sess_b, sf_dir).toPandas())
+            ha = _canon_hash(run_a(fn).toPandas())
+            hb = _canon_hash(run_b(fn).toPandas())
         except Exception as e:  # noqa: BLE001
             n_error += 1
             line = f"ERROR {name}: {type(e).__name__}: {str(e)[:200]}"
@@ -113,6 +175,11 @@ def main(argv: list[str]) -> int:
                 expected_seen.append(f"{name}: {_EXPECTED[name]}")
             else:
                 unexpected.append(line)
+
+    if reshard:
+        import shutil
+
+        shutil.rmtree(reshard_dir, ignore_errors=True)
 
     print(f"\n{n_pass} pass, {n_diverge} diverge, {n_error} error")
     print(f"--- audit: {len(expected_seen)} documented layout-dependent ---")

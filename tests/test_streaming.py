@@ -240,6 +240,81 @@ def test_parquet_stream_dir_replaces_squatters_and_stale_links(tmp_path):
     assert os.path.realpath(link) == os.path.realpath(str(src))
 
 
+def test_parquet_stream_dir_directory_source(tmp_path):
+    """A Spark-written table is a DIRECTORY of part files — the shape
+    every real ingest produces. The stream dir must link each data file
+    (Spark's file source does not recurse into a nested directory; the
+    input-layout audit caught stream_stateful_totals returning an EMPTY
+    stream on exactly this), skip _SUCCESS/markers, and prune part links
+    that a regeneration removed."""
+    import os
+
+    from nyc_taxi_pyspark_spark.streaming.runner import parquet_stream_dir
+
+    src = tmp_path / "events.parquet"
+    src.mkdir()
+    (src / "part-00000-aaa.parquet").write_bytes(b"PAR1a")
+    (src / "part-00001-bbb.parquet").write_bytes(b"PAR1b")
+    (src / "_SUCCESS").write_bytes(b"")
+    (src / ".part-00002-ccc.parquet.crc").write_bytes(b"x")
+
+    d = parquet_stream_dir(str(src))
+    links = sorted(os.listdir(d))
+    assert links == ["part-00000-aaa.parquet", "part-00001-bbb.parquet"]
+    for n in links:
+        p = os.path.join(d, n)
+        assert os.path.islink(p)
+        assert os.path.realpath(p) == os.path.realpath(str(src / n))
+
+    # regeneration changes the part set: removed parts are pruned, new
+    # parts linked — the stream never reads a stale mix
+    os.unlink(src / "part-00001-bbb.parquet")
+    (src / "part-00003-ddd.parquet").write_bytes(b"PAR1d")
+    assert parquet_stream_dir(str(src)) == d
+    assert sorted(os.listdir(d)) == [
+        "part-00000-aaa.parquet",
+        "part-00003-ddd.parquet",
+    ]
+
+
+def test_stateful_stream_matches_on_directory_table(spark, tmp_path):
+    """End-to-end: the stateful streaming query must produce the same
+    final states whether events is a single parquet file (driver
+    testdata) or a Spark-written multi-file directory (every real
+    table)."""
+    from nyc_taxi_pyspark_spark.catalog.streaming import (
+        stream_stateful_totals,
+    )
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    sf = "/root/testdata/sf0.001"
+    resharded = str(tmp_path / "resharded")
+    load_table(spark, sf, "events").repartition(5).write.parquet(
+        resharded + "/events.parquet"
+    )
+    before = set(runner._RUNNING)
+    try:
+        single = {
+            tuple(r) for r in stream_stateful_totals(spark, sf).collect()
+        }
+        multi = {
+            tuple(r)
+            for r in stream_stateful_totals(spark, resharded).collect()
+        }
+        assert len(single) > 0
+        assert single == multi
+    finally:
+        # unregister the streams this test started so the reuse-counting
+        # test below still observes a cold first invocation
+        for k in set(runner._RUNNING) - before:
+            q, _ = runner._RUNNING.pop(k)
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
 def test_cached_stream_reuses_running_query(spark):
     # second invocation must reuse the running stream (no full stream
     # startup): same rows, and the persistent-stream registry holds ONE
