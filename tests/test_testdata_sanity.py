@@ -112,6 +112,48 @@ def test_events_reader_handles_both_ts_units(spark, tmp_path, unit):
     assert got == times
 
 
+def test_events_reader_handles_nanos_directory(spark, tmp_path):
+    """A pyarrow/pandas ingest writes ns timestamps by default AND writes
+    tables as directories of part files — both at once is the realistic
+    worst case. The footer sniff must detect ns from the first part file
+    of a DIRECTORY source so the nanosAsLong fallback engages (a missed
+    sniff is a hard vectorized-reader error, not silent corruption, but
+    the graceful path should still win)."""
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    times = [base + datetime.timedelta(hours=i, microseconds=250_000 * i)
+             for i in range(6)]
+
+    def chunk(lo, hi):
+        return pa.table(
+            {
+                "event_id": pa.array(range(lo, hi), pa.int64()),
+                "ts": pa.array(times[lo:hi], pa.timestamp("ns")),
+                "user_id": pa.array([1 + i % 3 for i in range(lo, hi)], pa.int64()),
+                "event_type": pa.array(["click"] * (hi - lo)),
+                "value": pa.array([float(i) for i in range(lo, hi)]),
+                "props": pa.array(['{"k":1}'] * (hi - lo)),
+            }
+        )
+
+    table_dir = tmp_path / "events.parquet"
+    table_dir.mkdir()
+    pq.write_table(chunk(0, 3), table_dir / "part-00000.parquet")
+    pq.write_table(chunk(3, 6), table_dir / "part-00001.parquet")
+
+    got = [
+        r["ts"]
+        for r in load_table(spark, str(tmp_path), "events")
+        .orderBy("event_id")
+        .collect()
+    ]
+    assert got == times
+
+
 def test_orders_lineitem_dates_plausible(spark):
     from pyspark.sql import functions as F
 
