@@ -63,9 +63,20 @@ def run_stream_cached(
     doesn't restart per evaluation, it stays subscribed and its sink
     accumulates update-mode rows; consumers reduce to final state exactly
     as the batch twins here already do (max-struct per key). A dead query
-    (stopped session, sink dropped) is detected and restarted.
+    (stopped session, sink dropped) is detected, STOPPED if still active,
+    and restarted.
+
+    The SESSION is part of the registry key (held by identity, same
+    rationale as catalog._cache.SessionLayoutCache): the memory sink's
+    table is a temp view of the session that started the query, so a
+    sibling session can never read it — before the session joined the
+    key, a sibling's lookup failed the ``spark.table`` read, popped the
+    entry, and restarted, ORPHANING the first session's still-running
+    query (active, untracked, processing forever). Now each session keeps
+    its own tracked stream.
     """
     k = (
+        spark,
         spark.sparkContext.applicationId,
         os.path.realpath(source_dir),
         key or getattr(transform, "__name__", repr(transform)),
@@ -81,6 +92,10 @@ def run_stream_cached(
         except Exception:
             pass
         _RUNNING.pop(k, None)
+        try:
+            q.stop()  # never leave a half-dead query running untracked
+        except Exception:
+            pass
     name = f"stream_keep_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(schema).parquet(source_dir)
     q = (

@@ -315,6 +315,42 @@ def test_stateful_stream_matches_on_directory_table(spark, tmp_path):
                 pass
 
 
+def test_sibling_sessions_keep_their_own_tracked_streams(spark):
+    """The memory sink's table is a temp view of the session that started
+    the query, so the persistent-stream registry must key on the SESSION:
+    before it did, a sibling session's lookup failed the table read,
+    popped the entry and restarted — orphaning the first session's
+    still-running query (active, untracked, processing forever in a
+    long-lived multi-session server). Each session now keeps its own
+    tracked stream and every active query stays tracked."""
+    from nyc_taxi_pyspark_spark.catalog.streaming import (
+        stream_stateful_totals,
+    )
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    sf = "/root/testdata/sf0.001"
+    before = set(runner._RUNNING)
+    sib = spark.newSession()
+    try:
+        a = {tuple(r) for r in stream_stateful_totals(spark, sf).collect()}
+        b = {tuple(r) for r in stream_stateful_totals(sib, sf).collect()}
+        assert a == b and len(a) > 0
+        new = set(runner._RUNNING) - before
+        assert len(new) == 2  # one tracked stream per session, no takeover
+        tracked = {runner._RUNNING[k][0].id for k in runner._RUNNING}
+        active = {q.id for q in spark.streams.active} | {
+            q.id for q in sib.streams.active
+        }
+        assert active <= tracked  # nothing runs untracked
+    finally:
+        for k in set(runner._RUNNING) - before:
+            q, _ = runner._RUNNING.pop(k)
+            try:
+                q.stop()
+            except Exception:
+                pass
+
+
 def test_cached_stream_reuses_running_query(spark):
     # second invocation must reuse the running stream (no full stream
     # startup): same rows, and the persistent-stream registry holds ONE
