@@ -65,16 +65,19 @@ def _canon_hash(df) -> str:
 
 @pytest.fixture(scope="module")
 def reshard_dir(spark, tmp_path_factory):
+    from nyc_taxi_pyspark_spark.streaming import runner
+
     from scripts.layout_invariance_audit import _build_resharded
 
     d = str(tmp_path_factory.mktemp("reshard"))
     _build_resharded(spark, SF, d)
+    before = set(runner._RUNNING)
     yield d
-    # unregister any streams the subset started against the reshard dir so
-    # later streaming tests still observe a cold first invocation
-    from nyc_taxi_pyspark_spark.streaming import runner
-
-    for k in [k for k in runner._RUNNING if d in str(k)]:
+    # unregister EVERY stream this module started (testdata dir AND
+    # reshard dir) so later streaming tests still observe a cold first
+    # invocation — leaking the testdata-dir stream broke the
+    # reuse-counting test downstream in full-suite order
+    for k in set(runner._RUNNING) - before:
         q, _ = runner._RUNNING.pop(k)
         try:
             q.stop()

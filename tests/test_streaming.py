@@ -329,6 +329,15 @@ def test_sibling_sessions_keep_their_own_tracked_streams(spark):
     from nyc_taxi_pyspark_spark.streaming import runner
 
     sf = "/root/testdata/sf0.001"
+    # a tracked stream for this source left by an earlier test would turn
+    # the first call into a reuse and skew the two-new-entries count —
+    # start cold regardless of test order
+    for k in [k for k in runner._RUNNING if sf in str(k)]:
+        q, _ = runner._RUNNING.pop(k)
+        try:
+            q.stop()
+        except Exception:
+            pass
     before = set(runner._RUNNING)
     sib = spark.newSession()
     try:
