@@ -975,3 +975,33 @@ def test_asof_forward_single_user_shuffle(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert shuffle_count(df) <= 2
+
+
+def test_plan_audit_detector_classifies_window_shapes(spark):
+    """The whole-catalog plan audit (scripts/plan_audit.py) is only as
+    good as its detector: a GLOBAL window (Exchange SinglePartition ->
+    Sort -> Window) must flag, while a partitioned window and a global
+    aggregate's bounded single-partition merge must not."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    from pyspark.sql import Window as W
+
+    from scripts.plan_audit import _single_partition_window
+
+    base = spark.range(100)
+    global_w = base.withColumn(
+        "rn", F.row_number().over(W.orderBy("id"))
+    )
+    assert _single_partition_window(formatted_plan(global_w))
+
+    part_w = base.withColumn(
+        "rn", F.row_number().over(W.partitionBy(F.col("id") % 10).orderBy("id"))
+    )
+    assert not _single_partition_window(formatted_plan(part_w))
+
+    global_agg = base.agg(F.sum("id").alias("s"))
+    assert not _single_partition_window(formatted_plan(global_agg))
