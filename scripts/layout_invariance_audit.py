@@ -56,7 +56,9 @@ sys.path.insert(0, _REPO)
 _EXPECTED: dict[str, str] = {
     "sampled_agg": "seeded per-partition Bernoulli sample (O5 contract)",
     "stratified_sample": "seeded per-partition sampleBy (O5 contract)",
-    "corpus_weighted_sample": "seeded per-partition A-ES keys (contract)",
+    # corpus_weighted_sample is deliberately NOT here: its A-ES keys are
+    # md5-derived (layout-free by design, and both audit modes confirm
+    # it) — a divergence there would be a real regression.
     # percentile_approx merges per-partition QuantileSummaries sketches;
     # the merge ORDER (hence the input layout) moves the estimate within
     # the sketch's documented error bound. The exact twin
