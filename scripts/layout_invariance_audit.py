@@ -28,11 +28,19 @@ partition position, a fold whose result leaks accumulation order). The
 rows are bit-identical to the driver's tables — only the physical layout
 changes.
 
+A third axis — ANSI mode — runs with ``--ansi``: sibling sessions
+differing ONLY in ``spark.sql.ansi.enabled`` (true = Spark 4 default,
+false = every pre-4.0 cluster still in production). On clean data the
+two modes differ in ERROR contracts, not values, so results must be
+bit-identical; a divergence means an expression silently depends on
+ANSI semantics (wrap-around overflow, lenient casts) and would return
+different numbers on an older cluster.
+
 Queries whose CONTRACT is layout-dependent are triaged in _EXPECTED;
 the audit exits non-zero only on an UNEXPECTED divergence. Usage:
 
     PYTHONPATH=/root/repo python scripts/layout_invariance_audit.py \
-        [--reshard] [sf_dir] [query ...]
+        [--reshard | --ansi] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -114,7 +122,8 @@ def _canon_hash(pdf) -> str:
 
 def main(argv: list[str]) -> int:
     reshard = "--reshard" in argv
-    argv = [a for a in argv if a != "--reshard"]
+    ansi = "--ansi" in argv
+    argv = [a for a in argv if a not in ("--reshard", "--ansi")]
     sf_dir = (
         argv[0]
         if argv and os.path.isdir(argv[0])
@@ -135,6 +144,14 @@ def main(argv: list[str]) -> int:
         _build_resharded(base, sf_dir, reshard_dir)
         run_a = lambda fn: fn(base, sf_dir)  # noqa: E731
         run_b = lambda fn: fn(base, reshard_dir)  # noqa: E731
+    elif ansi:
+        # identical layout, two ANSI modes: values must not notice
+        sess_a = base.newSession()
+        sess_a.conf.set("spark.sql.ansi.enabled", "true")
+        sess_b = base.newSession()
+        sess_b.conf.set("spark.sql.ansi.enabled", "false")
+        run_a = lambda fn: fn(sess_a, sf_dir)  # noqa: E731
+        run_b = lambda fn: fn(sess_b, sf_dir)  # noqa: E731
     else:
         # one input layout, two SESSION layouts (shuffle count + AQE)
         sess_a = base.newSession()
