@@ -281,6 +281,27 @@ EXPECTED = {
     "stats_ks_test": 0.63,
     "sql_lateral_topn": 0.52,
 }
+# Queries with DOCUMENTED process-level bimodality (BASELINE.md §5/§6/§12:
+# JIT tiering of wide fold/window codegen + GC pacing late in a 109-query
+# process flips identical plans between a fast and a slow mode). These get
+# (a) a tighter flag threshold and (b) the dedicated-session adjudication
+# protocol §12 used by hand for embed_ivf_topk — a FRESH process, 2 warmup
+# runs, median of 7 — recorded under iso_reruns as "dedicated" so the
+# artifact shows the steady-state number next to the in-process one.
+BIMODAL = {
+    "embed_cosine_topk",
+    "embed_ann_topk",
+    "embed_ann_multiprobe",
+    "embed_ivf_topk",
+    "embed_semantic_dedup",
+    "embed_contrastive_pairs",
+    "text_simhash_pairs",
+    "text_unigram_rarity",
+    "window_topn_per_group",
+    "stream_session_window",
+}
+BIMODAL_FLAG_FACTOR = 1.25
+
 # round-over-round regression trigger (VERDICT r7 item 5): any headline
 # query slower than ROUND_REGRESS_FACTOR x its previous round's recorded
 # number gets a machine adjudication (isolated rerun), so "regression vs
@@ -336,13 +357,37 @@ def time_query(spark, fn, sf_dir: str) -> tuple[float, float]:
     return round(statistics.median(runs), 3), cold
 
 
-def isolated_rerun(name: str, sf_dir: str) -> float | None:
-    """Re-measure one query in a fresh Python/JVM process; None on failure."""
+def time_query_dedicated(spark, fn, sf_dir: str) -> float:
+    """The BASELINE.md §12 dedicated-session protocol: 2 warmup runs,
+    then median of 7 — the steady-state estimate for queries whose
+    in-process number is known to be process-state bimodal."""
+    for _ in range(2):
+        materialize(fn(spark, sf_dir))
+    runs = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
+def isolated_rerun(
+    name: str, sf_dir: str, protocol: str = "isolated"
+) -> float | None:
+    """Re-measure one query in a fresh Python/JVM process; None on failure.
+    ``protocol="dedicated"`` runs the §12 two-warmup/median-of-7 form."""
     import subprocess
 
     try:
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--only", name],
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--only",
+                name,
+                "--protocol",
+                protocol,
+            ],
             env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
             capture_output=True,
             text=True,
@@ -353,10 +398,31 @@ def isolated_rerun(name: str, sf_dir: str) -> float | None:
         return None
 
 
+def _shutdown(spark) -> None:
+    """Stop tracked persistent streams, then the session. A memory-sink
+    stream still running at JVM teardown prints a scheduler-thread stack
+    trace to stderr during shutdown (observed corrupting BENCH_r11's
+    tail) — drain streams FIRST, every exit path."""
+    try:
+        from nyc_taxi_pyspark_spark.streaming.runner import stop_all_streams
+
+        stop_all_streams(spark)
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
+
 def main() -> None:
     only = None
-    if len(sys.argv) >= 3 and sys.argv[1] == "--only":
-        only = sys.argv[2]
+    protocol = "isolated"
+    argv = sys.argv[1:]
+    if len(argv) >= 2 and argv[0] == "--only":
+        only = argv[1]
+        if len(argv) >= 4 and argv[2] == "--protocol":
+            protocol = argv[3]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
@@ -366,7 +432,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     if only is not None:
-        median, cold_t = time_query(spark, QUERIES[only], sf_dir)
+        if protocol == "dedicated":
+            median = time_query_dedicated(spark, QUERIES[only], sf_dir)
+            cold_t = None
+        else:
+            median, cold_t = time_query(spark, QUERIES[only], sf_dir)
+        _shutdown(spark)
         print(json.dumps({"query": only, "median": median, "cold": cold_t}))
         return
 
@@ -389,13 +460,11 @@ def main() -> None:
     prev = _previous_round_timings()
     flagged: dict[str, str] = {}
     for name, t in timings.items():
-        if (
-            EXPECTED.get(name) is not None
-            and t > BASELINE_CREEP_FACTOR * EXPECTED[name]
-        ):
-            flagged[name] = (
-                f"> {BASELINE_CREEP_FACTOR}x expected {EXPECTED[name]}s"
-            )
+        creep = (
+            BIMODAL_FLAG_FACTOR if name in BIMODAL else BASELINE_CREEP_FACTOR
+        )
+        if EXPECTED.get(name) is not None and t > creep * EXPECTED[name]:
+            flagged[name] = f"> {creep}x expected {EXPECTED[name]}s"
         elif (
             prev.get(name) is not None
             and t > ROUND_REGRESS_FACTOR * prev[name]
@@ -405,10 +474,24 @@ def main() -> None:
             )
     iso_reruns: dict[str, dict[str, float]] = {}
     if flagged:
-        spark.stop()
+        _shutdown(spark)
+        spark = None
         time.sleep(2.0)  # let executor threads and heap actually release
         for name, why in flagged.items():
             t = timings[name]
+            if name in BIMODAL:
+                # documented-bimodal family: the §12 dedicated-session
+                # protocol IS the adjudication — steady-state median from
+                # a fresh process after two warmups
+                print(
+                    f"  {name}: {t}s {why} — dedicated-session rerun",
+                    file=sys.stderr,
+                )
+                d = isolated_rerun(name, sf_dir, protocol="dedicated")
+                if d is not None:
+                    iso_reruns[name] = {"in_process": t, "dedicated": d}
+                    timings[name] = min(t, d)
+                continue
             print(f"  {name}: {t}s {why} — isolated rerun", file=sys.stderr)
             attempts = [
                 m
@@ -421,6 +504,9 @@ def main() -> None:
                 # in the artifact, not just in this run's stderr
                 iso_reruns[name] = {"in_process": t, "isolated": min(attempts)}
                 timings[name] = min(t, min(attempts))
+
+    if spark is not None:
+        _shutdown(spark)  # streams first: no teardown trace after the JSON
 
     total = round(sum(timings.values()), 3)
     out = {

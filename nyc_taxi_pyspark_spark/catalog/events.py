@@ -922,36 +922,89 @@ def events_cusum_changepoint(spark, sf_dir):
     resolve to the earliest timestamp (MIN over the equality join /
     min-struct on the Spark side).
 
-    Plan/scale: one shuffle on event_type; the prefix sum is a per-type
-    ordered window (parallel across types — for ONE huge series use the
-    range-partitioned prefix-sum discipline of sequence_gaps); the
-    per-type totals broadcast back and the argmax is a 5-row aggregate."""
+    Plan/scale — TWO-TIER prefix (the text_novelty_curve / Gini
+    discipline), because event_type has cardinality ~5: the naive form
+    (one ordered window per type) funnels each type's ENTIRE history
+    through a single task — the amplified strong-scaling sweep measured
+    it as the only serial section left in the suite (1.1× from 4→32
+    cores, E(32)=0.14). Instead rows bucket into fixed 1-hour time
+    cells (cell id is a pure function of ts, so the split is
+    deterministic and needs no lineage pinning, unlike a sampled range
+    partitioner). Tier 1: one keyed aggregate per (type, cell) — sum,
+    row count, non-null count — then an EXCLUSIVE per-type prefix over
+    the cell frame (O(cells) rows: 720/type/month here; at years of
+    100 TB history still ≤ ~10^5 rows, trivially one task; recurse the
+    same split if it ever is not). Tier 2: the inclusive prefix WITHIN
+    each (type, cell) — a partitioned window that divides across
+    cores/executors. Global cumsum = cell offset + in-cell prefix;
+    global row_number likewise. Null cents reproduce SUM-over-window
+    semantics exactly: the running sum is NULL until the first non-null
+    value, then skips nulls — tracked via the non-null prefix count.
+    Equal-ts rows always share a cell, so (ts, event_id) ordering is
+    preserved across the split. The per-type totals and the cell-offset
+    frame broadcast back; the argmax is a 5-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.select(
         "event_type",
         "ts",
         "event_id",
         F.round(F.col("value") * 100).try_cast("bigint").alias("cents"),
+    ).withColumn(
+        "cell",
+        F.floor(F.col("ts").cast("long") / F.lit(_CUSUM_CELL_SECONDS)),
     )
     tot = c.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").alias("total"),
     )
-    w = (
+    # tier 1: per-(type, cell) partials + exclusive per-type cell prefix
+    w_cell = (
         Window.partitionBy("event_type")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        c.groupBy("event_type", "cell")
+        .agg(
+            F.sum("cents").alias("csum"),
+            F.count(F.lit(1)).cast("bigint").alias("ccnt"),
+            F.count("cents").cast("bigint").alias("cnn"),
+        )
+        .select(
+            "event_type",
+            "cell",
+            F.coalesce(F.sum("csum").over(w_cell), F.lit(0)).alias(
+                "sum_below"
+            ),
+            F.coalesce(F.sum("ccnt").over(w_cell), F.lit(0)).alias(
+                "cnt_below"
+            ),
+            F.coalesce(F.sum("cnn").over(w_cell), F.lit(0)).alias(
+                "nn_below"
+            ),
+        )
+    )
+    # tier 2: inclusive prefix within each (type, cell) — partitioned
+    w_in = (
+        Window.partitionBy("event_type", "cell")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # SUM(cents) OVER (type ORDER BY ts, id): NULL until the first
+    # non-null cents, then nulls add 0 — reproduced exactly from the
+    # coalesced two-tier sum gated on the running non-null count
+    nn_rank = F.col("nn_below") + F.count("cents").over(w_in)
+    cumsum = F.when(
+        nn_rank > 0,
+        F.col("sum_below") + F.sum(F.coalesce("cents", F.lit(0))).over(w_in),
+    )
+    rn = F.col("cnt_below") + F.row_number().over(
+        Window.partitionBy("event_type", "cell").orderBy("ts", "event_id")
+    )
     pre = (
         c.join(F.broadcast(tot), "event_type")
-        .withColumn(
-            "s_scaled",
-            F.col("n") * F.sum("cents").over(w)
-            - F.row_number().over(
-                Window.partitionBy("event_type").orderBy("ts", "event_id")
-            )
-            * F.col("total"),
-        )
+        .join(F.broadcast(offs), ["event_type", "cell"])
+        .withColumn("s_scaled", F.col("n") * cumsum - rn * F.col("total"))
     )
     best = (
         pre.groupBy("event_type", "n")
@@ -977,6 +1030,9 @@ def events_cusum_changepoint(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_CUSUM_CELL_SECONDS = 3_600  # 1-hour cells for the two-tier CUSUM prefix
 
 
 # first letter of each event_type: v(iew) c(lick) s(ignup) p(urchase) e(rror)

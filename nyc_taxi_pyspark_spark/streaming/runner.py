@@ -9,6 +9,7 @@ twins really run as streams (same plan, watermark attached).
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -43,6 +44,37 @@ def run_stream_once(
 
 
 _RUNNING: dict[tuple, tuple[object, str]] = {}
+# Serving-layer requests hit this registry from concurrent threads (same
+# scenario SessionLayoutCache locks against): without the lock two threads
+# can both miss, both start a stream, and the loser's query is overwritten
+# in the dict — active, untracked, never stopped. All lookup/validate/
+# start/insert sequences hold it; processAllAvailable() on a HIT also runs
+# under it, serializing drains of the same key (correct: two concurrent
+# drains of one query have no useful interleaving).
+_RUNNING_LOCK = threading.Lock()
+
+
+def _evict_dead_sessions() -> None:
+    """Stop and drop registry entries whose owning session is gone.
+
+    Keying by live session identity means entries for discarded/stopped
+    sessions are never looked up again — without a sweep each abandoned
+    session would leave a forever-running query and a memory-sink table
+    pinned by the strong session reference. Runs under _RUNNING_LOCK on
+    every registry access; cost is O(registry) attribute probes."""
+    for k in list(_RUNNING):
+        sess = k[0]
+        try:
+            jsc = sess.sparkContext._jsc
+            dead = jsc is None or jsc.sc().isStopped()
+        except Exception:
+            dead = True  # stopped/unreachable session: treat as dead
+        if dead:
+            q, _name = _RUNNING.pop(k)
+            try:
+                q.stop()
+            except Exception:
+                pass
 
 
 def run_stream_cached(
@@ -82,36 +114,68 @@ def run_stream_cached(
         key or getattr(transform, "__name__", repr(transform)),
         output_mode,
     )
-    ent = _RUNNING.get(k)
-    if ent is not None:
-        q, name = ent
+    with _RUNNING_LOCK:
+        _evict_dead_sessions()
+        ent = _RUNNING.get(k)
+        if ent is not None:
+            q, name = ent
+            try:
+                if q.isActive:
+                    q.processAllAvailable()
+                    return spark.table(name)
+            except Exception:
+                pass
+            _RUNNING.pop(k, None)
+            try:
+                q.stop()  # never leave a half-dead query running untracked
+            except Exception:
+                pass
+        name = f"stream_keep_{uuid.uuid4().hex[:8]}"
+        stream = spark.readStream.schema(schema).parquet(source_dir)
+        q = (
+            transform(stream)
+            .writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
         try:
-            if q.isActive:
-                q.processAllAvailable()
-                return spark.table(name)
+            q.processAllAvailable()
+        except Exception:
+            q.stop()
+            raise
+        _RUNNING[k] = (q, name)
+        return spark.table(name)
+
+
+def stop_all_streams(spark: SparkSession | None = None) -> None:
+    """Stop every tracked persistent stream — all of them, or only the
+    ones owned by ``spark`` — plus any still-active query on that
+    session.
+
+    Call this before ``spark.stop()`` / process exit: a memory-sink
+    stream left running while the JVM tears down races its own scheduler
+    threads and prints a ScheduledThreadPoolExecutor stack trace to
+    stderr during shutdown (harmless but noisy — it corrupted the tail
+    of a bench artifact once). Idempotent; never raises."""
+    with _RUNNING_LOCK:
+        for k in list(_RUNNING):
+            if spark is not None and k[0] is not spark:
+                continue
+            q, _name = _RUNNING.pop(k)
+            try:
+                q.stop()
+            except Exception:
+                pass
+    if spark is not None:
+        try:
+            for q in spark.streams.active:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
         except Exception:
             pass
-        _RUNNING.pop(k, None)
-        try:
-            q.stop()  # never leave a half-dead query running untracked
-        except Exception:
-            pass
-    name = f"stream_keep_{uuid.uuid4().hex[:8]}"
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    q = (
-        transform(stream)
-        .writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    except Exception:
-        q.stop()
-        raise
-    _RUNNING[k] = (q, name)
-    return spark.table(name)
 
 
 def parquet_stream_dir(src_file: str) -> str:
@@ -153,7 +217,12 @@ def parquet_stream_dir(src_file: str) -> str:
     # Prune anything in the link dir that is not a symlink resolving to a
     # CURRENT data file: stale links from a regenerated source (lexists
     # catches dangling symlinks that exists() would miss), but also a
-    # plain file or directory squatting on a link name.
+    # plain file or directory squatting on a link name. Concurrent
+    # sessions share this tempdir and race on the prune itself — the
+    # loser's unlink hits an already-removed name, which is success, not
+    # failure (the creation loop below tolerates the same interleave).
+    import contextlib
+
     for n in os.listdir(d):
         p = os.path.join(d, n)
         ok = (
@@ -162,7 +231,8 @@ def parquet_stream_dir(src_file: str) -> str:
             and os.path.realpath(p) == os.path.realpath(wanted[n])
         )
         if not ok:
-            os.unlink(p)
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(p)
     # Creation races with a concurrent session: both can pass the prune,
     # so the loser's symlink() raises FileExistsError — benign iff what
     # won resolves to the same target (re-validated), one retry covers

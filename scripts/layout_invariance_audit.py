@@ -177,10 +177,11 @@ def main(argv: list[str]) -> int:
             n_error += 1
             line = f"ERROR {name}: {type(e).__name__}: {str(e)[:200]}"
             print(line, flush=True)
-            if name not in _EXPECTED:
-                unexpected.append(line)
-            else:
-                expected_seen.append(f"{name}: {_EXPECTED[name]}")
+            # _EXPECTED documents legitimate HASH divergence, never a
+            # crash — a raising query is always an audit failure, even
+            # for allowlisted names (else a hard regression in e.g.
+            # sampled_agg would exit 0 silently).
+            unexpected.append(line)
             continue
         dt = time.time() - t0
         if ha == hb:

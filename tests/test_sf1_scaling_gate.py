@@ -67,11 +67,20 @@ def test_sf1_ratio_under_gate(sf1_dir):
 
     # wall-clock ratios are only meaningful on an otherwise-idle machine:
     # a concurrent build/audit slows the two child runs UNEVENLY (they run
-    # back-to-back, minutes apart) and fakes a regression
-    if os.getloadavg()[0] > 0.5 * (os.cpu_count() or 1):
-        pytest.skip("machine under load — wall-clock ratio gate unreliable")
+    # back-to-back, minutes apart) and fakes a regression. The skip is
+    # LOUD (reason carries the measured load) and can be disabled for an
+    # idle-adjudication run with SF1_GATE_IGNORE_LOAD=1, so CI skips are
+    # an explicit visible choice rather than a silently weakened gate.
+    load, cpus = os.getloadavg()[0], os.cpu_count() or 1
+    if load > 0.5 * cpus and not os.environ.get("SF1_GATE_IGNORE_LOAD"):
+        pytest.skip(
+            f"machine under load (loadavg {load:.1f} on {cpus} cpus) — "
+            "wall-clock ratio gate unreliable; set SF1_GATE_IGNORE_LOAD=1 "
+            "to force"
+        )
 
     ratios: dict[str, float] = {}
+    attempts: list[dict[str, float]] = []
     for attempt in (1, 2):  # re-measure once before declaring a regression
         t01 = _run_child(_SF01, _GATE_QUERIES, mem="8g")
         t1 = _run_child(sf1_dir, _GATE_QUERIES, mem="8g")
@@ -81,12 +90,21 @@ def test_sf1_ratio_under_gate(sf1_dir):
             if n in t01 and n in t1
         }
         assert len(ratios) == len(_GATE_QUERIES)
+        attempts.append({n: round(r, 2) for n, r in ratios.items()})
         if all(r < _MAX_RATIO for r in ratios.values()):
             break
+        # a borderline first failure must leave a trace even when the
+        # retry passes — print it so "passed on attempt 2" is visible in
+        # the -s/-rA output, not silently swallowed
+        print(
+            f"sf1 gate attempt {attempt} over {_MAX_RATIO}x: {attempts[-1]}"
+            " — retrying once",
+            flush=True,
+        )
     bad = {n: round(r, 2) for n, r in ratios.items() if r >= _MAX_RATIO}
     assert not bad, (
         f"sf1/sf0.1 wall-clock ratio >= {_MAX_RATIO}x on a 10x data step: "
-        f"{bad} (all ratios: { {n: round(r, 2) for n, r in ratios.items()} }) "
+        f"{bad} (all attempts: {attempts}) "
         "— a plan regression that only shows at scale; compare against "
         "SCALING.md §sf1 and re-run scripts/scaling_curve.py --sf1"
     )
