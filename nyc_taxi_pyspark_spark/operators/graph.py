@@ -160,10 +160,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+    # each triangle credits all three corners: ONE explode over the joined
+    # frame, not a 3-way union of projections — the union form references
+    # the tri subtree three times, which triples the printed/analyzed plan
+    # (edges appears 5x under oriented, so 3 x 3 x 5 = 45 subtree copies;
+    # measured 184 statically-planned exchanges vs 64 with the explode).
+    # Runtime work was always deduplicated by exchange reuse; the explode
+    # keeps Catalyst analysis O(plan) as the operator composes.
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("triangles")

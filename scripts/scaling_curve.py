@@ -99,6 +99,12 @@ AMP_SUITE = [
     # with keys, so the x32 peel would measure a different graph regime)
     "text_duplicate_spans",
     "events_cusum_changepoint",
+    # round-12: dedup-family representative (VERDICT r11 item 6). The
+    # boundary-crossing band join is LINEAR in the copy count under the
+    # key-shifted amp (each incoming doc collides with ~half the copies
+    # of its source doc — bounded candidates/doc, output one row/doc),
+    # unlike the all-pairs LSH query the suite excludes as quadratic.
+    "corpus_incremental_dedup",
     # round-9 third/fourth batches stay SF-curve-only: amplified copies are
     # co-active in time, so session-overlap OUTPUT grows quadratically in
     # the copy count (the LSH-pairs exclusion class); the skyline/privacy/
