@@ -948,7 +948,7 @@ def events_cusum_changepoint(spark, sf_dir):
     single lexicographic struct-max aggregate — no second pass over the
     scored rows. Amplified-sweep history: the naive per-type window read
     1.1x from 4→32 cores (E(32)=0.14, the last serial section in the
-    suite); this shape measures 2.2x with a monotone curve, the residual
+    suite); this shape measures 2.4x with a monotone curve (SCALING.md r12 sweep), the residual
     being multi-stage scheduling latency at the 3.2M-row amp size, not
     serialized data flow."""
     ev = load_table(spark, sf_dir, "events")

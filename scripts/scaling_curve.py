@@ -368,11 +368,19 @@ def sf1_rehearsal() -> None:
     ]
     marker = "\n## sf1 dress rehearsal"
     text = open("/root/repo/SCALING.md").read()
+    tail = ""
     if marker in text:
-        text = text[: text.index(marker)].rstrip() + "\n"
+        # splice: replace ONLY this section, preserving anything appended
+        # after it (e.g. the robustness-gates section) — a truncate here
+        # would silently drop those on every rerun
+        start = text.index(marker)
+        nxt = text.find("\n## ", start + 1)
+        if nxt != -1:
+            tail = "\n" + text[nxt:].lstrip("\n")
+        text = text[:start].rstrip() + "\n"
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write(text.rstrip() + "\n" + "\n".join(lines) + "\n")
-    print("appended sf1 section to SCALING.md")
+        f.write(text.rstrip() + "\n" + "\n".join(lines) + "\n" + tail)
+    print("spliced sf1 section into SCALING.md")
 
 
 def main() -> None:
@@ -524,8 +532,21 @@ def main() -> None:
         ),
         "```",
     ]
+    # preserve the measured sections appended after the two phases this
+    # run regenerates (sf1 rehearsal, robustness gates): the full sweep
+    # must refresh its own numbers without erasing the others' evidence
+    tail = ""
+    try:
+        old = open("/root/repo/SCALING.md").read()
+        idx = old.find("\n## sf1 dress rehearsal")
+        if idx == -1:
+            idx = old.find("\n## Robustness gates")
+        if idx != -1:
+            tail = "\n" + old[idx:].lstrip("\n")
+    except OSError:
+        pass
     with open("/root/repo/SCALING.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print("wrote SCALING.md")
 
 

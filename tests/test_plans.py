@@ -968,6 +968,25 @@ def test_mann_whitney_value_frame_window_is_partitioned(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cusum_prefix_window_is_partitioned(spark):
+    """The CUSUM prefix must never run the naive per-type ordered window
+    (cardinality ~5 → each type's whole history through one task; the
+    amplified sweep measured it at E(32)=0.14 before the r12 re-plan):
+    the fact shuffles once on (event_type, cell) and every window over a
+    data-sized frame is partitioned by that composite; the only
+    type-partitioned window runs on the bounded cell frame. Offsets
+    rejoin via broadcast; argmax is an aggregate, not a second window."""
+    from scripts.plan_audit import _single_partition_window
+
+    df = QUERIES["events_cusum_changepoint"](spark, SF)
+    plan = formatted_plan(df)
+    assert "hashpartitioning(event_type" in plan  # (type, cell) shuffle
+    assert not _single_partition_window(plan)
+    assert has_broadcast_join(df)  # cell offsets rejoin via broadcast
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_asof_forward_single_user_shuffle(spark):
     """Forward as-of keeps the union+window shape: no join node at all."""
     df = QUERIES["join_asof_forward"](spark, SF)

@@ -384,6 +384,52 @@ def test_cached_stream_reuses_running_query(spark):
     assert t_second < 0.5 * t_first, (t_first, t_second)
 
 
+def test_stop_all_streams_drains_registry(spark):
+    """stop_all_streams must stop and untrack every persistent stream the
+    session owns — the pre-exit drain bench.py runs so no memory-sink
+    stream races JVM teardown (the BENCH_r11 tail stack trace)."""
+    from nyc_taxi_pyspark_spark.catalog.streaming import (
+        stream_stateful_totals,
+    )
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    sf = "/root/testdata/sf0.001"
+    rows = stream_stateful_totals(spark, sf).collect()
+    assert len(rows) > 0
+    assert any(k[0] is spark for k in runner._RUNNING)
+    runner.stop_all_streams(spark)
+    assert not any(k[0] is spark for k in runner._RUNNING)
+    assert not spark.streams.active
+    # idempotent on an already-drained session
+    runner.stop_all_streams(spark)
+
+
+def test_dead_session_entries_are_evicted():
+    """Registry entries whose owning session is gone must be swept (their
+    queries STOPPED, not orphaned): a discarded session is never looked
+    up again, so without the sweep its stream would run forever and the
+    dict would grow unboundedly in a long-lived multi-session server."""
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    stopped = []
+
+    class _FakeQuery:
+        def stop(self):
+            stopped.append(True)
+
+    class _DeadSession:  # sparkContext access raises -> treated as dead
+        @property
+        def sparkContext(self):
+            raise RuntimeError("session is gone")
+
+    key = (_DeadSession(), "app-dead", "/nowhere", "t", "append")
+    with runner._RUNNING_LOCK:
+        runner._RUNNING[key] = (_FakeQuery(), "ghost_table")
+        runner._evict_dead_sessions()
+        assert key not in runner._RUNNING
+    assert stopped == [True]
+
+
 def test_restart_from_checkpoint_no_reprocessing(spark, tmp_path):
     """Exactly-once across a stop/restart: a checkpointed foreachBatch sink
     is stopped mid-stream, new source files arrive, and the RESTARTED query
