@@ -399,14 +399,22 @@ def isolated_rerun(
 
 
 def _shutdown(spark) -> None:
-    """Stop tracked persistent streams, then the session. A memory-sink
-    stream still running at JVM teardown prints a scheduler-thread stack
-    trace to stderr during shutdown (observed corrupting BENCH_r11's
-    tail) — drain streams FIRST, every exit path."""
+    """Stop tracked persistent streams, the state-store maintenance task,
+    then the session. A memory-sink stream still running at JVM teardown
+    prints a scheduler-thread stack trace to stderr during shutdown
+    (observed corrupting BENCH_r11's tail) — drain streams FIRST, every
+    exit path. The StateStore maintenance thread is a JVM singleton that
+    OUTLIVES spark.stop() and logs an IllegalStateException stack every
+    maintenance interval against the stopped SparkEnv (observed mid-
+    adjudication in r12) — stop it explicitly."""
     try:
         from nyc_taxi_pyspark_spark.streaming.runner import stop_all_streams
 
         stop_all_streams(spark)
+    except Exception:
+        pass
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     except Exception:
         pass
     try:
