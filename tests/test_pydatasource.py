@@ -132,11 +132,20 @@ def test_streaming_source_incremental_exactly_once(spark, tmp_path):
         )
         try:
             q.processAllAvailable()
-            assert spark.table(name).count() == 10
+            n0 = spark.table(name).count()
+            assert n0 == 10, (n0, q.status, q.lastProgress)
             emit("b.jsonl", 10, 25)
             q.processAllAvailable()
             got = spark.table(name)
-            assert got.count() == 25  # nothing lost, nothing re-read
+            n1 = got.count()
+            # diagnosis rides the assert: one full-suite flake (r12) left
+            # no trace of WHICH batch was short or what the source saw
+            assert n1 == 25, (  # nothing lost, nothing re-read
+                n1,
+                sorted(p.name for p in src.iterdir()),
+                q.status,
+                q.lastProgress,
+            )
             assert got.select("n_nationkey").distinct().count() == 25
         finally:
             q.stop()
