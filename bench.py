@@ -182,7 +182,12 @@ EXPECTED = {
     "embed_cosine_topk": 0.31,
     "embed_ann_topk": 1.25,
     "embed_ann_multiprobe": 1.52,
-    "embed_ivf_topk": 0.24,
+    # r13 re-baseline (BASELINE.md §14): 0.24 was the fast JIT mode, which
+    # the §12 dedicated-session protocol stopped reproducing for two
+    # consecutive rounds (r11-adj 0.415, r12 0.537, r13 idle 0.452). The
+    # anchor is now the dedicated-protocol steady median; the 0.24 fast
+    # mode stays documented in §12/§14 as the deep-warm lower bound.
+    "embed_ivf_topk": 0.45,
     "grouping_sets_sums": 0.43,
     "taxi_kpi_by_payment": 0.98,
     # r11 re-baseline: 0.60 was the fast tail of a bimodal distribution
@@ -344,6 +349,47 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Machine-drift calibration (VERDICT r12 item 3). r12's bench read every
+# one of 109 queries slower than r11 (median 1.22x, zero faster) with code
+# touched in only 4 files — a machine-day shift the artifact could only
+# argue about in prose. This fixed workload turns that into data: a
+# pure-JVM scan-aggregate over a CONSTANT synthetic dataset (spark.range —
+# no files, no catalog code, no layout dependence) exercising the same
+# cost classes as the headline anchors: codegen arithmetic (xxhash64 +
+# modulo), map-side hash aggregation (100k keys/task), one real 3.2M-row
+# shuffle, and two stage waves of scheduling. Run at bench start AND end
+# (median of 5 after one warmup each); the expected value is the
+# idle-machine reference measured at adoption (2026-08-16, two sessions:
+# 1.09/1.00 s). Ratio tables report drift-normalized ratios alongside raw.
+CALIBRATION_EXPECTED = 1.05
+
+
+def calibration_run(spark) -> float:
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 300_000_000, 1, 32).selectExpr(
+        "id % 100003 AS k",
+        "xxhash64(id) AS h",
+        "(id * 2654435761) % 1000003 AS v",
+    )
+    agg = (
+        df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.max("h").alias("m"))
+        .agg(
+            F.sum("s").alias("ts"),
+            F.count("*").alias("nk"),
+            F.max("m").alias("mm"),
+        )
+    )
+    materialize(agg)  # warmup
+    runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        materialize(agg)
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def time_query(spark, fn, sf_dir: str) -> tuple[float, float]:
     """One cold run + median of 5 warm runs for a single query."""
     t0 = time.perf_counter()
@@ -449,6 +495,9 @@ def main() -> None:
         print(json.dumps({"query": only, "median": median, "cold": cold_t}))
         return
 
+    cal_start = calibration_run(spark)
+    print(f"  calibration(start): {cal_start}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -465,6 +514,17 @@ def main() -> None:
     # Environmental noise is one-sided — it only ever ADDS wall-clock — so
     # the best of two fresh-process medians is the sound estimate of true
     # cost, while an in-process median below it is kept as-is.
+    cal_end = calibration_run(spark)
+    print(f"  calibration(end): {cal_end}s", file=sys.stderr)
+    # this run's machine-speed factor vs the idle-machine reference; the
+    # tripwire messages report drift-normalized ratios ALONGSIDE raw so a
+    # slow machine day is visible as data, not argued in prose. Flagging
+    # stays on the RAW ratio — a drift-sized regression still deserves its
+    # adjudication rerun; the normalization is for reading the artifact.
+    drift = round(
+        (cal_start + cal_end) / (2.0 * CALIBRATION_EXPECTED), 3
+    )
+
     prev = _previous_round_timings()
     flagged: dict[str, str] = {}
     for name, t in timings.items():
@@ -472,15 +532,21 @@ def main() -> None:
             BIMODAL_FLAG_FACTOR if name in BIMODAL else BASELINE_CREEP_FACTOR
         )
         if EXPECTED.get(name) is not None and t > creep * EXPECTED[name]:
-            flagged[name] = f"> {creep}x expected {EXPECTED[name]}s"
+            norm = round(t / (EXPECTED[name] * drift), 2)
+            flagged[name] = (
+                f"> {creep}x expected {EXPECTED[name]}s"
+                f" (drift-normalized {norm}x at calibration {drift}x)"
+            )
         elif (
             prev.get(name) is not None
             and t > ROUND_REGRESS_FACTOR * prev[name]
         ):
+            norm = round(t / (prev[name] * drift), 2)
             flagged[name] = (
                 f"> {ROUND_REGRESS_FACTOR}x previous round {prev[name]}s"
+                f" (drift-normalized {norm}x at calibration {drift}x)"
             )
-    iso_reruns: dict[str, dict[str, float]] = {}
+    iso_reruns: dict[str, dict] = {}
     if flagged:
         _shutdown(spark)
         spark = None
@@ -497,8 +563,17 @@ def main() -> None:
                 )
                 d = isolated_rerun(name, sf_dir, protocol="dedicated")
                 if d is not None:
-                    iso_reruns[name] = {"in_process": t, "dedicated": d}
-                    timings[name] = min(t, d)
+                    # the dedicated-session median IS the adjudicated
+                    # headline value (ADVICE r12): one named protocol,
+                    # not best-of-two — both readings stay in iso_reruns
+                    # and the protocol is marked so steady-state vs
+                    # in-process is unambiguous in the artifact
+                    iso_reruns[name] = {
+                        "in_process": t,
+                        "dedicated": d,
+                        "headline": "dedicated",
+                    }
+                    timings[name] = d
                 continue
             print(f"  {name}: {t}s {why} — isolated rerun", file=sys.stderr)
             attempts = [
@@ -524,6 +599,12 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "sf": sf,
+        "calibration_s": {
+            "start": cal_start,
+            "end": cal_end,
+            "expected": CALIBRATION_EXPECTED,
+            "drift": drift,
+        },
     }
     if iso_reruns:
         out["iso_reruns"] = iso_reruns
@@ -548,6 +629,7 @@ def main() -> None:
         "unit": "sec",
         "queries": {},
         "sf": sf,
+        "calibration_s": out["calibration_s"],
         "n_queries": len(timings),
         "queries_omitted": 0,
         "full": "BENCH_SUMMARY.json",

@@ -1992,8 +1992,20 @@ def stats_mann_whitney(spark, sf_dir):
     lands in cell NULL (silently dropped by the cell join) while NaN
     floors into cell 0, both diverging from DuckDB's grouping/order of
     non-finites. ``is_finite`` / ``oracle_is_finite`` keep the two WHERE
-    clauses expression-identical."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    clauses expression-identical.
+
+    No ``parallelize_scan`` here (r13): the first operation is a
+    ``groupBy`` whose hash shuffle already redistributes to full
+    parallelism, so a round-robin repartition of the raw scan adds a
+    full-data shuffle per consumption of ``v`` (it is consumed twice —
+    cell aggregate and rank join) for zero parallelism gain. The r12
+    testdata regeneration collapsed events.parquet to a single file,
+    making the repartition fire and the query pay both extra shuffles:
+    2.25 s vs the 1.12 s anchor (VERDICT r12 item 1). Without it the
+    dedicated-protocol median is 0.69 s. At 100 TB the scan is wide and
+    the helper is a no-op anyway — the only serial section it could fix,
+    the single-file map side, does not exist there."""
+    ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type").isin("click", "error") & is_finite("value"))
         .groupBy("value")
