@@ -196,7 +196,12 @@ EXPECTED = {
     "text_unigram_rarity": 0.70,
     "events_sessionize": 0.63,
     "text_chunk_dedup": 0.98,
-    "corpus_pack_bins": 0.33,
+    # r13 re-baseline (BASELINE.md §14): two-tier packing prefix — the
+    # lang-only window (5 tasks over the whole corpus at scale, caught by
+    # the plan audit's low-cardinality-window axis) became cell-keyed;
+    # the extra tier costs fixed local stages, same trade as
+    # text_novelty_curve (§11)
+    "corpus_pack_bins": 1.10,
     "text_gopher_rules": 0.34,
     "embed_semantic_dedup": 1.36,
     "embed_knn_join": 0.66,

@@ -28,8 +28,28 @@ from nyc_taxi_pyspark_spark.operators.corpus import (
     with_mixture_keep,
     with_pack_bins,
 )
+from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
 from nyc_taxi_pyspark_spark.operators.integrity import duck_row_hash, row_hash
 from nyc_taxi_pyspark_spark.operators.text import STOPWORDS, tokens
+
+_NTOK_CACHE = SessionLayoutCache()
+
+
+def _docs_ntok(spark, sf_dir):
+    """``documents`` with the per-doc token count attached — the
+    ingest-time column every corpus pipeline stores (shard manifests and
+    token-budget allocation are defined over it), persisted once per
+    (session, table) like the signature layouts in catalog.text. Queries
+    that consume the tokenized frame through TWO plan branches (packing:
+    cell totals + per-row offsets; capping: cell counts + per-row ranks)
+    would otherwise scan and re-tokenize the corpus once per branch."""
+    return _NTOK_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: _docs(spark, sf_dir).withColumn(
+            "n_tokens", F.size(tokens()).cast("bigint")
+        ),
+    )
 
 # md5-derived integer bucket, DuckDB side: Horner fold over the first 8 hex
 # digits with the modulus applied at each step (same idiom text_split_assign
@@ -71,7 +91,7 @@ def corpus_pack_bins(spark, sf_dir):
     global), so packing state at 100 TB is per-worker-shard; one window
     shuffle + one hash agg. Per-bin stats let the trainer audit fill ratio
     and doc fragmentation before cutting tfrecords."""
-    packed = with_pack_bins(_docs(spark, sf_dir))
+    packed = with_pack_bins(_docs_ntok(spark, sf_dir))
     return packed.groupBy("lang", "pack_bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
@@ -147,11 +167,11 @@ def corpus_mixture_sample(spark, sf_dir):
 def corpus_domain_cap(spark, sf_dir):
     """Frequency capping: at most {DOMAIN_CAP} docs per source, chosen by
     deterministic md5 order (reproducible uniform subsample — no rand(), no
-    recency bias). row_number windows partition by source, so state per key
-    is one domain's docs; the heaviest domain bounds skew, not the corpus."""
-    capped = cap_per_domain(
-        _docs(spark, sf_dir).withColumn("n_tokens", F.size(tokens()).cast("bigint"))
-    )
+    recency bias). Ranks are TWO-TIER (md5-prefix cells, see
+    operators.corpus.cap_per_domain): the data-sized window is keyed by
+    (source, cell) so the heaviest domain splits 256 ways; the source-only
+    window sees one count per cell."""
+    capped = cap_per_domain(_docs_ntok(spark, sf_dir))
     return capped.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("cap_keep").cast("int")).cast("bigint").alias("n_kept"),

@@ -13,13 +13,19 @@ training mixture:
   documents per source, chosen by deterministic hash order.
 
 All three are pure column/window expressions — no Python UDFs, no collects.
-Every window is PARTITIONED by a shard key (language, source), never global:
-the packing/capping unit at 100 TB is the shard a single worker owns, so the
-window state for any key fits one executor and skew is bounded by the largest
-shard, not the corpus. Determinism comes from md5-derived ordering/bucketing
-(not rand()), so results are stable across runs, engines, partitionings, and
-corpus appends — the property a reproducible data pipeline needs (same
-discipline as :func:`~nyc_taxi_pyspark_spark.operators.text.split_assign`).
+The packing/capping prefixes are TWO-TIER (r13, caught by the plan audit's
+low-cardinality-window axis): a language/source shard key alone is
+single-digit-cardinality, so a window partitioned ONLY by it runs the whole
+corpus through #shards tasks at any cluster width. Tier 1 buckets rows into
+cells (fixed-width doc_id ranges for packing, the 256 md5-prefix values for
+capping), aggregates one row per (shard, cell), and takes the exclusive
+prefix over that REDUCED cell frame; tier 2 finishes within each (shard,
+cell) partition — the data-sized window gains a high-cardinality key and
+the shard-only window shrinks to the cell frame. Determinism comes from
+md5-derived ordering/bucketing (not rand()), so results are stable across
+runs, engines, partitionings, and corpus appends — the property a
+reproducible data pipeline needs (same discipline as
+:func:`~nyc_taxi_pyspark_spark.operators.text.split_assign`).
 """
 
 from __future__ import annotations
@@ -30,6 +36,9 @@ from pyspark.sql import functions as F
 from nyc_taxi_pyspark_spark.operators.text import STOPWORDS, tokens
 
 PACK_BUDGET = 512
+# two-tier packing prefix: doc_ids bucket into cells this wide; the
+# shard-only window then runs over the 1/_PACK_CELL-sized cell frame
+_PACK_CELL = 1024
 
 # Target mixture weights (keep fraction per language). Values are exact
 # multiples of 1/1000 so the md5-bucket comparison is integer-exact.
@@ -67,16 +76,57 @@ def with_pack_bins(
 
     Adds ``n_tokens``, ``pack_offset`` (exclusive running token sum within
     the shard), and ``pack_bin``.
+
+    Two-tier prefix (r13): 1024-id doc cells. Tier 1 aggregates one token
+    total per (shard, cell) — map-side combined, no sort — and takes the
+    exclusive prefix over the cell frame (1/1024 of the data; recurse the
+    same split if that tier ever outgrows a task — the text_novelty_curve
+    discipline); tier 2 resolves the within-cell offset with ONE ordered
+    window keyed by (shard, cell) and adds the broadcast-joined cell
+    offset. Exact because floor(id/1024) is monotone in id, so a lower
+    cell always means a strictly smaller id; cells absent from the data
+    contribute zero tokens and need no universe row. The input is
+    consumed by both tiers — pass the session-persisted n_tokens layout
+    (catalog._docs_ntok) so the double consumption reads cached blocks
+    instead of scanning and tokenizing the corpus twice.
     """
-    w = (
+    cell = F.floor(F.col(id_col) / F.lit(_PACK_CELL)).cast("bigint")
+    # an ingest-time n_tokens column (catalog._docs_ntok layout) is used
+    # as-is — recomputing it would tokenize the corpus once per plan branch
+    base_cols = [c for c in df.columns if c != "n_tokens"]
+    if "n_tokens" not in df.columns:
+        df = df.withColumn("n_tokens", F.size(tokens()).cast("bigint"))
+    out = df.withColumn("__cell", cell)
+    w_cell = (
         Window.partitionBy(shard_col)
+        .orderBy("__cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = (
+        out.groupBy(shard_col, "__cell")
+        .agg(F.sum("n_tokens").alias("__ct"))
+        .select(
+            shard_col,
+            "__cell",
+            F.coalesce(F.sum("__ct").over(w_cell), F.lit(0)).alias("__below"),
+        )
+    )
+    w_in = (
+        Window.partitionBy(shard_col, "__cell")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    out = df.withColumn("n_tokens", F.size(tokens()).cast("bigint"))
-    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
-    return out.withColumn("pack_offset", offset).withColumn(
-        "pack_bin", F.floor(F.col("pack_offset") / F.lit(float(budget))).cast("bigint")
+    offset = (
+        F.col("__below") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    ).cast("bigint")
+    return (
+        out.join(F.broadcast(cells), [shard_col, "__cell"])
+        .withColumn("pack_offset", offset)
+        .withColumn(
+            "pack_bin",
+            F.floor(F.col("pack_offset") / F.lit(float(budget))).cast("bigint"),
+        )
+        .select(*base_cols, "n_tokens", "pack_offset", "pack_bin")
     )
 
 
@@ -114,12 +164,44 @@ def cap_per_domain(
     by deterministic md5 order (a uniform-but-reproducible subsample, not
     "first N by id" which would bias toward old documents). Adds
     ``domain_rank`` and ``cap_keep``.
+
+    Two-tier rank (r13): the cell is the first md5 hex byte — 256 values,
+    a DOMAIN constant. Tier 1 counts rows per (domain, cell) and takes the
+    exclusive prefix over that ≤256-row frame per domain (broadcast-sized
+    for any real domain count); tier 2 ranks within each (domain, cell)
+    partition by (md5, id). Exact because lowercase-hex prefix order
+    matches full-string md5 order (char order '0'<…<'9'<'a'<…<'f' is
+    nibble-value order), so rank = rows-in-lower-cells + within-cell
+    row_number. The data-sized window is keyed by (domain, cell) — 256×
+    the parallelism of the domain-only form the plan audit flagged.
     """
-    order = Window.partitionBy(domain_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    fp = F.md5(F.col(id_col).cast("string"))
+    out = df.withColumn("__fp", fp).withColumn(
+        "__cell", F.conv(F.substring("__fp", 1, 2), 16, 10).cast("bigint")
     )
-    return df.withColumn("domain_rank", F.row_number().over(order)).withColumn(
-        "cap_keep", F.col("domain_rank") <= cap
+    w_cell = (
+        Window.partitionBy(domain_col)
+        .orderBy("__cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = (
+        out.groupBy(domain_col, "__cell")
+        .agg(F.count(F.lit(1)).alias("__cc"))
+        .select(
+            domain_col,
+            "__cell",
+            F.coalesce(F.sum("__cc").over(w_cell), F.lit(0)).alias("__below"),
+        )
+    )
+    order = Window.partitionBy(domain_col, "__cell").orderBy("__fp", id_col)
+    return (
+        out.join(F.broadcast(cells), [domain_col, "__cell"])
+        .withColumn(
+            "domain_rank",
+            (F.col("__below") + F.row_number().over(order)).cast("int"),
+        )
+        .withColumn("cap_keep", F.col("domain_rank") <= cap)
+        .select(*df.columns, "domain_rank", "cap_keep")
     )
 
 

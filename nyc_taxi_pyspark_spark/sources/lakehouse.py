@@ -9,10 +9,15 @@ union), which is format-agnostic and runs anywhere.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# catalog.db.table — plain identifier parts only; anything fancier must go
+# through a typed API, not string interpolation into MERGE SQL
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 
 _FORMATS = ("delta", "iceberg", "hudi")
 
@@ -157,6 +162,24 @@ def iceberg_merge_upsert(
     the other gated paths where the runtime jar is absent. The updates
     frame is exposed to SQL through a uuid-suffixed temp view, dropped in
     a finally (concurrent serving threads never collide on the name)."""
+    # Identifiers are interpolated into SQL (unlike the Delta path, which
+    # goes through a typed API): validate the table identifier against the
+    # catalog-path grammar and backtick-quote every key so a column named
+    # with a space/keyword still parses — and an untrusted string cannot
+    # smuggle extra SQL into the statement (ADVICE r12). Validation runs
+    # BEFORE the availability gate so bad input fails the same way with
+    # and without the runtime jar.
+    if not _IDENT_RE.match(table_ident):
+        raise ValueError(
+            f"iceberg_merge_upsert: {table_ident!r} is not a valid "
+            "dot-separated catalog identifier"
+        )
+    for k in keys:
+        if "`" in k:
+            raise ValueError(
+                f"iceberg_merge_upsert: key column {k!r} contains a "
+                "backtick, which cannot be quoted into the MERGE condition"
+            )
     if not format_available(spark, "iceberg"):
         raise NotImplementedError(
             "iceberg jars are not on the classpath in this environment; add "
@@ -169,7 +192,7 @@ def iceberg_merge_upsert(
     view = f"__iceberg_updates_{uuid.uuid4().hex[:8]}"
     updates.createOrReplaceTempView(view)
     try:
-        cond = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+        cond = " AND ".join(f"t.`{k}` = u.`{k}`" for k in keys)
         spark.sql(
             f"MERGE INTO {table_ident} t USING {view} u ON {cond} "
             "WHEN MATCHED THEN UPDATE SET * "

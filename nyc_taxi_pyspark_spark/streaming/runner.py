@@ -43,14 +43,32 @@ def run_stream_once(
     return spark.table(name)
 
 
-_RUNNING: dict[tuple, tuple[object, str]] = {}
+class _StreamEntry:
+    """One tracked persistent stream: the per-key drain lock plus the
+    running query and its memory-sink table name (both None while a
+    starter thread is still bringing the stream up)."""
+
+    __slots__ = ("lock", "q", "name")
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.q = None
+        self.name: str | None = None
+
+
+_RUNNING: dict[tuple, _StreamEntry] = {}
 # Serving-layer requests hit this registry from concurrent threads (same
 # scenario SessionLayoutCache locks against): without the lock two threads
 # can both miss, both start a stream, and the loser's query is overwritten
-# in the dict — active, untracked, never stopped. All lookup/validate/
-# start/insert sequences hold it; processAllAvailable() on a HIT also runs
-# under it, serializing drains of the same key (correct: two concurrent
-# drains of one query have no useful interleaving).
+# in the dict — active, untracked, never stopped. The GLOBAL lock covers
+# only registry lookup/insert/evict (O(registry) bookkeeping, never a
+# drain): holding it across processAllAvailable() serialized callers on
+# DIFFERENT keys and let one hung drain block every other stream (ADVICE
+# r12). Startup and drain run under the entry's per-key lock instead —
+# two concurrent drains of one query still have no useful interleaving,
+# but independent keys proceed in parallel. Lock order: the per-key lock
+# may be taken only OUTSIDE the global lock (holders of a per-key lock
+# may then take the global lock for cleanup, never the reverse).
 _RUNNING_LOCK = threading.Lock()
 
 
@@ -61,20 +79,33 @@ def _evict_dead_sessions() -> None:
     sessions are never looked up again — without a sweep each abandoned
     session would leave a forever-running query and a memory-sink table
     pinned by the strong session reference. Runs under _RUNNING_LOCK on
-    every registry access; cost is O(registry) attribute probes."""
+    every registry access; cost is O(registry) attribute probes.
+
+    Only DEFINITIVE dead signals evict — the context object torn down
+    (no sparkContext/_jsc) or the JVM SparkContext reporting isStopped().
+    A transient probe failure (a py4j hiccup against a session whose JVM
+    is demonstrably up, since the CALLER's session shares it) must not
+    stop a healthy query: the concurrent owner would pay a full stream
+    restart and lose the accumulated memory-sink state (ADVICE r12).
+    Popping a definitively-dead entry cannot orphan a starter mid-flight:
+    any start/drain against that stopped session raises, and the starter
+    cleans up after itself."""
     for k in list(_RUNNING):
         sess = k[0]
         try:
             jsc = sess.sparkContext._jsc
             dead = jsc is None or jsc.sc().isStopped()
+        except AttributeError:
+            dead = True  # context torn down entirely: definitive
         except Exception:
-            dead = True  # stopped/unreachable session: treat as dead
+            continue  # transient probe failure: leave the entry alone
         if dead:
-            q, _name = _RUNNING.pop(k)
-            try:
-                q.stop()
-            except Exception:
-                pass
+            ent = _RUNNING.pop(k)
+            if ent.q is not None:
+                try:
+                    ent.q.stop()
+                except Exception:
+                    pass
 
 
 def run_stream_cached(
@@ -114,18 +145,26 @@ def run_stream_cached(
         key or getattr(transform, "__name__", repr(transform)),
         output_mode,
     )
+    # Global lock: registry bookkeeping only (evict + lookup/insert the
+    # entry). The drain and any stream startup happen under the entry's
+    # per-key lock, OUTSIDE the global lock, so a slow or hung drain on
+    # one key never blocks callers on other keys/sessions.
     with _RUNNING_LOCK:
         _evict_dead_sessions()
         ent = _RUNNING.get(k)
-        if ent is not None:
-            q, name = ent
+        if ent is None:
+            ent = _StreamEntry()
+            _RUNNING[k] = ent
+    with ent.lock:
+        if ent.q is not None:
+            q, name = ent.q, ent.name
             try:
                 if q.isActive:
                     q.processAllAvailable()
                     return spark.table(name)
             except Exception:
                 pass
-            _RUNNING.pop(k, None)
+            ent.q, ent.name = None, None
             try:
                 q.stop()  # never leave a half-dead query running untracked
             except Exception:
@@ -143,8 +182,14 @@ def run_stream_cached(
             q.processAllAvailable()
         except Exception:
             q.stop()
+            # drop the placeholder so the failed key doesn't pin an
+            # empty entry forever (only if it is still ours — a
+            # stop_all_streams may already have popped it)
+            with _RUNNING_LOCK:
+                if _RUNNING.get(k) is ent:
+                    _RUNNING.pop(k, None)
             raise
-        _RUNNING[k] = (q, name)
+        ent.q, ent.name = q, name
         return spark.table(name)
 
 
@@ -158,15 +203,24 @@ def stop_all_streams(spark: SparkSession | None = None) -> None:
     threads and prints a ScheduledThreadPoolExecutor stack trace to
     stderr during shutdown (harmless but noisy — it corrupted the tail
     of a bench artifact once). Idempotent; never raises."""
+    # Pop under the global lock, stop under each entry's per-key lock and
+    # OUTSIDE the global one (lock order: per-key never inside global).
+    # Waiting on the per-key lock means a starter mid-flight finishes
+    # assigning its query before we stop it — no orphaned active stream.
+    popped: list[_StreamEntry] = []
     with _RUNNING_LOCK:
         for k in list(_RUNNING):
             if spark is not None and k[0] is not spark:
                 continue
-            q, _name = _RUNNING.pop(k)
-            try:
-                q.stop()
-            except Exception:
-                pass
+            popped.append(_RUNNING.pop(k))
+    for ent in popped:
+        with ent.lock:
+            if ent.q is not None:
+                try:
+                    ent.q.stop()
+                except Exception:
+                    pass
+                ent.q, ent.name = None, None
     if spark is not None:
         try:
             for q in spark.streams.active:

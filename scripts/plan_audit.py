@@ -15,6 +15,16 @@ explicit line instead of a cluster incident:
      every instance (two-tier re-plans); this keeps the class dead.
      Single-partition exchanges into global aggregates / limits are fine
      (bounded rows) and are not flagged.
+  3. (r13, VERDICT r12 item 6) a hash-partitioned exchange feeding a
+     Window where EVERY partitioning key is a documented low-cardinality
+     column (the type/flag/status columns of schemas.py) — parallelism
+     capped at #distinct-values regardless of cluster width, the shape
+     that made events_cusum_changepoint serial at scale while staying
+     invisible to axis 2 (the exchange was hash(event_type), not
+     SinglePartition). A composite key with at least one high-cardinality
+     member (cell/bucket/day …) is the two-tier FIX and does not flag;
+     windows over already-reduced bounded frames are allowlisted with
+     their bound named in _EXPECTED.
 
 Shuffle counts are informational (top offenders printed, no gate): the
 right number is query-dependent, but a sudden jump shows up in the log
@@ -70,6 +80,28 @@ _EXPECTED: dict[str, str] = {
     "events_survival_km": "tier-2 over 1-hour duration cells",
     "corpus_budget_select": "tier-2 over <=1001 permille buckets",
     "corpus_token_allocation": "tier-2 over the tiny domain-cap frame",
+    # low-cardinality-hash-window axis (r13): tier-2 frames whose row
+    # count the audit cannot see is already reduced/bounded, plus the
+    # two deliberate window-function surface demos
+    "events_cusum_changepoint": (
+        "tier-2 over per-(type, 1-hour cell) aggregate — frame bounded "
+        "by timespan hours, not data (r12 two-tier re-plan)"
+    ),
+    "corpus_pack_bins": (
+        "tier-2 over per-(lang, 1024-id cell) token totals — 1/1024 "
+        "frame; recurse the split if it outgrows a task (r13 re-plan)"
+    ),
+    "corpus_domain_cap": (
+        "tier-2 over <=256 md5-prefix cells per source (r13 re-plan)"
+    ),
+    "window_rank_dense": (
+        "deliberate rank/dense_rank surface demo; scalable global-rank "
+        "form is the cell pattern (orders_gini_concentration)"
+    ),
+    "window_ntile_pctrank": (
+        "deliberate ntile/percent_rank surface demo; scalable form is "
+        "customer_rfm's cutpoint buckets"
+    ),
 }
 
 
@@ -102,6 +134,88 @@ def _single_partition_ids(plan: str) -> set[int]:
 # nodes a single-partition exchange may pass through before its real
 # consumer (single-child, row-preserving)
 _PASS_THROUGH = ("Sort", "Project", "Filter", "InputAdapter", "ColumnarToRow")
+
+# Documented low-cardinality columns (schemas.py type/flag/status fields):
+# a window hash-partitioned by ONLY these caps parallelism at the column's
+# distinct count — single-digit for most of them — no matter how wide the
+# cluster is. Derived all-caps variants cover the catalog's normalized
+# projections of the same fields.
+_LOW_CARD_COLS = {
+    "c_mktsegment",
+    "o_orderstatus",
+    "o_orderpriority",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmode",
+    "event_type",
+    "lang",
+    "source",
+    "store_and_fwd_flag",
+    "payment_type",
+    "payment_name",
+    "p_brand",
+    "p_container",
+}
+
+
+def _low_card_hash_ids(plan: str) -> dict[int, str]:
+    """Ids of Exchange nodes whose hashpartitioning keys are ALL documented
+    low-cardinality columns, mapped to the offending key list."""
+    ids: dict[int, str] = {}
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Exchange\b", block)
+        if not m:
+            continue
+        hm = re.search(r"Arguments: hashpartitioning\((.+?), \d+\)", block)
+        if not hm:
+            continue
+        cols = set(re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", hm.group(1)))
+        if cols and all(c.lower() in _LOW_CARD_COLS for c in cols):
+            ids[int(m.group(1))] = ",".join(sorted(cols))
+    return ids
+
+
+def _low_card_windows(plan: str) -> list[str]:
+    """Key lists of low-cardinality hash exchanges that feed a Window
+    (through the same row-preserving pass-through chain as axis 2).
+
+    A `WindowGroupLimit` BELOW the exchange (map-side partial top-k, the
+    Spark 3.5+ rank<=k pushdown) bounds the shuffled frame to
+    k × input-partitions rows per group — scale-safe, not flagged."""
+    lc = _low_card_hash_ids(plan)
+    if not lc:
+        return []
+    hits = []
+    nodes = _tree_nodes(plan)
+    for i, (depth, name, nid) in enumerate(nodes):
+        if nid not in lc:
+            continue
+        # child chain: subsequent tree lines deeper than the exchange —
+        # a map-side WindowGroupLimit there means the frame is bounded
+        bounded = False
+        for j in range(i + 1, len(nodes)):
+            dj, namej, _ = nodes[j]
+            if dj <= depth:
+                break
+            if namej.startswith("WindowGroupLimit"):
+                bounded = True
+                break
+            if not namej.startswith(_PASS_THROUGH):
+                break
+        if bounded:
+            continue
+        d = depth
+        for j in range(i - 1, -1, -1):
+            dj, namej, _ = nodes[j]
+            if dj >= d:
+                continue
+            if namej.startswith(("Window", "WindowGroupLimit")):
+                hits.append(lc[nid])
+                break
+            if not namej.startswith(_PASS_THROUGH):
+                break
+            d = dj
+    return hits
 
 
 def _single_partition_window(plan: str) -> bool:
@@ -170,6 +284,8 @@ def main(argv: list[str]) -> int:
             flags.append("CartesianProduct")
         if _single_partition_window(plan):
             flags.append("single-partition Window")
+        for keys in _low_card_windows(plan):
+            flags.append(f"low-cardinality hash({keys}) Window")
         dt = time.time() - t0
         if not flags:
             n_pass += 1

@@ -159,6 +159,11 @@ SF1_SUITE = [
     ("embed_knn_join", "LSH-bucketed kNN join, 10× vectors"),
     ("source_syndication_rank", "iterative syndication graph"),
     ("events_cusum_changepoint", "integer CUSUM prefix + argmax"),
+    # r13 additions (VERDICT r12 item 5): the two bench-gate breachers —
+    # their scale behavior is exactly what was in dispute, so they join
+    # the rehearsal permanently
+    ("stats_mann_whitney", "two-tier midrank prefix + rank-sum agg"),
+    ("embed_ivf_topk", "IVF cell filter + cosine fold top-k"),
 ]
 
 

@@ -78,9 +78,10 @@ def reshard_dir(spark, tmp_path_factory):
     # invocation — leaking the testdata-dir stream broke the
     # reuse-counting test downstream in full-suite order
     for k in set(runner._RUNNING) - before:
-        q, _ = runner._RUNNING.pop(k)
+        ent = runner._RUNNING.pop(k)
         try:
-            q.stop()
+            if ent.q is not None:
+                ent.q.stop()
         except Exception:
             pass
 

@@ -149,14 +149,24 @@ def test_unigram_rarity_plan_shape(spark):
 
 
 def test_pack_bins_window_is_sharded(spark):
-    """The packing cumsum must run in a PARTITIONED window (hash exchange on
-    the shard key) — a global single-partition window is the scale-killer
-    this operator exists to avoid."""
+    """The packing cumsum must run TWO-TIER (r13): the data-sized window
+    keyed by (shard, cell) — never by the low-cardinality shard alone,
+    which is #shards tasks over the whole corpus at any cluster width —
+    with the shard-only window confined to the reduced per-cell frame.
+    No single-partition window, no Python."""
     df = QUERIES["corpus_pack_bins"](spark, SF)
     plan = formatted_plan(df)
     assert "Exchange SinglePartition" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert shuffle_count(df) <= 3  # parallelize_scan + window shard + final agg
+    # the data-sized window must carry the cell key
+    assert "windowspecdefinition(lang" not in plan.replace("#", " #") or (
+        "__cell" in plan
+    )
+    # cells agg + cell-frame window shard + within-cell window shard +
+    # final agg, plus the n_tokens layout build's repartition visible in
+    # one or both branches depending on whether the session cache is
+    # already materialized (suite order vs standalone)
+    assert shuffle_count(df) <= 6
 
 
 def test_domain_cap_window_is_sharded(spark):

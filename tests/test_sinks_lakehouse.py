@@ -316,6 +316,28 @@ def test_iceberg_gate_is_actionable(spark):
         iceberg_merge_upsert(spark, "local.db.t", updates, ["k"])
 
 
+def test_iceberg_merge_rejects_unsafe_identifiers(spark):
+    """table_ident and keys are interpolated into the MERGE SQL (Iceberg
+    has no typed python MERGE API), so both are validated BEFORE the
+    availability gate: a malformed or injection-shaped identifier fails
+    the same way with and without the runtime jar, and key columns are
+    backtick-quoted in the generated condition (ADVICE r12)."""
+    from nyc_taxi_pyspark_spark.sources.lakehouse import iceberg_merge_upsert
+
+    updates = spark.createDataFrame([(1, "a")], "k int, v string")
+    for bad in (
+        "local.db.t; DROP TABLE x",
+        "local.db.`t`",
+        "local..t",
+        "db.t USING evil",
+        "",
+    ):
+        with pytest.raises(ValueError, match="identifier"):
+            iceberg_merge_upsert(spark, bad, updates, ["k"])
+    with pytest.raises(ValueError, match="backtick"):
+        iceberg_merge_upsert(spark, "local.db.t", updates, ["k`x"])
+
+
 def _iceberg_jar() -> str | None:
     """The Iceberg runtime is a Spark JAR, not a python package, so the
     availability gate is an env var pointing at it (mirrors how a CI with

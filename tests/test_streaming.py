@@ -308,9 +308,10 @@ def test_stateful_stream_matches_on_directory_table(spark, tmp_path):
         # unregister the streams this test started so the reuse-counting
         # test below still observes a cold first invocation
         for k in set(runner._RUNNING) - before:
-            q, _ = runner._RUNNING.pop(k)
+            ent = runner._RUNNING.pop(k)
             try:
-                q.stop()
+                if ent.q is not None:
+                    ent.q.stop()
             except Exception:
                 pass
 
@@ -333,9 +334,10 @@ def test_sibling_sessions_keep_their_own_tracked_streams(spark):
     # the first call into a reuse and skew the two-new-entries count —
     # start cold regardless of test order
     for k in [k for k in runner._RUNNING if sf in str(k)]:
-        q, _ = runner._RUNNING.pop(k)
+        ent = runner._RUNNING.pop(k)
         try:
-            q.stop()
+            if ent.q is not None:
+                ent.q.stop()
         except Exception:
             pass
     before = set(runner._RUNNING)
@@ -346,16 +348,21 @@ def test_sibling_sessions_keep_their_own_tracked_streams(spark):
         assert a == b and len(a) > 0
         new = set(runner._RUNNING) - before
         assert len(new) == 2  # one tracked stream per session, no takeover
-        tracked = {runner._RUNNING[k][0].id for k in runner._RUNNING}
+        tracked = {
+            runner._RUNNING[k].q.id
+            for k in runner._RUNNING
+            if runner._RUNNING[k].q is not None
+        }
         active = {q.id for q in spark.streams.active} | {
             q.id for q in sib.streams.active
         }
         assert active <= tracked  # nothing runs untracked
     finally:
         for k in set(runner._RUNNING) - before:
-            q, _ = runner._RUNNING.pop(k)
+            ent = runner._RUNNING.pop(k)
             try:
-                q.stop()
+                if ent.q is not None:
+                    ent.q.stop()
             except Exception:
                 pass
 
@@ -404,30 +411,103 @@ def test_stop_all_streams_drains_registry(spark):
     runner.stop_all_streams(spark)
 
 
-def test_dead_session_entries_are_evicted():
-    """Registry entries whose owning session is gone must be swept (their
-    queries STOPPED, not orphaned): a discarded session is never looked
-    up again, so without the sweep its stream would run forever and the
-    dict would grow unboundedly in a long-lived multi-session server."""
-    from nyc_taxi_pyspark_spark.streaming import runner
-
-    stopped = []
-
+def _fake_entry(runner, stopped):
     class _FakeQuery:
         def stop(self):
             stopped.append(True)
 
-    class _DeadSession:  # sparkContext access raises -> treated as dead
-        @property
-        def sparkContext(self):
-            raise RuntimeError("session is gone")
+    ent = runner._StreamEntry()
+    ent.q, ent.name = _FakeQuery(), "ghost_table"
+    return ent
+
+
+def test_dead_session_entries_are_evicted():
+    """Registry entries whose owning session is DEFINITIVELY gone — the
+    context object torn down entirely — must be swept (their queries
+    STOPPED, not orphaned): a discarded session is never looked up again,
+    so without the sweep its stream would run forever and the dict would
+    grow unboundedly in a long-lived multi-session server."""
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    stopped = []
+
+    class _DeadSession:  # no sparkContext at all -> definitive dead signal
+        pass
 
     key = (_DeadSession(), "app-dead", "/nowhere", "t", "append")
     with runner._RUNNING_LOCK:
-        runner._RUNNING[key] = (_FakeQuery(), "ghost_table")
+        runner._RUNNING[key] = _fake_entry(runner, stopped)
         runner._evict_dead_sessions()
         assert key not in runner._RUNNING
     assert stopped == [True]
+
+
+def test_transient_probe_failure_does_not_evict():
+    """A transient error while PROBING a session (a py4j hiccup against a
+    healthy session) must not stop its running query: eviction acts only
+    on definitive dead signals, otherwise a concurrent thread of that
+    session pays a full stream restart and the accumulated memory-sink
+    state is lost (ADVICE r12)."""
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    stopped = []
+
+    class _FlakySession:  # probe raises a non-definitive error
+        @property
+        def sparkContext(self):
+            raise RuntimeError("py4j connection reset")
+
+    key = (_FlakySession(), "app-flaky", "/nowhere", "t", "append")
+    with runner._RUNNING_LOCK:
+        runner._RUNNING[key] = _fake_entry(runner, stopped)
+        runner._evict_dead_sessions()
+        assert key in runner._RUNNING  # left alone, query untouched
+        runner._RUNNING.pop(key)
+    assert stopped == []
+
+
+def test_hung_drain_on_one_key_does_not_block_other_keys(spark, tmp_path):
+    """The global registry lock covers bookkeeping only; drains run under
+    per-key locks. A hung drain (simulated by holding one key's entry
+    lock) must not block run_stream_cached on a DIFFERENT key — before
+    the r13 restructure the single global lock serialized all keys and
+    one stuck stream blocked every concurrent serving thread (ADVICE
+    r12)."""
+    import threading
+
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    hung_key = ("sentinel-session", "app-x", "/hung", "t", "append")
+    hung = runner._StreamEntry()
+    with runner._RUNNING_LOCK:
+        runner._RUNNING[hung_key] = hung
+
+    src = str(tmp_path / "src")
+    df = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    df.write.parquet(src)
+    schema = df.schema
+
+    result: list = []
+
+    def other_key():
+        out = runner.run_stream_cached(
+            spark, src, schema, lambda d: d, key="independent"
+        )
+        result.append(out.count())
+
+    hung.lock.acquire()  # the "stuck drain" on the sentinel key
+    try:
+        t = threading.Thread(target=other_key, daemon=True)
+        t.start()
+        t.join(timeout=120)
+        assert not t.is_alive(), "independent key blocked by a hung drain"
+        assert result and result[0] == 100
+    finally:
+        hung.lock.release()
+        with runner._RUNNING_LOCK:
+            runner._RUNNING.pop(hung_key, None)
+        runner.stop_all_streams(spark)
 
 
 def test_restart_from_checkpoint_no_reprocessing(spark, tmp_path):
