@@ -119,8 +119,18 @@ def with_pack_bins(
     offset = (
         F.col("__below") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
     ).cast("bigint")
+    # NULL-SAFE rejoin: the window form this replaces kept NULL-shard rows
+    # as their own partition (both engines), so a plain equi-join would
+    # silently drop them (dirty-parity audit r13 caught exactly that on
+    # the NULL-lang fixture doc)
+    cells = cells.withColumnRenamed(shard_col, "__g_shard").withColumnRenamed(
+        "__cell", "__g_cell"
+    )
+    cond = F.col(shard_col).eqNullSafe(F.col("__g_shard")) & F.col(
+        "__cell"
+    ).eqNullSafe(F.col("__g_cell"))
     return (
-        out.join(F.broadcast(cells), [shard_col, "__cell"])
+        out.join(F.broadcast(cells), cond)
         .withColumn("pack_offset", offset)
         .withColumn(
             "pack_bin",
@@ -194,8 +204,16 @@ def cap_per_domain(
         )
     )
     order = Window.partitionBy(domain_col, "__cell").orderBy("__fp", id_col)
+    # NULL-SAFE rejoin — same contract as with_pack_bins: NULL-domain rows
+    # were one window partition before, so they must match their cell row
+    cells = cells.withColumnRenamed(domain_col, "__g_dom").withColumnRenamed(
+        "__cell", "__g_cell"
+    )
+    cond = F.col(domain_col).eqNullSafe(F.col("__g_dom")) & F.col(
+        "__cell"
+    ).eqNullSafe(F.col("__g_cell"))
     return (
-        out.join(F.broadcast(cells), [domain_col, "__cell"])
+        out.join(F.broadcast(cells), cond)
         .withColumn(
             "domain_rank",
             (F.col("__below") + F.row_number().over(order)).cast("int"),

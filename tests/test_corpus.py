@@ -51,6 +51,36 @@ def test_pack_bins_conserve_tokens(spark):
     assert binned == total
 
 
+def test_two_tier_rejoin_keeps_null_shard_rows(spark):
+    """The r13 two-tier re-plans rejoin the cell offsets instead of
+    windowing by shard alone; the rejoin must be NULL-SAFE because the
+    window form kept NULL-shard rows as their own partition (the r13
+    dirty-parity audit caught a plain equi-join dropping the NULL-lang
+    fixture doc)."""
+    rows = [
+        (1, "a b c", None, "s1"),
+        (2, "d e", None, "s1"),
+        (3, "f g h i", "en", None),
+        (4, "j", "en", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, lang string, source string"
+    )
+    packed = with_pack_bins(df)
+    assert packed.count() == 4  # no row lost to the rejoin
+    nulls = {
+        r.doc_id: r.pack_offset
+        for r in packed.filter(F.col("lang").isNull()).collect()
+    }
+    assert nulls == {1: 0, 2: 3}  # NULL lang is one shard, offsets exact
+    capped = cap_per_domain(df)
+    assert capped.count() == 4
+    null_ranks = sorted(
+        r.domain_rank for r in capped.filter(F.col("source").isNull()).collect()
+    )
+    assert null_ranks == [1, 2]  # NULL domain ranked as one group
+
+
 def test_mixture_keep_deterministic_and_weighted(spark):
     d = _docs(spark)
     a = with_mixture_keep(d).select("doc_id", "mix_keep").collect()
