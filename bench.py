@@ -170,7 +170,11 @@ EXPECTED = {
     "dedup_keep_first": 0.42,
     "join_three_way": 0.68,
     "join_asof": 0.32,
-    "window_topn_per_group": 0.28,
+    # r13 protocol alignment (BASELINE.md §14): BIMODAL anchors are
+    # dedicated-session steady medians now that the adjudicated headline
+    # IS the dedicated median. window_topn dedicated readings r11/r12/r13:
+    # 0.61 / 0.467 / 0.544; the 0.28 deep-warm fast band stays in §12.
+    "window_topn_per_group": 0.54,
     "rollup_sums": 0.44,
     "stream_session_window": 0.33,
     "udf_group_center": 3.79,
@@ -178,7 +182,9 @@ EXPECTED = {
     "text_minhash_signature": 0.73,
     "text_near_dup_pairs": 1.39,
     "text_ngram_jaccard_pairs": 1.55,
-    "text_simhash_pairs": 0.51,
+    # r13 protocol alignment (§14): dedicated readings r12 0.80/0.69,
+    # r13 0.799 — steady median 0.78 (fast band 0.51 noted in §13)
+    "text_simhash_pairs": 0.78,
     "embed_cosine_topk": 0.31,
     "embed_ann_topk": 1.25,
     "embed_ann_multiprobe": 1.52,
@@ -203,7 +209,9 @@ EXPECTED = {
     # text_novelty_curve (§11)
     "corpus_pack_bins": 1.10,
     "text_gopher_rules": 0.34,
-    "embed_semantic_dedup": 1.36,
+    # r13 protocol alignment (§14): dedicated readings r12 1.93, r13 1.681
+    # — steady median 1.80 (fast band 1.36 noted in §13)
+    "embed_semantic_dedup": 1.80,
     "embed_knn_join": 0.66,
     "text_bm25_topk": 0.68,
     "corpus_bloom_prefilter": 1.42,
@@ -230,7 +238,9 @@ EXPECTED = {
     "stream_distribution_drift": 1.72,
     "events_user_features": 0.78,
     "events_leakfree_labels": 0.58,
-    "embed_contrastive_pairs": 0.71,
+    # r13 protocol alignment (§14): dedicated readings r12 1.05, r13 1.341
+    # — steady median 1.20 (fast band 0.71 noted in §13)
+    "embed_contrastive_pairs": 1.20,
     "orders_forecast_linear": 0.62,
     "tpch_q3_shipping_priority": 0.62,
     "tpch_q10_returned_items": 0.62,
