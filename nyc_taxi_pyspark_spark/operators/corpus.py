@@ -129,8 +129,15 @@ def with_pack_bins(
     cond = F.col(shard_col).eqNullSafe(F.col("__g_shard")) & F.col(
         "__cell"
     ).eqNullSafe(F.col("__g_cell"))
+    # NO broadcast hint on the cell frame (ADVICE r13): its row count is
+    # ~max(id)/_PACK_CELL per shard — data-proportional, not constant — so
+    # an unconditional hint would exceed broadcast limits exactly at the
+    # corpus sizes this packer targets. AQE decides at runtime from the
+    # frame's ACTUAL post-aggregation size: broadcast when it is small
+    # (every test/bench SF), shuffle join on the (shard, cell) composite
+    # key — high-cardinality, skew-handled — when it is not.
     return (
-        out.join(F.broadcast(cells), cond)
+        out.join(cells, cond)
         .withColumn("pack_offset", offset)
         .withColumn(
             "pack_bin",
@@ -215,8 +222,13 @@ def cap_per_domain(
     return (
         out.join(F.broadcast(cells), cond)
         .withColumn(
+            # bigint, NOT int: __below is a bigint COUNT, and a domain
+            # exceeding 2^31 rows would wrap negative (ANSI off) or throw
+            # (ANSI on) under an int cast — making cap_keep silently true
+            # for over-cap docs at exactly the corpus sizes this engine
+            # targets (ADVICE r13).
             "domain_rank",
-            (F.col("__below") + F.row_number().over(order)).cast("int"),
+            (F.col("__below") + F.row_number().over(order)).cast("bigint"),
         )
         .withColumn("cap_keep", F.col("domain_rank") <= cap)
         .select(*df.columns, "domain_rank", "cap_keep")

@@ -197,6 +197,7 @@ def fill_group_mean(
     group_cols: Sequence[str],
     col: str,
     scale: int = 2,
+    broadcast_means: bool = True,
 ) -> DataFrame:
     """Impute nulls in ``col`` with the group mean, order-independently.
 
@@ -209,8 +210,15 @@ def fill_group_mean(
     group window. The window form hash-shuffled EVERY row on the group
     key — with a type/flag-grade key that is #distinct-values tasks over
     the whole table at any cluster width. The aggregate form map-side
-    combines to one row per group (broadcast-sized for any key this
-    helper is sane on) and the fact never shuffles at all.
+    combines to one row per group and the fact never shuffles at all.
+
+    CONTRACT (ADVICE r13): the default ``broadcast_means=True`` requires
+    the GROUP-KEY CARDINALITY to be broadcast-sized (one means row per
+    distinct key must fit an executor/driver broadcast — the type/flag/
+    category keys this engine uses it for). For a high-cardinality key
+    (user_id-grade), pass ``broadcast_means=False``: the plan falls back
+    to a shuffle join that AQE still converts to broadcast at runtime
+    when the means frame turns out small — slower, never OOM.
 
     The join is NULL-SAFE on the group keys: a window PARTITION BY puts
     null-keyed rows in one group (both engines), so the join twin must
@@ -228,8 +236,10 @@ def fill_group_mean(
     cond = F.lit(True)
     for c in group_cols:
         cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    if broadcast_means:
+        means = F.broadcast(means)
     return (
-        df.join(F.broadcast(means), cond, "left")
+        df.join(means, cond, "left")
         .withColumn(col, F.coalesce(F.col(col), F.col("__grp_mean")))
         .drop("__grp_mean", *[f"__g_{c}" for c in group_cols])
     )

@@ -72,14 +72,22 @@ _RUNNING: dict[tuple, _StreamEntry] = {}
 _RUNNING_LOCK = threading.Lock()
 
 
-def _evict_dead_sessions() -> None:
-    """Stop and drop registry entries whose owning session is gone.
+def _pop_dead_sessions() -> list[_StreamEntry]:
+    """Pop registry entries whose owning session is gone; the CALLER stops
+    them (outside the global lock, per-key lock taken non-blocking).
 
     Keying by live session identity means entries for discarded/stopped
     sessions are never looked up again — without a sweep each abandoned
     session would leave a forever-running query and a memory-sink table
     pinned by the strong session reference. Runs under _RUNNING_LOCK on
     every registry access; cost is O(registry) attribute probes.
+
+    Must be called under _RUNNING_LOCK, and must NOT stop queries itself
+    (ADVICE r13): q.stop() is a JVM call that can block for seconds, and
+    holding the global lock across it stalls every registry access — the
+    exact pathology the r13 restructure removed from drains. Stopping
+    outside under ent.lock also closes the race with a concurrent drain
+    holding that lock.
 
     Only DEFINITIVE dead signals evict — the context object torn down
     (no sparkContext/_jsc) or the JVM SparkContext reporting isStopped().
@@ -90,6 +98,7 @@ def _evict_dead_sessions() -> None:
     Popping a definitively-dead entry cannot orphan a starter mid-flight:
     any start/drain against that stopped session raises, and the starter
     cleans up after itself."""
+    popped: list[_StreamEntry] = []
     for k in list(_RUNNING):
         sess = k[0]
         try:
@@ -100,12 +109,8 @@ def _evict_dead_sessions() -> None:
         except Exception:
             continue  # transient probe failure: leave the entry alone
         if dead:
-            ent = _RUNNING.pop(k)
-            if ent.q is not None:
-                try:
-                    ent.q.stop()
-                except Exception:
-                    pass
+            popped.append(_RUNNING.pop(k))
+    return popped
 
 
 def run_stream_cached(
@@ -150,11 +155,32 @@ def run_stream_cached(
     # per-key lock, OUTSIDE the global lock, so a slow or hung drain on
     # one key never blocks callers on other keys/sessions.
     with _RUNNING_LOCK:
-        _evict_dead_sessions()
+        dead = _pop_dead_sessions()
         ent = _RUNNING.get(k)
         if ent is None:
             ent = _StreamEntry()
             _RUNNING[k] = ent
+    # Stop evicted dead-session queries OUTSIDE the global lock (a slow
+    # JVM stop() must not stall every registry access — ADVICE r13). The
+    # per-key lock is taken NON-blocking: a hung drain holding a dead
+    # entry's lock must not block callers on other keys (the same
+    # pathology, one lock over). When the lock is contended the stop
+    # proceeds without it — benign: the session is DEFINITIVELY dead, so
+    # its queries are already terminated and stop() is best-effort
+    # bookkeeping; a racing starter on the dead session fails its start
+    # and cleans up after itself.
+    for dent in dead:
+        locked = dent.lock.acquire(blocking=False)
+        try:
+            if dent.q is not None:
+                try:
+                    dent.q.stop()
+                except Exception:
+                    pass
+                dent.q, dent.name = None, None
+        finally:
+            if locked:
+                dent.lock.release()
     with ent.lock:
         if ent.q is not None:
             q, name = ent.q, ent.name
@@ -190,6 +216,31 @@ def run_stream_cached(
                     _RUNNING.pop(k, None)
             raise
         ent.q, ent.name = q, name
+        # SUCCESS path must re-validate registry membership too (ADVICE
+        # r13 — the failure path above already did): between our registry
+        # insert and acquiring ent.lock, stop_all_streams may have popped
+        # this entry (it saw q=None, nothing to stop), or a sibling
+        # starter's failure path popped it. Assigning q to a popped entry
+        # leaves the query active and UNTRACKED forever — the exact leak
+        # the registry exists to prevent.
+        with _RUNNING_LOCK:
+            cur = _RUNNING.get(k)
+            if cur is ent:
+                return spark.table(name)
+            if cur is None:
+                # key unclaimed: re-track (linearize this start AFTER the
+                # concurrent stop — the stream is running, so it must be
+                # in the registry for the next stop/drain to find)
+                _RUNNING[k] = ent
+                return spark.table(name)
+        # another starter claimed the key with a FRESH entry while ours
+        # was popped: ours would be untracked forever — stop it. The
+        # memory sink is fully drained, so it still serves THIS call.
+        ent.q, ent.name = None, None
+        try:
+            q.stop()
+        except Exception:
+            pass
         return spark.table(name)
 
 

@@ -3,6 +3,7 @@ same transform runs under readStream (memory sink, drained synchronously)."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -437,8 +438,16 @@ def test_dead_session_entries_are_evicted():
     key = (_DeadSession(), "app-dead", "/nowhere", "t", "append")
     with runner._RUNNING_LOCK:
         runner._RUNNING[key] = _fake_entry(runner, stopped)
-        runner._evict_dead_sessions()
+        popped = runner._pop_dead_sessions()
         assert key not in runner._RUNNING
+        # the sweep must NOT stop queries while the global lock is held
+        # (a slow JVM stop() would stall every registry access — ADVICE
+        # r13); it hands the entries back for the caller to stop
+        assert stopped == []
+    for ent in popped:
+        with ent.lock:
+            if ent.q is not None:
+                ent.q.stop()
     assert stopped == [True]
 
 
@@ -460,7 +469,8 @@ def test_transient_probe_failure_does_not_evict():
     key = (_FlakySession(), "app-flaky", "/nowhere", "t", "append")
     with runner._RUNNING_LOCK:
         runner._RUNNING[key] = _fake_entry(runner, stopped)
-        runner._evict_dead_sessions()
+        popped = runner._pop_dead_sessions()
+        assert popped == []
         assert key in runner._RUNNING  # left alone, query untouched
         runner._RUNNING.pop(key)
     assert stopped == []
@@ -507,6 +517,90 @@ def test_hung_drain_on_one_key_does_not_block_other_keys(spark, tmp_path):
         hung.lock.release()
         with runner._RUNNING_LOCK:
             runner._RUNNING.pop(hung_key, None)
+        runner.stop_all_streams(spark)
+
+
+def test_start_after_pop_does_not_orphan_stream(spark, tmp_path):
+    """If the registry entry is popped between insert and query start
+    (stop_all_streams running in that window, or a sibling starter's
+    failure-path pop), the SUCCESS path must not assign the query to the
+    popped entry and leave it active-but-untracked forever (ADVICE r13
+    medium): when the key is unclaimed it re-tracks the entry; when a
+    fresh entry claimed the key it stops its own query (the drained
+    memory sink still serves the call)."""
+    from nyc_taxi_pyspark_spark.sources.io import load_table
+    from nyc_taxi_pyspark_spark.streaming import runner
+
+    src = str(tmp_path / "src")
+    df = load_table(spark, "/root/testdata/sf0.001", "events").limit(50)
+    df.select("event_id", "event_type").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    active_before = {q.id for q in spark.streams.active}
+
+    def _pop_my_key(tag):
+        # simulate stop_all_streams' pop phase landing in the window
+        # between registry insert and ent.lock / query start
+        with runner._RUNNING_LOCK:
+            for k in list(runner._RUNNING):
+                if k[3] == tag:
+                    return runner._RUNNING.pop(k)
+        return None
+
+    try:
+        # case 1: key left unclaimed after the pop -> entry re-inserted,
+        # stream stays tracked
+        def transform_popped(s):
+            _pop_my_key("popped")
+            return s
+
+        out = runner.run_stream_cached(
+            spark, src, schema, transform_popped, key="popped"
+        )
+        assert out.count() == 50
+        ents = [
+            runner._RUNNING[k] for k in list(runner._RUNNING) if k[3] == "popped"
+        ]
+        assert len(ents) == 1 and ents[0].q is not None and ents[0].q.isActive
+
+        # case 2: a fresh entry claimed the key while ours was popped ->
+        # our just-started query is stopped, the fresh entry survives
+        fresh = runner._StreamEntry()
+
+        def transform_claimed(s):
+            _pop_my_key("claimed")
+            k = (
+                spark,
+                spark.sparkContext.applicationId,
+                os.path.realpath(src),
+                "claimed",
+                "append",
+            )
+            with runner._RUNNING_LOCK:
+                runner._RUNNING[k] = fresh
+            return s
+
+        out2 = runner.run_stream_cached(
+            spark, src, schema, transform_claimed, key="claimed"
+        )
+        assert out2.count() == 50  # drained sink still serves this call
+        ents2 = [
+            runner._RUNNING[k]
+            for k in list(runner._RUNNING)
+            if k[3] == "claimed"
+        ]
+        assert ents2 == [fresh]  # fresh claimant not clobbered
+        # no active query beyond the session's tracked ones: the query our
+        # call started against the popped entry must have been stopped
+        tracked = {
+            e.q.id
+            for e in runner._RUNNING.values()
+            if e.q is not None and e.q.isActive
+        }
+        orphans = (
+            {q.id for q in spark.streams.active} - active_before - tracked
+        )
+        assert not orphans
+    finally:
         runner.stop_all_streams(spark)
 
 
