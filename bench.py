@@ -532,10 +532,11 @@ def main() -> None:
     cal_end = calibration_run(spark)
     print(f"  calibration(end): {cal_end}s", file=sys.stderr)
     # this run's machine-speed factor vs the idle-machine reference; the
-    # tripwire messages report drift-normalized ratios ALONGSIDE raw so a
-    # slow machine day is visible as data, not argued in prose. Flagging
-    # stays on the RAW ratio — a drift-sized regression still deserves its
-    # adjudication rerun; the normalization is for reading the artifact.
+    # tripwire reports BOTH ratios and flags on WHICHEVER IS STRICTER
+    # (VERDICT r13 item 5, after two rounds of calibration data): on a
+    # slow day raw >= normalized so raw still triggers the adjudication;
+    # on a FAST day (drift < 1) the normalized ratio is the higher one —
+    # without it a fast machine could mask a drift-sized real regression.
     drift = round(
         (cal_start + cal_end) / (2.0 * CALIBRATION_EXPECTED), 3
     )
@@ -546,20 +547,20 @@ def main() -> None:
         creep = (
             BIMODAL_FLAG_FACTOR if name in BIMODAL else BASELINE_CREEP_FACTOR
         )
-        if EXPECTED.get(name) is not None and t > creep * EXPECTED[name]:
-            norm = round(t / (EXPECTED[name] * drift), 2)
+        exp = EXPECTED.get(name)
+        if exp is not None and max(t / exp, t / (exp * drift)) > creep:
             flagged[name] = (
-                f"> {creep}x expected {EXPECTED[name]}s"
-                f" (drift-normalized {norm}x at calibration {drift}x)"
+                f"> {creep}x expected {exp}s (raw {t / exp:.2f}x, "
+                f"drift-normalized {t / (exp * drift):.2f}x at "
+                f"calibration {drift}x)"
             )
-        elif (
-            prev.get(name) is not None
-            and t > ROUND_REGRESS_FACTOR * prev[name]
-        ):
-            norm = round(t / (prev[name] * drift), 2)
+            continue
+        p = prev.get(name)
+        if p is not None and max(t / p, t / (p * drift)) > ROUND_REGRESS_FACTOR:
             flagged[name] = (
-                f"> {ROUND_REGRESS_FACTOR}x previous round {prev[name]}s"
-                f" (drift-normalized {norm}x at calibration {drift}x)"
+                f"> {ROUND_REGRESS_FACTOR}x previous round {p}s "
+                f"(raw {t / p:.2f}x, drift-normalized {t / (p * drift):.2f}x "
+                f"at calibration {drift}x)"
             )
     iso_reruns: dict[str, dict] = {}
     if flagged:
@@ -621,6 +622,10 @@ def main() -> None:
             "drift": drift,
         },
     }
+    if flagged:
+        # both ratios per flagged query, verbatim in the artifact so the
+        # raw-vs-normalized adjudication is data the judge can read
+        out["flags"] = flagged
     if iso_reruns:
         out["iso_reruns"] = iso_reruns
     # authoritative full copy (all queries, cold splits, adjudications)
@@ -649,6 +654,10 @@ def main() -> None:
         "queries_omitted": 0,
         "full": "BENCH_SUMMARY.json",
     }
+    if flagged:
+        # flag lines go in BEFORE the query fill: the driver artifact must
+        # show both ratios per flagged query even when entries are dropped
+        slim["flags"] = flagged
     compact = (",", ":")
     for name in sorted(timings, key=lambda k: -timings[k]):
         slim["queries"][name] = timings[name]
