@@ -488,6 +488,24 @@ def main() -> None:
     only = None
     protocol = "isolated"
     argv = sys.argv[1:]
+    if argv and argv[0] == "--calibrate":
+        # standalone machine-speed reading (fresh process): the fixed
+        # calibration workload, for A/B adjudications outside a full run
+        from nyc_taxi_pyspark_spark.session import get_spark as _gs
+
+        s = _gs("bench-cal")
+        c = calibration_run(s)
+        _shutdown(s)
+        print(
+            json.dumps(
+                {
+                    "calibration_s": c,
+                    "expected": CALIBRATION_EXPECTED,
+                    "drift": round(c / CALIBRATION_EXPECTED, 3),
+                }
+            )
+        )
+        return
     if len(argv) >= 2 and argv[0] == "--only":
         only = argv[1]
         if len(argv) >= 4 and argv[2] == "--protocol":

@@ -164,6 +164,12 @@ SF1_SUITE = [
     # the rehearsal permanently
     ("stats_mann_whitney", "two-tier midrank prefix + rank-sum agg"),
     ("embed_ivf_topk", "IVF cell filter + cosine fold top-k"),
+    # r14 additions (VERDICT r13 item 6): the two biggest absolute-cost
+    # bench queries not yet rehearsed — Python grouped-map worker scaling
+    # is exactly what sf1 stresses, and the modularity agg joins the
+    # graph family already under watch
+    ("udf_group_center", "applyInPandas grouped-map (Python workers)"),
+    ("graph_brand_modularity", "co-purchase graph modularity agg"),
 ]
 
 
