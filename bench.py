@@ -176,7 +176,10 @@ EXPECTED = {
     # 0.61 / 0.467 / 0.544; the 0.28 deep-warm fast band stays in §12.
     "window_topn_per_group": 0.54,
     "rollup_sums": 0.44,
-    "stream_session_window": 0.33,
+    # r14 protocol migration (BASELINE.md §15): dedicated readings 0.590 /
+    # 0.549 / 0.570 (calibration-bracketed) — steady median 0.55; the 0.33
+    # deep-warm in-process mode stays documented (full runs read ~0.36)
+    "stream_session_window": 0.55,
     "udf_group_center": 3.79,
     "multimodal_features": 0.48,
     "text_minhash_signature": 0.73,
@@ -185,9 +188,14 @@ EXPECTED = {
     # r13 protocol alignment (§14): dedicated readings r12 0.80/0.69,
     # r13 0.799 — steady median 0.78 (fast band 0.51 noted in §13)
     "text_simhash_pairs": 0.78,
-    "embed_cosine_topk": 0.31,
-    "embed_ann_topk": 1.25,
-    "embed_ann_multiprobe": 1.52,
+    # r14 protocol migration (BASELINE.md §15): dedicated readings on a
+    # fast-normal machine (calibration 0.96). The old ann anchors (1.25 /
+    # 1.52) were round-1 numbers that included the one-time LSH layout
+    # build — 3-4x slack made them useless as tripwires; the dedicated
+    # warm path is what the anchor now gates.
+    "embed_cosine_topk": 0.36,  # dedicated 0.371 / 0.360
+    "embed_ann_topk": 0.35,  # dedicated 0.347 / 0.361
+    "embed_ann_multiprobe": 0.43,  # dedicated 0.426 / 0.440
     # r13 re-baseline (BASELINE.md §14): 0.24 was the fast JIT mode, which
     # the §12 dedicated-session protocol stopped reproducing for two
     # consecutive rounds (r11-adj 0.415, r12 0.537, r13 idle 0.452). The
@@ -198,7 +206,9 @@ EXPECTED = {
     "taxi_kpi_by_payment": 0.98,
     # r11 re-baseline: 0.60 was the fast tail of a bimodal distribution
     # (r03-r10 oscillate 0.61-0.86 with no trend); 0.70 is the dedicated-
-    # session steady median (BASELINE.md §12)
+    # session steady median (BASELINE.md §12). r14 dedicated readings
+    # 0.969/0.909/1.084 at calibration drift 1.2-1.4 normalize to
+    # 0.77-0.81 — anchor CONFIRMED (§15).
     "text_unigram_rarity": 0.70,
     "events_sessionize": 0.63,
     "text_chunk_dedup": 0.98,
@@ -273,6 +283,11 @@ EXPECTED = {
     "text_heavy_hitters": 1.17,    "text_duplicate_spans": 1.21,
     "events_ewma_anomaly": 0.54,
     "stats_mann_whitney": 1.12,
+    # r14 creep adjudication (BASELINE.md §15): the 1.13-1.24x residual
+    # was the per-invocation driver-side jobs (degree rebuild +
+    # localCheckpoint + adaptive-k collect); degree layout + k are now
+    # session state. Post-fix dedicated normalized ~2.9-3.0 — anchor
+    # stands.
     "graph_kcore_membership": 3.56,
     "embed_power_iteration_pc1": 2.99,
     "events_cusum_changepoint": 1.05,
@@ -287,6 +302,9 @@ EXPECTED = {
     "events_diff_in_diff": 0.49,
     "privacy_k_anonymity": 0.43,
     "privacy_l_diversity": 0.71,
+    # r14 adjudication (§15): dedicated 2.868 at calibration drift 1.243
+    # normalizes to 2.31 = 1.09x — the same band as r11-r13; recorded as
+    # band noise, no re-baseline
     "graph_link_prediction": 2.11,
     "embed_centroid_drift": 1.19,
     "stats_anova_oneway": 1.19,
