@@ -249,8 +249,12 @@ def _inv_stratified_sample(spark, con, sf_dir, fn, sdf):
 def _inv_corpus_weighted_sample(spark, con, sf_dir, fn, sdf):
     problems = _seed_stable(fn, spark, sf_dir, sdf)
     k = len(sdf)
-    if k != 50:
-        problems.append(f"sample size {k} != k=50")
+    n_pop = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    # a population smaller than k (the dirty fixture) yields the whole
+    # population — the A-ES limit, not a size violation
+    k_exp = min(50, n_pop)
+    if k != k_exp:
+        problems.append(f"sample size {k} != min(50, population) = {k_exp}")
     ids = [int(x) for x in sdf["doc_id"]]
     n_match = con.execute(
         "SELECT COUNT(*) FROM documents WHERE doc_id IN ("
@@ -263,14 +267,16 @@ def _inv_corpus_weighted_sample(spark, con, sf_dir, fn, sdf):
         )
     samp_mean = float(sdf["n_chars"].mean()) if k else 0.0
     pop_mean = con.execute("SELECT AVG(n_chars) FROM documents").fetchone()[0]
-    if k and samp_mean <= pop_mean:
+    if n_pop > 50 and samp_mean <= pop_mean:
+        # heavier-likelier is only observable when the sample is a strict
+        # subset; sample == population trivially has equal means
         problems.append(
             f"weighting not heavier-likelier: sample mean n_chars "
             f"{samp_mean:.1f} <= population {pop_mean:.1f}"
         )
     return problems, (
-        f"deterministic; k={k}; keys⊆population; weighted: sample mean "
-        f"n_chars {samp_mean:.1f} > population {pop_mean:.1f}"
+        f"deterministic; k={k}=min(50,{n_pop}); keys⊆population; weighted: "
+        f"sample mean n_chars {samp_mean:.1f} vs population {pop_mean:.1f}"
     )
 
 
@@ -288,8 +294,11 @@ def _inv_sketch_hll_union(spark, con, sf_dir, fn, sdf):
     if rel > bound:
         problems.append(f"HLL union {est} vs exact {ex}: rel err {rel:.3f} > {bound}")
     n_types = int(sdf["n_types"].iloc[0])
+    # DISTINCT-subquery, not COUNT(DISTINCT): the Spark side counts
+    # groupBy groups, and a NULL event_type (dirty fixture) IS a group —
+    # COUNT(DISTINCT) would drop it and read one low
     ex_types = con.execute(
-        "SELECT COUNT(DISTINCT event_type) FROM events"
+        "SELECT COUNT(*) FROM (SELECT DISTINCT event_type FROM events) t"
     ).fetchone()[0]
     if n_types != ex_types:
         problems.append(f"n_types {n_types} != exact {ex_types}")
