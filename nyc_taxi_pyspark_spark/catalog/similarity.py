@@ -7,10 +7,12 @@ Python generator agree bit-for-bit.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
 from nyc_taxi_pyspark_spark.catalog.registry import query
+from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
 from nyc_taxi_pyspark_spark.operators.similarity import (
     DIM,
     N_PLANES,
@@ -2001,70 +2003,98 @@ def embed_power_iteration_pc1(spark, sf_dir):
     1e8 rows) and order-independent — partition-invariant and
     hash-adjudicated against the oracle's unrolled CTE mirror.
 
-    Plan/scale: per round, ONE map-side-combined vec_id aggregate (the
-    dot products, with v_t a 64-element literal the driver refreshed —
-    the bounded-parameter discipline) and ONE dim aggregate (64 groups);
-    the final round stays fully in-plan with the renormalizer as a 1-row
-    broadcast. No per-row Python, no matrix materialization — at 100 TB
-    this is the same two-aggregate shape per round, and rounds are a
-    constant (3)."""
+    Plan/scale (r15 restructure, optimization guide §1.2/§2.4): the
+    update w = Eᵀ(E·v) regroups EXACTLY — in int64, with no overflow
+    under the same bound — to w = (EᵀE)·v, so ONE pass over the data
+    builds the 64×64 Gram sketch G and every iteration becomes a
+    64-row G·v product. The old shape paid R passes over the table
+    plus R−1 driver collects; this shape reads the data once per
+    invocation and keeps all three renormalized rounds in-plan (the
+    per-round renormalizer is a 1-row broadcast, the iterate a 64-row
+    broadcast — bounded parameters, never data-proportional). At
+    100 TB this is the difference between three full re-reads and
+    one: the Gram pass is the only O(data) stage, and G is a
+    constant-size (dim²) sketch regardless of row count."""
+    # Quantized row layout: one fixed-width array per vector.
+    # try_element_at pads/NULL-guards to exactly DIM entries the same way
+    # the oracle's embedding[i] over generate_series(1, DIM) does (missing
+    # element → NULL → qfloor 0), so a short or NULL array contributes
+    # zeros instead of shifting positions.
     eq = _PI_LAYOUT_CACHE.get_or_build(
         spark,
         sf_dir,
         lambda: parallelize_scan(
             load_table(spark, sf_dir, "embeddings"), spark
-        )
-        .select("vec_id", F.posexplode("embedding").alias("dim", "xf"))
-        .select(
+        ).select(
             "vec_id",
-            "dim",
-            qfloor(F.col("xf").cast("double") * _PI_Q).alias("val"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(DIM)),
+                lambda i: qfloor(
+                    F.try_element_at("embedding", i).cast("double") * _PI_Q
+                ),
+            ).alias("qv"),
         ),
     )
 
-    def round_w(v_frame):
-        dots = (
-            eq.join(F.broadcast(v_frame), "dim")
-            .select("vec_id", (F.col("val") * F.col("vval")).alias("t"))
-            .groupBy("vec_id")
-            .agg(F.sum("t").alias("dot"))
+    # One data pass: G[di, dj] = Σ_vec qv[di] · qv[dj] (exact int64;
+    # |g| <= N·1e6, so G·v stays under the documented |w| bound). The
+    # outer product is a per-row codegen array (no self-join — the join
+    # form paid two hash exchanges of the row layout); explode + one
+    # map-side-combined aggregate on the flattened position is the only
+    # exchange, and its key space is dim² = 4096 regardless of row
+    # count. The Gram frame gets the same per-invocation lineage cut
+    # every iterative operator here uses (operators/iterative.py) — the
+    # single O(data) job per invocation, after which each round is one
+    # tiny broadcast join + one 64-group aggregate over the dim²-row
+    # sketch, with the renormalizer a window max over the 64-row round
+    # output (bounded by dim — never data-proportional — so the
+    # single-partition window is safe at any scale). Measured: without
+    # the cut, exchange reuse does NOT dedup the nested round subtrees
+    # and the run re-executes the Gram build per reference (1.8 s →
+    # 3.6 s).
+    g = cut_lineage(
+        eq.select(
+            F.posexplode(
+                F.flatten(
+                    F.transform(
+                        "qv",
+                        lambda a: F.transform("qv", lambda b: a * b),
+                    )
+                )
+            ).alias("pos", "t")
         )
-        return (
-            eq.join(dots, "vec_id")
-            .select("dim", (F.col("val") * F.col("dot")).alias("t"))
-            .groupBy("dim")
-            .agg(F.sum("t").alias("w"))
+        .groupBy("pos")
+        .agg(F.sum("t").alias("g"))
+        .select(
+            F.expr(f"CAST(pos div {DIM} AS INT)").alias("di"),
+            F.expr(f"CAST(pos % {DIM} AS INT)").alias("dj"),
+            "g",
         )
+    )
 
     sign = F.when(F.col("w") < 0, -1).otherwise(1)
-    # rounds 1..R-1: collect the 64-element iterate (bounded parameter)
-    v = [(d, _PI_Q) for d in range(DIM)]
-    for _ in range(_PI_ITERS - 1):
-        v_frame = spark.createDataFrame(v, "dim int, vval bigint")
-        w_rows = round_w(v_frame).collect()
-        if not w_rows:
-            return spark.createDataFrame([], "dim int, pc1_q bigint")
-        m = max(abs(r["w"]) for r in w_rows)
-        v = [
-            (
-                r["dim"],
-                (-1 if r["w"] < 0 else 1) * ((abs(r["w"]) * _PI_Q) // m),
+    # v0: every dim present in the table at state scale Q (the Gram
+    # diagonal exists for exactly the dims of the oracle's DISTINCT dim)
+    v = g.filter(F.col("di") == F.col("dj")).select(
+        F.col("di").alias("dim"), F.lit(_PI_Q).cast("bigint").alias("vval")
+    )
+    for _ in range(_PI_ITERS):
+        w = (
+            g.join(F.broadcast(v), F.col("dj") == F.col("dim"))
+            .select("di", (F.col("g") * F.col("vval")).alias("t"))
+            .groupBy("di")
+            .agg(F.sum("t").alias("w"))
+            .withColumn(
+                "m", F.max(F.abs(F.col("w"))).over(Window.partitionBy())
             )
-            for r in w_rows
-        ]
-    # final round stays in-plan: renormalizer as a 1-row broadcast
-    w = round_w(spark.createDataFrame(v, "dim int, vval bigint"))
-    mx = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-    return (
-        w.join(F.broadcast(mx))
-        .select(
-            "dim",
+        )
+        v = w.select(
+            F.col("di").alias("dim"),
             (sign * F.expr(f"(abs(w) * {_PI_Q}) div m"))
             .cast("bigint")
-            .alias("pc1_q"),
+            .alias("vval"),
         )
-        .orderBy("dim")
-    )
+    return v.select("dim", F.col("vval").alias("pc1_q")).orderBy("dim")
 
 
 @query(
