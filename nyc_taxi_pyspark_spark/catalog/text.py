@@ -1739,6 +1739,7 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
 
 
 _SYNDICATION_CACHE = SessionLayoutCache()
+_SYNDICATION_N: dict[tuple[str, str], int] = {}
 
 
 def _syndication_oracle() -> str:
@@ -1844,7 +1845,14 @@ def source_syndication_rank(spark, sf_dir):
     g = _SYNDICATION_CACHE.get_or_build(spark, sf_dir, build_graph)
     edges = g.filter(~F.col("is_node")).select("src", "dst", "w")
     nodes = g.filter(F.col("is_node")).select(F.col("src").alias("node"))
-    n_nodes = nodes.count()
+    # node count is SESSION STATE beside the persisted graph layout (the
+    # kcore r14 discipline): it derives solely from the cached frame, so
+    # re-counting it per invocation is a pure driver-job tax on every call
+    nkey = (spark.sparkContext.applicationId, sf_dir)
+    n_nodes = _SYNDICATION_N.get(nkey)
+    if n_nodes is None:
+        n_nodes = nodes.count()
+        _SYNDICATION_N[nkey] = n_nodes
     if n_nodes == 0:
         # empty corpus: a well-typed empty ranking, not a div-by-zero
         return spark.createDataFrame(

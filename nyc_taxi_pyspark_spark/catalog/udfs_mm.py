@@ -81,7 +81,10 @@ def udf_group_center(spark, sf_dir):
     """U4 — applyInPandas grouped-map (subtract group mean). The mean goes
     through exact integer cents, so the pandas row order doesn't matter and
     the result hash-matches the SQL window twin."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # no parallelize_scan: the grouped map hash-partitions on user_id at
+    # cluster width itself (functions.udfs._spread_groups); a round-robin
+    # repartition here would be a second, wasted exchange of every row
+    ev = load_table(spark, sf_dir, "events")
     return center_values_per_group(ev)
 
 
@@ -283,5 +286,6 @@ def udf_arrow_center(spark, sf_dir):
         center_values_per_group_arrow,
     )
 
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # same single-exchange shape as udf_group_center (_spread_groups)
+    ev = load_table(spark, sf_dir, "events")
     return center_values_per_group_arrow(ev)

@@ -1034,3 +1034,16 @@ def test_plan_audit_detector_classifies_window_shapes(spark):
 
     global_agg = base.agg(F.sum("id").alias("s"))
     assert not _single_partition_window(formatted_plan(global_agg))
+
+
+def test_grouped_map_single_wide_exchange(spark):
+    """The grouped Python maps hash-partition on the group key ONCE at
+    cluster width (functions.udfs._spread_groups): exactly one Exchange,
+    keyed so the grouped-map clustering requirement inserts no second one,
+    and pinned (REPARTITION_BY_NUM) so AQE byte-based coalescing cannot
+    serialize the per-group Python work into one worker."""
+    for name in ("udf_group_center", "udf_arrow_center"):
+        df = QUERIES[name](spark, SF)
+        plan = formatted_plan(df)
+        assert shuffle_count(df) == 1, name
+        assert "hashpartitioning(user_id" in plan, name
