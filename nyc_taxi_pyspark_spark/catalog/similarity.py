@@ -2280,8 +2280,6 @@ def search_hybrid_rrf(spark, sf_dir):
         .over(Window.orderBy(F.desc("cosine_sim"), "vec_id"))
         .alias("sem_rank"),
     )
-    ids = lexk.select("doc_id").union(semk.select("doc_id")).distinct()
-
     def rrf_arm(rank_col: str) -> F.Column:
         return F.coalesce(
             F.lit(1).cast("double")
@@ -2289,9 +2287,12 @@ def search_hybrid_rrf(spark, sf_dir):
             F.lit(0).cast("double"),
         )
 
+    # candidate union + per-arm left joins ≡ ONE full-outer join of the two
+    # ranked lists (USING coalesces doc_id) — one join and no distinct
+    # instead of a union-distinct exchange plus two joins, and each ≤50-row
+    # arm subtree is referenced once
     return (
-        ids.join(lexk, "doc_id", "left")
-        .join(semk, "doc_id", "left")
+        lexk.join(semk, "doc_id", "full_outer")
         .select(
             "doc_id",
             "lex_rank",

@@ -754,6 +754,7 @@ def text_tficf_topk(spark, sf_dir):
 
 
 _BM25_TERMS = ("spark", "join", "window")
+_BM25_STATS_CACHE = SessionLayoutCache()  # 1-row (N, Σdl, df_t) index stats
 # k1=1.2, b=0.75 pre-folded: k1+1=2.2, k1*(1-b)=0.25·1.2, k1*b=0.75·1.2 —
 # written as 1.2*(0.25 + 0.75*x) in BOTH engines so the float expression
 # trees match operation-for-operation.
@@ -857,13 +858,21 @@ def bm25_frame(spark, sf_dir):
         F.size(toks).cast("bigint").alias("dl"),
         *[tf_col(t) for t in _BM25_TERMS],
     )
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
-            for t in _BM25_TERMS
-        ],
+    # the 1-row (N, Σdl, df_t) stats frame IS the index-build metadata the
+    # docstring promises — session state beside the other text layouts, so
+    # the scoring pass is the only per-invocation tokenize of the corpus
+    # (it was a second full pass per call before)
+    stats = _BM25_STATS_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: base.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+                for t in _BM25_TERMS
+            ],
+        ),
     )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
 

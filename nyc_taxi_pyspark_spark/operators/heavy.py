@@ -36,7 +36,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def misra_gries_partial(
-    df: DataFrame, item_col: str | Column, k: int
+    df: DataFrame,
+    item_col: str | Column,
+    k: int,
+    emit_total: bool = False,
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries via ``mapInPandas``.
 
@@ -50,6 +53,13 @@ def misra_gries_partial(
     and drop the non-positives. Each prune charges its subtraction against
     the mass it removes, preserving the ``n_p / k`` error bound; the
     per-batch work is vectorised pandas, never a per-row Python loop.
+
+    ``emit_total=True`` additionally emits one sentinel row per partition
+    with ``item IS NULL`` and ``lb`` = the partition's count of non-null
+    items. NULL can never collide with a real candidate (value_counts
+    drops nulls before counting), so the caller gets the exact global
+    non-null total from ``SUM(lb) WHERE item IS NULL`` without a second
+    pass over the stream.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -61,8 +71,10 @@ def misra_gries_partial(
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters = pd.Series(dtype="int64")
+        n_seen = 0
         for batch in batches:
             vc = batch["item"].dropna().value_counts()
+            n_seen += int(vc.sum())
             counters = counters.add(vc, fill_value=0).astype("int64")
             if len(counters) > k:
                 cut = counters.nlargest(k + 1).iloc[-1]
@@ -72,6 +84,8 @@ def misra_gries_partial(
             yield pd.DataFrame(
                 {"item": counters.index.astype(str), "lb": counters.values}
             )
+        if emit_total:
+            yield pd.DataFrame({"item": [None], "lb": [n_seen]})
 
     return projected.mapInPandas(summarize, schema="item string, lb long")
 
@@ -87,16 +101,30 @@ def heavy_hitters_exact(
     ``HAVING cnt * k > total`` (integer compare; no float threshold).
     Returns ``(item, n_occ)`` ordered by ``n_occ`` desc, then item.
     """
+    from nyc_taxi_pyspark_spark.operators.iterative import cut_lineage
+
     col = F.col(item_col) if isinstance(item_col, str) else item_col
     items = df.select(col.cast("string").alias("item"))
-    candidates = (
-        misra_gries_partial(items, "item", k)
+    # the global non-null total rides the SAME MG pass as NULL-item
+    # sentinel rows (one per partition): the old separate
+    # ``items.agg(count)`` was a full second pass over the stream — at
+    # corpus scale a whole extra table read per call. The merged summary
+    # (≤ k·P candidate rows + 1 total row) is lineage-cut so the two
+    # consumers below read the materialized sketch instead of re-running
+    # the Python pass per reference.
+    merged = cut_lineage(
+        misra_gries_partial(items, "item", k, emit_total=True)
         .groupBy("item")
-        .agg(F.sum("lb").alias("lb"))
-        .where(F.col("lb") > 0)
+        .agg(F.sum("lb").alias("lb")),
+        None,
+    )
+    candidates = (
+        merged.where(F.col("item").isNotNull() & (F.col("lb") > 0))
         .select("item")
     )
-    total = items.agg(F.count("item").alias("_total"))
+    total = merged.where(F.col("item").isNull()).select(
+        F.col("lb").alias("_total")
+    )
     return (
         items.join(F.broadcast(candidates), "item", "left_semi")
         .groupBy("item")

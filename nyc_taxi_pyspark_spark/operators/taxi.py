@@ -25,7 +25,7 @@ from nyc_taxi_pyspark_spark.functions.scalar import (
 )
 from nyc_taxi_pyspark_spark.functions.exact import davg, present_round
 from nyc_taxi_pyspark_spark.operators.transforms import apply_rules, taxi_cleaning_rules
-from nyc_taxi_pyspark_spark.schemas import PAYMENT_LOOKUP_ROWS, PAYMENT_LOOKUP_SCHEMA
+from nyc_taxi_pyspark_spark.schemas import PAYMENT_LOOKUP_ROWS
 
 
 def clean_trips(df: DataFrame) -> DataFrame:
@@ -70,7 +70,22 @@ def engineer_features(df: DataFrame) -> DataFrame:
 
 
 def payment_lookup(spark) -> DataFrame:
-    return spark.createDataFrame(PAYMENT_LOOKUP_ROWS, PAYMENT_LOOKUP_SCHEMA)
+    """The payment dimension as a JVM LocalRelation (SQL VALUES).
+
+    ``createDataFrame(rows, schema)`` plans as a Python-backed RDD scan, so
+    every broadcast build of this 6-row table schedules a Python worker
+    task; the VALUES form is a literal the JVM folds with no Python round
+    trip and no job. (The S4 StructType-from-rows surface demo lives in
+    ``catalog.relational.inline_lookup_table``, unchanged.) Types match
+    PAYMENT_LOOKUP_SCHEMA: int code, string label.
+    """
+    values = ", ".join(
+        f"({int(code)}, '{label}')" for code, label in PAYMENT_LOOKUP_ROWS
+    )
+    return spark.sql(
+        "SELECT CAST(payment_type AS INT) AS payment_type, payment_label "
+        f"FROM (VALUES {values}) AS t(payment_type, payment_label)"
+    )
 
 
 def kpi_by_payment(trips: DataFrame, lookup: DataFrame) -> DataFrame:
