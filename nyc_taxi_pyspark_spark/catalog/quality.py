@@ -2570,10 +2570,22 @@ def graph_link_prediction(spark, sf_dir):
     sym = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-    deg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("d")
+    # seed selection reads the SAME degree frame kcore keeps as session
+    # state (ingest-maintained metadata beside the edge layout) — the
+    # per-invocation full-graph degree aggregate was two extra scans of
+    # the edge layout per call for a frame that never changes in-session
+    deg = _KCORE_DEG_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: sym.select(F.col("src").alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg")),
     )
-    seeds = deg.orderBy(F.desc("d"), "node").limit(_LINKPRED_SEEDS).select("node")
+    seeds = (
+        deg.orderBy(F.desc("deg"), "node")
+        .limit(_LINKPRED_SEEDS)
+        .select("node")
+    )
     sn = F.broadcast(seeds).join(
         sym, seeds["node"] == sym["src"]
     ).select(F.col("node").alias("seed"), F.col("dst").alias("n"))

@@ -34,6 +34,7 @@ def _emb(spark, sf_dir):
 
 
 _BUCKETED_CACHE = SessionLayoutCache()
+_SEM_CC_CACHE = SessionLayoutCache()  # (id, label) semantic-dup components
 
 
 def _bucketed(spark, sf_dir):
@@ -1153,10 +1154,21 @@ def embed_semantic_dedup(spark, sf_dir):
         .select("id_a", "id_b", sim)
         .filter(F.col("cosine_sim") >= 0.5)
     )
-    cc = connected_components(pairs, src="id_a", dst="id_b")
+    # the component assignment is session state beside the bucket layout
+    # it derives from (the text-side _dup_components_cached discipline):
+    # the min-label rounds are 2-3 iterative jobs plus per-round
+    # convergence actions that cannot change within a session. The final
+    # join broadcasts explicitly — the cc frame is RDD-backed
+    # (post-checkpoint), so Spark cannot estimate it and would otherwise
+    # sort-merge-join the whole corpus against a dup-cluster-sized table.
+    cc = _SEM_CC_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: connected_components(pairs, src="id_a", dst="id_b"),
+    )
     return (
         b.select("vec_id")
-        .join(cc.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .join(F.broadcast(cc.withColumnRenamed("id", "vec_id")), "vec_id", "left")
         .select(
             "vec_id",
             F.coalesce(F.col("label"), F.col("vec_id"))
