@@ -172,12 +172,21 @@ def run_stream_cached(
     for dent in dead:
         locked = dent.lock.acquire(blocking=False)
         try:
-            if dent.q is not None:
+            dq = dent.q
+            if dq is not None:
                 try:
-                    dent.q.stop()
+                    dq.stop()
                 except Exception:
                     pass
-                dent.q, dent.name = None, None
+                # Clear the fields ONLY while holding the per-key lock:
+                # writing them during a contended acquire would mutate
+                # state the lock is documented to guard mid-drain (a
+                # straddling drain would see ent.q vanish inside its
+                # critical section). The entry is already popped from the
+                # registry, so leaving stale fields on a contended entry
+                # is harmless — stop() above is the part that matters.
+                if locked:
+                    dent.q, dent.name = None, None
         finally:
             if locked:
                 dent.lock.release()
