@@ -2976,22 +2976,32 @@ def text_keyphrases_rake(spark, sf_dir):
     runs = toks.filter(~F.col("tok").isin(*_RAKE_STOP)).withColumn(
         "rid", F.col("i") - F.row_number().over(w)
     )
+    # the phrase aggregate keeps its sorted token array, so phrase
+    # membership EXPLODES from phr itself instead of re-joining runs:
+    # the tokenize + posexplode + window subtree is referenced twice
+    # instead of four times (8 Generate + 4 Window nodes in the before
+    # plan), and the two remaining references share one ReusedExchange.
+    # (A lineage cut here measured SLOWER — the extra materialization job
+    # costs more than the deduped recompute saves.)
     phr = (
         runs.groupBy("doc_id", "rid")
         .agg(
             F.count("*").alias("len"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("phrase"),
+            F.array_sort(F.collect_list(F.struct("i", "tok"))).alias("ts"),
         )
         .filter(F.col("len").between(_RAKE_MIN, _RAKE_MAX))
+        .select(
+            "doc_id",
+            "rid",
+            "len",
+            F.concat_ws(
+                " ", F.transform(F.col("ts"), lambda s: s["tok"])
+            ).alias("phrase"),
+            F.transform(F.col("ts"), lambda s: s["tok"]).alias("toks"),
+        )
     )
-    members = runs.select("doc_id", "rid", "tok").join(
-        phr, ["doc_id", "rid"]
+    members = phr.select(
+        "doc_id", "rid", "len", "phrase", F.explode("toks").alias("tok")
     )
     deg = members.groupBy("tok").agg(F.sum("len").alias("deg"))
     occ = (
