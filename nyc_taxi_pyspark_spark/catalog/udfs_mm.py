@@ -108,7 +108,12 @@ def multimodal_features(spark, sf_dir):
     """Binary-column feature extraction via mapInPandas (Arrow batches of
     binary in, typed features out). Decode is the deterministic fake from
     operators.multimodal.decode_stub — the oracle reproduces it from md5."""
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    # no parallelize_scan: the stub decode is ~µs of Python per row, so a
+    # round-robin exchange of the full payload cost more than the 32-way
+    # parallelism bought (A/B 0.49 → 0.28 s). At 100 TB the scan is wide
+    # on its own; if a REAL codec lands (per-row decode >> transfer), the
+    # single-file local case wants the repartition back.
+    docs = load_table(spark, sf_dir, "documents")
     return extract_features(documents_as_media(docs))
 
 
@@ -134,7 +139,9 @@ def multimodal_frames(spark, sf_dir):
     no-shuffle frame partitioning."""
     from nyc_taxi_pyspark_spark.operators.multimodal import sample_frames
 
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    # stub frame-sampling is payload-transfer-bound, not Python-bound:
+    # same no-repartition reasoning as multimodal_features
+    docs = load_table(spark, sf_dir, "documents")
     return sample_frames(documents_as_media(docs))
 
 
@@ -199,7 +206,8 @@ def multimodal_resize(spark, sf_dir):
     (batched execute) pipeline split."""
     from nyc_taxi_pyspark_spark.operators.multimodal import with_resize_plan
 
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    # same no-repartition reasoning as multimodal_features
+    docs = load_table(spark, sf_dir, "documents")
     return with_resize_plan(extract_features(documents_as_media(docs)))
 
 

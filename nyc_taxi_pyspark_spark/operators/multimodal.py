@@ -73,6 +73,10 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def _dims_from_digest(h: bytes) -> tuple[int, int]:
+    return 16 + h[0] % 240, 16 + h[1] % 240
+
+
 def decode_stub(content: bytes, kind: str, fake: bool = True) -> tuple[int, int]:
     """STUB decoder. Real image/audio decode libraries are not available in
     this environment; with ``fake=True`` it derives deterministic pseudo
@@ -84,34 +88,48 @@ def decode_stub(content: bytes, kind: str, fake: bool = True) -> tuple[int, int]
             f"no codec for kind={kind!r} in this environment; "
             "plug a real decoder in here"
         )
-    h = hashlib.md5(content).digest()
-    return 16 + h[0] % 240, 16 + h[1] % 240
+    return _dims_from_digest(hashlib.md5(content).digest())
 
 
 def extract_features(media: DataFrame, batch_fake_decode: bool = True) -> DataFrame:
     """Binary→features via mapInPandas: Arrow batches of binary content in,
     typed feature rows out — the production shape for media feature
-    extraction (decode/resize/frame-sample all live in this iterator)."""
+    extraction (decode/resize/frame-sample all live in this iterator).
+
+    Only the three columns the function reads cross the Python boundary
+    (an opaque map ships — and reads from storage — every column it is
+    handed, so the unused ``meta`` struct was pure Arrow-transfer tax),
+    and the content hash is computed ONCE per row: the stub decode and
+    the checksum both derive from the same md5 digest, exactly as a real
+    pipeline would decode one buffer once."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             contents = pdf["content"]
-            dims = [
-                decode_stub(c, k, fake=batch_fake_decode)
-                for c, k in zip(contents, pdf["kind"])
-            ]
+            if batch_fake_decode:
+                digests = [hashlib.md5(c).digest() for c in contents]
+                dims = [_dims_from_digest(h) for h in digests]
+                checksums = [h.hex() for h in digests]
+            else:  # the real-codec plug point: decode decides dimensions
+                dims = [
+                    decode_stub(c, k, fake=False)
+                    for c, k in zip(contents, pdf["kind"])
+                ]
+                checksums = [hashlib.md5(c).hexdigest() for c in contents]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(c) for c in contents],
-                    "checksum": [hashlib.md5(c).hexdigest() for c in contents],
+                    "checksum": checksums,
                     "fake_width": [d[0] for d in dims],
                     "fake_height": [d[1] for d in dims],
                 }
             )
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(
