@@ -80,6 +80,11 @@ _EXPECTED: dict[str, str] = {
     "events_survival_km": "tier-2 over 1-hour duration cells",
     "corpus_budget_select": "tier-2 over <=1001 permille buckets",
     "corpus_token_allocation": "tier-2 over the tiny domain-cap frame",
+    "embed_power_iteration_pc1": (
+        "in-plan renormalizer max over the DIM^2=4096-row Gram sketch — "
+        "frame bounded by the embedding dimension, not data (r15 one-pass "
+        "Gram restructure)"
+    ),
     # low-cardinality-hash-window axis (r13): tier-2 frames whose row
     # count the audit cannot see is already reduced/bounded, plus the
     # two deliberate window-function surface demos
