@@ -45,6 +45,40 @@ SF0001 = "/root/testdata/sf0.001"
 # files are treated as invalidated evidence.
 _EVENTS_DATA_EPOCH = "CORRECTNESS_r05.json"
 
+# Queries whose implementation was RESTRUCTURED in an optimization round,
+# mapped to the first correctness artifact recorded after that change
+# (the driver re-checks after each round, so CORRECTNESS_r15 is post-r15
+# code). A green row OLDER than the restructure epoch is builder-parity
+# evidence only, not driver ground truth — rank it right after outright
+# failures so the rotation re-adjudicates restructured paths first
+# (VERDICT r15 item 3: 19 of 20 r15-touched queries missed the sample).
+_RESTRUCTURED_EPOCH = {
+    # round 15 (first optimization round)
+    "embed_power_iteration_pc1": "CORRECTNESS_r15.json",
+    "udf_group_center": "CORRECTNESS_r15.json",
+    "udf_arrow_center": "CORRECTNESS_r15.json",
+    "search_hybrid_rrf": "CORRECTNESS_r15.json",
+    "text_bm25_topk": "CORRECTNESS_r15.json",
+    "text_heavy_hitters": "CORRECTNESS_r15.json",
+    "taxi_kpi_by_payment": "CORRECTNESS_r15.json",
+    "taxi_kpi_heatmap": "CORRECTNESS_r15.json",
+    "embed_semantic_dedup": "CORRECTNESS_r15.json",
+    "text_dedup_rate_by_source": "CORRECTNESS_r15.json",
+    "text_dup_clusters": "CORRECTNESS_r15.json",
+    "text_dedup_survivor_weights": "CORRECTNESS_r15.json",
+    "graph_link_prediction": "CORRECTNESS_r15.json",
+    "corpus_source_overlap": "CORRECTNESS_r15.json",
+    "corpus_bloom_prefilter": "CORRECTNESS_r15.json",
+    "text_keyphrases_rake": "CORRECTNESS_r15.json",
+    "multimodal_features": "CORRECTNESS_r15.json",
+    "multimodal_frames": "CORRECTNESS_r15.json",
+    "multimodal_resize": "CORRECTNESS_r15.json",
+    "source_syndication_rank": "CORRECTNESS_r15.json",
+    # round 16 (second optimization round) — maintained as queries are
+    # touched this round; r16 greens exist only from CORRECTNESS_r16 on.
+    "graph_kcore_membership": "CORRECTNESS_r16.json",
+}
+
 
 _EVENTS_LOAD_RE = __import__("re").compile(
     # an actual events-table load, not an incidental mention (comments,
@@ -114,13 +148,16 @@ def _ordered(mapping: dict) -> dict:
     def tier(n: str) -> int:
         if last_fail.get(n, False):
             return 0
+        epoch = _RESTRUCTURED_EPOCH.get(n)
+        if epoch is not None and last_file.get(n, "") < epoch:
+            return 1  # restructured since its last driver check
         if (
             n in last_file
             and last_file[n] < _EVENTS_DATA_EPOCH
             and _reads_events(n)
         ):
-            return 1  # green, but on pre-regeneration events data
-        return 2
+            return 2  # green, but on pre-regeneration events data
+        return 3
 
     order = sorted(
         range(len(names)),

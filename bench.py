@@ -419,6 +419,46 @@ def materialize(df) -> None:
 CALIBRATION_EXPECTED = 1.05
 
 
+# Python-worker drift probe (VERDICT r15 item 4). The JVM probe above is
+# blind to Python-worker-side slowness: in r15 mapInPandas queries read
+# ~1.5x their anchors while JVM drift read ~1.0, so §4-boundary queries
+# were flagged against the wrong reference. This fixed workload crosses
+# the Arrow boundary the way those queries do — one mapInPandas over a
+# CONSTANT spark.range frame (no files, no catalog code), 32 partitions
+# so worker spin-up + Arrow transfer + pandas compute are all exercised.
+# Expected value measured at adoption (2026-08-18, idle machine, two
+# readings: 0.461 / 0.400 at JVM drift 0.956 / 1.073). Queries in
+# PY_BOUND normalize against THIS drift.
+CALIBRATION_PY_EXPECTED = 0.43
+
+# Headline queries whose timed body crosses the JVM<->Python boundary
+# (mapInPandas / grouped-map / Python-source scan): their drift reference
+# is the Python probe, not the JVM one.
+PY_BOUND = {
+    "udf_group_center",
+    "multimodal_features",
+    "pysource_jsonl_scan",
+}
+
+
+def calibration_py_run(spark) -> float:
+    import pandas as pd  # noqa: F401 — mapInPandas ships pandas batches
+
+    def _fold(batches):
+        for b in batches:
+            yield b.assign(v=(b["id"] * 2654435761) % 1000003)[["v"]].sum().to_frame().T
+
+    df = spark.range(0, 4_000_000, 1, 32)
+    out = df.mapInPandas(_fold, "v long")
+    materialize(out)  # warmup
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        materialize(out)
+        runs.append(time.perf_counter() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def calibration_run(spark) -> float:
     from pyspark.sql import functions as F
 
@@ -535,6 +575,7 @@ def main() -> None:
 
         s = _gs("bench-cal")
         c = calibration_run(s)
+        cp = calibration_py_run(s)
         _shutdown(s)
         print(
             json.dumps(
@@ -542,6 +583,9 @@ def main() -> None:
                     "calibration_s": c,
                     "expected": CALIBRATION_EXPECTED,
                     "drift": round(c / CALIBRATION_EXPECTED, 3),
+                    "calibration_py_s": cp,
+                    "expected_py": CALIBRATION_PY_EXPECTED,
+                    "drift_py": round(cp / CALIBRATION_PY_EXPECTED, 3),
                 }
             )
         )
@@ -569,7 +613,11 @@ def main() -> None:
         return
 
     cal_start = calibration_run(spark)
-    print(f"  calibration(start): {cal_start}s", file=sys.stderr)
+    cal_py_start = calibration_py_run(spark)
+    print(
+        f"  calibration(start): {cal_start}s  python: {cal_py_start}s",
+        file=sys.stderr,
+    )
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -588,7 +636,11 @@ def main() -> None:
     # the best of two fresh-process medians is the sound estimate of true
     # cost, while an in-process median below it is kept as-is.
     cal_end = calibration_run(spark)
-    print(f"  calibration(end): {cal_end}s", file=sys.stderr)
+    cal_py_end = calibration_py_run(spark)
+    print(
+        f"  calibration(end): {cal_end}s  python: {cal_py_end}s",
+        file=sys.stderr,
+    )
     # this run's machine-speed factor vs the idle-machine reference; the
     # tripwire reports BOTH ratios and flags on WHICHEVER IS STRICTER
     # (VERDICT r13 item 5, after two rounds of calibration data): on a
@@ -598,6 +650,9 @@ def main() -> None:
     drift = round(
         (cal_start + cal_end) / (2.0 * CALIBRATION_EXPECTED), 3
     )
+    drift_py = round(
+        (cal_py_start + cal_py_end) / (2.0 * CALIBRATION_PY_EXPECTED), 3
+    )
 
     prev = _previous_round_timings()
     flagged: dict[str, str] = {}
@@ -605,20 +660,24 @@ def main() -> None:
         creep = (
             BIMODAL_FLAG_FACTOR if name in BIMODAL else BASELINE_CREEP_FACTOR
         )
+        # §4-boundary queries normalize against the Python-worker probe
+        # (VERDICT r15 item 4): JVM drift under-reads their slowness
+        d = drift_py if name in PY_BOUND else drift
+        d_name = "python-calibration" if name in PY_BOUND else "calibration"
         exp = EXPECTED.get(name)
-        if exp is not None and max(t / exp, t / (exp * drift)) > creep:
+        if exp is not None and max(t / exp, t / (exp * d)) > creep:
             flagged[name] = (
                 f"> {creep}x expected {exp}s (raw {t / exp:.2f}x, "
-                f"drift-normalized {t / (exp * drift):.2f}x at "
-                f"calibration {drift}x)"
+                f"drift-normalized {t / (exp * d):.2f}x at "
+                f"{d_name} {d}x)"
             )
             continue
         p = prev.get(name)
-        if p is not None and max(t / p, t / (p * drift)) > ROUND_REGRESS_FACTOR:
+        if p is not None and max(t / p, t / (p * d)) > ROUND_REGRESS_FACTOR:
             flagged[name] = (
                 f"> {ROUND_REGRESS_FACTOR}x previous round {p}s "
-                f"(raw {t / p:.2f}x, drift-normalized {t / (p * drift):.2f}x "
-                f"at calibration {drift}x)"
+                f"(raw {t / p:.2f}x, drift-normalized {t / (p * d):.2f}x "
+                f"at {d_name} {d}x)"
             )
     iso_reruns: dict[str, dict] = {}
     if flagged:
@@ -679,6 +738,12 @@ def main() -> None:
             "expected": CALIBRATION_EXPECTED,
             "drift": drift,
         },
+        "calibration_py_s": {
+            "start": cal_py_start,
+            "end": cal_py_end,
+            "expected": CALIBRATION_PY_EXPECTED,
+            "drift": drift_py,
+        },
     }
     if flagged:
         # both ratios per flagged query, verbatim in the artifact so the
@@ -700,29 +765,63 @@ def main() -> None:
     # as many per-query entries as fit (most expensive first — the ones
     # that matter for a perf grade), with an explicit omitted count and a
     # pointer to the full file.
-    budget = 1700
+    print(build_slim_line(out, timings, flagged, drift_py), flush=True)
+
+
+def build_slim_line(
+    out: dict,
+    timings: dict[str, float],
+    flagged: dict[str, str],
+    drift_py: float,
+    budget: int = 1700,
+) -> str:
+    """The one-line JSON for the driver's ~2000-char stdout window.
+
+    Per-query entries fill FIRST, flags get whatever budget remains
+    (VERDICT r15 item 1: flags-before-queries starved the record on noisy
+    windows — 15/109 entries at 32 cores, 1/109 at 8 cores, which blanked
+    the driver's scaling comparison). A small reserve keeps room for a few
+    compressed flag entries; full flag text is always in BENCH_SUMMARY."""
     slim = {
         "metric": out["metric"],
-        "value": total,
+        "value": out["value"],
         "unit": "sec",
         "queries": {},
-        "sf": sf,
-        "calibration_s": out["calibration_s"],
+        "sf": out["sf"],
+        "calibration_s": {**out["calibration_s"], "drift_py": drift_py},
         "n_queries": len(timings),
         "queries_omitted": 0,
         "full": "BENCH_SUMMARY.json",
     }
-    if flagged:
-        # flag lines go in BEFORE the query fill: the driver artifact must
-        # show both ratios per flagged query even when entries are dropped
-        slim["flags"] = flagged
     compact = (",", ":")
+    flag_reserve = 220 if flagged else 0
     for name in sorted(timings, key=lambda k: -timings[k]):
         slim["queries"][name] = timings[name]
-        if len(json.dumps(slim, separators=compact)) > budget:
+        if len(json.dumps(slim, separators=compact)) > budget - flag_reserve:
             del slim["queries"][name]
     slim["queries_omitted"] = len(timings) - len(slim["queries"])
-    print(json.dumps(slim, separators=compact), flush=True)
+    if flagged:
+        # compressed form: "raw/normalized" ratio pair per flagged query,
+        # most-inflated first; entries that no longer fit are counted
+        slim["flags"] = {}
+        slim["flags_omitted"] = 0
+
+        def _ratios(why: str) -> str:
+            import re
+
+            m = re.search(
+                r"raw ([0-9.]+)x, drift-normalized ([0-9.]+)x", why
+            )
+            return f"{m.group(1)}/{m.group(2)}" if m else why[:24]
+
+        for name in sorted(
+            flagged, key=lambda k: -timings.get(k, 0.0)
+        ):
+            slim["flags"][name] = _ratios(flagged[name])
+            if len(json.dumps(slim, separators=compact)) > budget:
+                del slim["flags"][name]
+        slim["flags_omitted"] = len(flagged) - len(slim["flags"])
+    return json.dumps(slim, separators=compact)
 
 
 if __name__ == "__main__":
