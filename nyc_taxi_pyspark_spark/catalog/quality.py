@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
+from nyc_taxi_pyspark_spark.catalog._cache import (
+    SessionLayoutCache,
+    SessionScalarCache,
+)
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import (
     dsum,
@@ -1300,12 +1303,11 @@ def basket_pair_lift(spark, sf_dir):
 
 _COPURCHASE_CACHE = SessionLayoutCache()
 # k-core session state (r14): the node-degree layout of the co-purchase
-# graph, plus the adaptive-k scalar derived from it. k is data-determined
-# (3/4 mean degree), so sibling sessions may share the SCALAR even though
-# the persisted FRAME is session-bound; the dict is keyed like the layout
-# cache and bounded by distinct (app, sf_dir) pairs per process.
+# graph, plus the adaptive-k scalar derived from it (r16: folded into
+# SessionScalarCache so every piece of session state shares one keying /
+# displacement / invalidate lifecycle — VERDICT r15 item 8).
 _KCORE_DEG_CACHE = SessionLayoutCache()
-_KCORE_K: dict[tuple[str, str], int] = {}
+_KCORE_K = SessionScalarCache()
 
 
 @query(
@@ -2160,18 +2162,18 @@ def graph_kcore_membership(spark, sf_dir):
         sf_dir,
         lambda: sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg")),
     )
-    kkey = (spark.sparkContext.applicationId, sf_dir)
-    k = _KCORE_K.get(kkey)
-    if k is None:
+    def _adaptive_k():
         row = deg.agg(
             F.sum("deg").alias("s"), F.count(F.lit(1)).alias("n")
         ).first()
-        if not row["n"]:  # empty graph: the 4-round peel of nothing is nothing
-            return spark.createDataFrame(
-                [], "node bigint, core_degree bigint, k int"
-            )
-        k = int(3 * (row["s"] // row["n"]) // 4)
-        _KCORE_K[kkey] = k
+        # empty graph sentinel: the 4-round peel of nothing is nothing
+        return int(3 * (row["s"] // row["n"]) // 4) if row["n"] else None
+
+    k = _KCORE_K.get_or_build(spark, sf_dir, _adaptive_k)
+    if k is None:
+        return spark.createDataFrame(
+            [], "node bigint, core_degree bigint, k int"
+        )
     return (
         kcore_peel(edges, k, rounds=4, first_round_deg=deg)
         .select("node", "core_degree", F.lit(k).alias("k"))

@@ -9,7 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
+from nyc_taxi_pyspark_spark.catalog._cache import (
+    SessionLayoutCache,
+    SessionScalarCache,
+)
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import oracle_davg
 from nyc_taxi_pyspark_spark.operators.heavy import heavy_hitters_exact
@@ -638,7 +641,32 @@ def _dup_clusters_oracle() -> str:
 
 
 _DUP_CC_CACHE = SessionLayoutCache()  # (id, label) components of the pair layout
+_DUP_CC_N = SessionScalarCache()  # its row count — guards the broadcast hint
 _SRC_GRAM_CACHE = SessionLayoutCache()  # distinct (source, gram) vocabulary
+
+# Explicit-broadcast guard (r15 ADVICE): component frames are RDD-backed
+# (post-checkpoint) so Spark cannot size-estimate them — the hint is what
+# prevents a corpus-wide sort-merge join — but the dup-cluster frame
+# scales with the corpus duplication rate, so an UNCONDITIONAL hint could
+# exceed broadcast/driver limits at 100 TB. 4M (id,label) int64 rows is
+# ~100 MB framed — inside the guide §3.1 "few hundred MB is fine" band
+# and far from the 8 GB hard cap; past it the hint is dropped and the
+# planner picks the join strategy from the other side's stats.
+CC_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _cc_hint(df, n_rows: int):
+    """Broadcast ``df`` only when its known row count is inside the bound."""
+    return F.broadcast(df) if n_rows <= CC_BROADCAST_MAX_ROWS else df
+
+
+def _dup_cc_hint(spark, sf_dir, df):
+    """The dup-components guard: row count is session state beside the cc
+    layout (one cheap count over the already-persisted frame)."""
+    n = _DUP_CC_N.get_or_build(
+        spark, sf_dir, _dup_components_cached(spark, sf_dir).count
+    )
+    return _cc_hint(df, n)
 
 
 def _dup_components_cached(spark, sf_dir):
@@ -704,11 +732,13 @@ def text_dedup_survivor_weights(spark, sf_dir):
     projection of the corpus — Spark broadcasts it — then one groupBy on
     the cluster id. At 100 TB both sides read id columns only; the only
     wide exchange is the survivor aggregation."""
-    # direct id-projection scan + explicit broadcast of the RDD-backed
+    # direct id-projection scan + size-guarded broadcast of the RDD-backed
     # cluster frame (same reasoning as text_dedup_rate_by_source)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clusters = text_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
-    assigned = docs.join(F.broadcast(clusters), "doc_id", "left").select(
+    assigned = docs.join(
+        _dup_cc_hint(spark, sf_dir, clusters), "doc_id", "left"
+    ).select(
         F.coalesce("cluster_id", "doc_id").alias("survivor_doc_id")
     )
     return assigned.groupBy("survivor_doc_id").agg(
@@ -1315,7 +1345,7 @@ def _fp_layout(spark, sf_dir):
 
 _BLOOM_M = 16384  # bit-array size
 _BLOOM_K = 4  # hash functions
-_BLOOM_SPLIT: dict[tuple[str, str], int] = {}  # base/batch split per session
+_BLOOM_SPLIT = SessionScalarCache()  # base/batch split point per session
 _BLOOM_BITS_CACHE = SessionLayoutCache()  # populated bit set (≤ _BLOOM_M rows)
 
 
@@ -1385,11 +1415,9 @@ def corpus_bloom_prefilter(spark, sf_dir):
     # story): both derive solely from the persisted fp layout, so
     # re-counting the corpus and re-exploding the base side's K bits per
     # probe call was pure per-invocation tax
-    skey = (spark.sparkContext.applicationId, sf_dir)
-    split = _BLOOM_SPLIT.get(skey)
-    if split is None:
-        split = fps.count() // 2
-        _BLOOM_SPLIT[skey] = split
+    split = _BLOOM_SPLIT.get_or_build(
+        spark, sf_dir, lambda: fps.count() // 2
+    )
     base_fps = fps.filter(F.col("doc_id") < split).select("fp")
     batch = fps.filter(F.col("doc_id") >= split).select("doc_id", "fp")
 
@@ -1785,7 +1813,7 @@ def text_tfidf_cosine_pairs(spark, sf_dir):
 
 
 _SYNDICATION_CACHE = SessionLayoutCache()
-_SYNDICATION_N: dict[tuple[str, str], int] = {}
+_SYNDICATION_N = SessionScalarCache()
 
 
 def _syndication_oracle() -> str:
@@ -1894,11 +1922,7 @@ def source_syndication_rank(spark, sf_dir):
     # node count is SESSION STATE beside the persisted graph layout (the
     # kcore r14 discipline): it derives solely from the cached frame, so
     # re-counting it per invocation is a pure driver-job tax on every call
-    nkey = (spark.sparkContext.applicationId, sf_dir)
-    n_nodes = _SYNDICATION_N.get(nkey)
-    if n_nodes is None:
-        n_nodes = nodes.count()
-        _SYNDICATION_N[nkey] = n_nodes
+    n_nodes = _SYNDICATION_N.get_or_build(spark, sf_dir, nodes.count)
     if n_nodes == 0:
         # empty corpus: a well-typed empty ranking, not a div-by-zero
         return spark.createDataFrame(
@@ -2041,11 +2065,11 @@ def text_dedup_rate_by_source(spark, sf_dir):
         F.col("cluster_id").isNotNull()
         & (F.col("cluster_id") != F.col("doc_id"))
     ).cast("int")
-    # explicit hint: the cluster frame is RDD-backed (post-checkpoint), so
-    # Spark cannot estimate it and falls back to a sort-merge join of the
-    # whole corpus against a dup-cluster-sized table
+    # size-guarded hint: the cluster frame is RDD-backed (post-checkpoint),
+    # so Spark cannot estimate it and falls back to a sort-merge join of
+    # the whole corpus against a dup-cluster-sized table
     return (
-        docs.join(F.broadcast(clusters), "doc_id", "left")
+        docs.join(_dup_cc_hint(spark, sf_dir, clusters), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -2640,27 +2664,45 @@ def text_novelty_curve(spark, sf_dir):
         ),
         lambda i: F.concat_ws(" ", F.slice(wcol, i, _SPAN_K)),
     )
-    g = (
-        d.select("doc_id", tokens().alias("w"))
-        .filter(F.size("w") >= _SPAN_K)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
-    )
     first_doc = _FIRSTDOC_CACHE.get_or_build(
         spark,
         sf_dir,
-        lambda: g.groupBy("gram").agg(F.min("doc_id").alias("fd")),
-    )
-    perdoc = (
-        g.join(first_doc, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
-            F.sum(
-                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+        lambda: (
+            d.select("doc_id", tokens().alias("w"))
+            .filter(F.size("w") >= _SPAN_K)
+            .select(
+                "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
             )
+            .groupBy("gram")
+            .agg(F.min("doc_id").alias("fd"))
+        ),
+    )
+    # perdoc without the exploded gram stream (r16, guide §2.3/§2.4 —
+    # VERDICT r15 item 6): n_distinct_grams is a per-row array expression
+    # (no explode, no shuffle), and n_novel is a keyed count over the
+    # session-persisted first-owner table alone — a gram owned first by
+    # doc d is exactly one first_doc row with fd = d. The old shape
+    # re-exploded every document's grams and shuffled the whole stream
+    # through a gram-key join per call; the only wide work left is one
+    # doc-keyed aggregate over first_doc (a ReusedExchange branch also
+    # feeds the per-cell totals below).
+    base = (
+        d.select("doc_id", tokens().alias("w"))
+        .filter(F.size("w") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(grams))
             .cast("bigint")
-            .alias("n_novel"),
+            .alias("n_distinct_grams"),
         )
+    )
+    nov = first_doc.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    perdoc = base.join(nov, "doc_id", "left").select(
+        "doc_id",
+        "n_distinct_grams",
+        F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
     )
     from pyspark.sql import Window
 

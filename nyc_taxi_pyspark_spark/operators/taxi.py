@@ -79,8 +79,12 @@ def payment_lookup(spark) -> DataFrame:
     ``catalog.relational.inline_lookup_table``, unchanged.) Types match
     PAYMENT_LOOKUP_SCHEMA: int code, string label.
     """
+    # labels are a static constant today, but they interpolate into SQL:
+    # double any single quote (ANSI escaping) so a future label like
+    # "Driver's app" cannot break the statement (r15 ADVICE)
     values = ", ".join(
-        f"({int(code)}, '{label}')" for code, label in PAYMENT_LOOKUP_ROWS
+        f"({int(code)}, '{label.replace(chr(39), chr(39) * 2)}')"
+        for code, label in PAYMENT_LOOKUP_ROWS
     )
     return spark.sql(
         "SELECT CAST(payment_type AS INT) AS payment_type, payment_label "

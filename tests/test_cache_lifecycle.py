@@ -177,3 +177,54 @@ def test_concurrent_misses_build_once(spark, tmp_path):
 
 def test_invalidate_is_safe_when_empty():
     SessionLayoutCache().invalidate()  # no entry, no error
+
+
+class _StubSpark:
+    """Minimal stand-in: SessionScalarCache touches only
+    sparkContext.applicationId and object identity."""
+
+    class _Ctx:
+        def __init__(self, app_id):
+            self.applicationId = app_id
+
+    def __init__(self, app_id="app-1"):
+        self.sparkContext = self._Ctx(app_id)
+
+
+def test_scalar_cache_follows_layout_lifecycle():
+    """VERDICT r15 item 8: the scalar session state (_KCORE_K,
+    _BLOOM_SPLIT, _SYNDICATION_N) obeys the SAME key/displacement/
+    invalidate discipline as the layout caches — single live entry,
+    rebuild on app/dir/session change, explicit invalidate, and a
+    cached None (empty-input sentinel) never re-runs the build."""
+    from nyc_taxi_pyspark_spark.catalog._cache import SessionScalarCache
+
+    cache = SessionScalarCache()
+    calls = []
+
+    def build(v):
+        def _b():
+            calls.append(v)
+            return v
+
+        return _b
+
+    s1 = _StubSpark("app-1")
+    assert cache.get_or_build(s1, "/d1", build(41)) == 41
+    assert cache.get_or_build(s1, "/d1", build(99)) == 41  # hit, no rebuild
+    assert calls == [41]
+    # dir switch displaces the single entry
+    assert cache.get_or_build(s1, "/d2", build(42)) == 42
+    # ...and switching back rebuilds (single-entry, bounded)
+    assert cache.get_or_build(s1, "/d1", build(43)) == 43
+    # session identity is part of the key even with the same applicationId
+    s1b = _StubSpark("app-1")
+    assert cache.get_or_build(s1b, "/d1", build(44)) == 44
+    # invalidate is the external-writer escape hatch
+    cache.invalidate()
+    assert cache.get_or_build(s1b, "/d1", build(45)) == 45
+    # a cached None (e.g. kcore's empty-graph k) is a value, not a miss
+    s2 = _StubSpark("app-2")
+    assert cache.get_or_build(s2, "/d1", build(None)) is None
+    assert cache.get_or_build(s2, "/d1", build(46)) is None
+    assert calls == [41, 42, 43, 44, 45, None]
