@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from nyc_taxi_pyspark_spark.catalog._cache import SessionLayoutCache
 from nyc_taxi_pyspark_spark.catalog.registry import query
 from nyc_taxi_pyspark_spark.functions.exact import dsum, oracle_dsum
 from nyc_taxi_pyspark_spark.sources.io import load_table
@@ -682,19 +683,34 @@ _PS_SQL = (
 )
 
 
+_PARTSUPP_CACHE = SessionLayoutCache()
+
+
 def _partsupp(spark, sf_dir):
     """Derived partsupp (adaptation — see module docstring): one exact
     aggregate over lineitem. MIN is order-independent on doubles;
-    the quantity sum uses the exact-cents form at scale 0. At scale this
-    is one map-side-combinable shuffle on (partkey, suppkey) — the same
-    cost class as scanning a real partsupp table once."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.min("l_extendedprice").alias("ps_supplycost"),
-        dsum("l_quantity", 0).alias("ps_availqty"),
+    the quantity sum uses the exact-cents form at scale 0.
+
+    Session-persisted layout (r16, guide §6 / VERDICT r15 item 5): in
+    real TPC-H this is a BASE TABLE — the reduced testdata lacks it, so
+    it is derived — and all four consumers (Q2/Q11/Q16/Q20) were
+    re-aggregating the full lineitem fact per call. One persisted copy
+    per session replaces a full fact scan + (partkey, suppkey) exchange
+    + aggregate in each of the four; the build is paid in the first
+    consumer's cold run (queries_cold). Multi-consumer derived layout of
+    a persisted input — squarely inside the session-state boundary rule."""
+    return _PARTSUPP_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min("l_extendedprice").alias("ps_supplycost"),
+            dsum("l_quantity", 0).alias("ps_availqty"),
+        ),
     )
 
 

@@ -719,14 +719,24 @@ def test_mann_whitney_window_runs_over_aggregate_not_rows(spark):
     assert win_pos < plan.rfind("HashAggregate")
 
 
-def test_kcore_semi_joins_broadcast(spark):
-    """Every peel round's alive-set semi-joins must broadcast — a
-    SortMergeJoin or shuffled hash join of the edge view would shuffle
-    the full edge list every round."""
-    df = QUERIES["graph_kcore_membership"](spark, SF)
-    plan = formatted_plan(df)
+def test_kcore_peel_round_joins_broadcast(spark):
+    """Every peel round's joins must broadcast — a SortMergeJoin of the
+    edge view would shuffle the full edge list every round. r16 delta
+    form: the removed-set semi-join filters the sym scan and the cut
+    counts broadcast into the survivor decrement join. The catalog query
+    hides round internals behind per-round lineage cuts, so inspect the
+    symbolic (checkpoint=False) peel directly."""
+    from nyc_taxi_pyspark_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u bigint, v bigint"
+    )
+    plan = formatted_plan(kcore_peel(edges, k=2, rounds=2, checkpoint=False))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the decrement form never re-aggregates the full alive edge view:
+    # each round has exactly one semi-join (removed set) per sym scan
+    assert "LeftSemi" in plan
 
 
 def test_power_iteration_no_python_no_cartesian(spark):
