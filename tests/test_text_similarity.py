@@ -794,3 +794,55 @@ def test_rake_run_splitting_and_degree_scores(spark, tmp_path):
     assert set(out) == {"x y", "x y z"}
     assert out["x y"]["n_occurrences"] == 2 and out["x y"]["score"] == 14
     assert out["x y z"]["n_occurrences"] == 1 and out["x y z"]["score"] == 17
+
+
+def test_power_iteration_ragged_arrays_match_oracle(spark, tmp_path):
+    """r15 ADVICE: pin the output DOMAIN of the Gram restructure on
+    ragged input. Both engine (fixed-width qv via try_element_at pad)
+    and oracle (generate_series over DIM with COALESCE 0) must emit ALL
+    DIM dims — zero-filled, never absent — even when every embedding
+    array is shorter than DIM, mixed-length, empty, or NULL."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nyc_taxi_pyspark_spark.catalog import ORACLES
+    from nyc_taxi_pyspark_spark.catalog.similarity import (
+        embed_power_iteration_pc1,
+    )
+    from nyc_taxi_pyspark_spark.operators.similarity import DIM
+
+    vecs = [
+        [0.9, -0.4, 0.2],            # shorter than DIM
+        [0.1] * 5,                   # different short length
+        [],                          # empty array
+        None,                        # NULL array
+        [0.5, 0.25],                 # ragged again
+    ]
+    d = tmp_path / "ragged"
+    d.mkdir()
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int64()),
+    })
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+
+    got = {
+        (r["dim"], r["pc1_q"])
+        for r in embed_power_iteration_pc1(spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'"
+    )
+    want = {
+        (int(r[0]), int(r[1]))
+        for r in con.execute(
+            ORACLES["embed_power_iteration_pc1"]
+        ).fetchall()
+    }
+    assert got == want
+    # the pinned domain: all DIM dims present, absent dims zero-filled
+    assert len(got) == DIM
+    assert {dim for dim, _ in got} == set(range(DIM))
