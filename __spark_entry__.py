@@ -92,6 +92,11 @@ _RESTRUCTURED_EPOCH = {
     "group_quantiles_approx": "CORRECTNESS_r16.json",
     "skew_salted_agg": "CORRECTNESS_r16.json",
     "events_qq_compare": "CORRECTNESS_r16.json",
+    "sketch_hll_union_distinct": "CORRECTNESS_r16.json",
+    "embed_dim_stats": "CORRECTNESS_r16.json",
+    "embed_outlier_docs": "CORRECTNESS_r16.json",
+    "embed_binary_hamming_topk": "CORRECTNESS_r16.json",
+    "multimodal_dedup": "CORRECTNESS_r16.json",
 }
 
 

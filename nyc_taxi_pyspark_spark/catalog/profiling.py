@@ -152,6 +152,9 @@ def fuzzy_name_matches(spark, sf_dir):
     -> guaranteed recall, equi-join only — the oracle does the quadratic
     check the engine must never do). Aggregated to (n_diff, n_pairs) so
     the full pair set is verified by count per distance."""
+    # round-robin scan is LOAD-BEARING here (r16 A/B: direct 18.8 s vs
+    # 3.85 s with it) - the band explode + equi-self-join serializes on
+    # a single-partition probe side without the width
     cust = parallelize_scan(load_table(spark, sf_dir, "customer"), spark)
     pairs = fuzzy_self_matches(
         cust, "c_custkey", F.substring(F.col("c_name"), 10, 9), 9, 2
@@ -197,7 +200,10 @@ def sketch_hll_union_distinct(spark, sf_dir):
     query touches only sketch bytes, never raw rows. Accuracy is asserted
     against the exact distinct in tests (rows-only here: the estimate is
     approximate by design)."""
-    ev = parallelize_scan(load_table(spark, sf_dir, "events"), spark)
+    # direct scan (r16, guide 2.4): first wide op is the keyed sketch
+    # aggregate - the round-robin repartition was a wasted shuffle
+    # (interleaved A/B 0.588 -> 0.204 s, rows identical)
+    ev = load_table(spark, sf_dir, "events")
     sketches = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )

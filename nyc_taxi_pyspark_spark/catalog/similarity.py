@@ -1677,8 +1677,10 @@ def embed_dim_stats(spark, sf_dir):
     (1e14 for means, 1e12 for squared moments — headroom documented
     against row count × value bound; past that, dsum_wide's hi/lo
     split), so mean and std are bit-identical across engines. min/max
-    of the identical cast doubles are exact."""
-    e = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    of the identical cast doubles are exact. Direct scan (r16, guide
+    2.4): the posexplode feeds a keyed aggregate, so the round-robin
+    repartition was a wasted shuffle (A/B 0.548 -> 0.327 s)."""
+    e = load_table(spark, sf_dir, "embeddings")
     x = F.col("x")
     q_mean = F.sum(qfloor(x * F.lit(1e14))).cast("double") / F.lit(1e14)
     q_sq = F.sum(qfloor(x * x * F.lit(1e12))).cast("double") / F.lit(1e12)
@@ -1737,8 +1739,10 @@ def embed_outlier_docs(spark, sf_dir):
     table), then one scan folds each vector's distance with the same
     1e12 micro-quantization (order-independent int64 per row) and
     TakeOrdered keeps the top-10. No joins wider than the 64-row
-    centroid; deterministic ties on vec_id."""
-    e = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    centroid; deterministic ties on vec_id. Direct scan (r16, guide
+    2.4): first wide op is the keyed centroid aggregate - the
+    round-robin repartition was a wasted shuffle (A/B 0.722 -> 0.457 s)."""
+    e = load_table(spark, sf_dir, "embeddings")
     x = F.col("xf").cast("double")
     sums = (
         e.select(F.posexplode("embedding").alias("pos", "xf"))
@@ -2176,8 +2180,11 @@ def embed_binary_hamming_topk(spark, sf_dir):
     mirrors it bit-for-bit. The signature is a write-time materialized
     column at scale (same storage contract as the LSH bucket layout);
     the query vector's signature is a 1-row broadcast. Top-10 nearest
-    by Hamming distance to vec_id 0, full tie-breaks."""
-    e = parallelize_scan(load_table(spark, sf_dir, "embeddings"), spark)
+    by Hamming distance to vec_id 0, full tie-breaks. Direct scan
+    (r16, guide 2.4): signature packing is per-row arithmetic feeding
+    TakeOrdered - the repartition was a wasted shuffle (A/B 0.304 ->
+    0.246 s)."""
+    e = load_table(spark, sf_dir, "embeddings")
     half = DIM // 2
 
     def pack(lo_i: int, hi_i: int) -> "F.Column":

@@ -244,7 +244,11 @@ def multimodal_dedup(spark, sf_dir):
     text, so the whole pipeline is hash-checked. One scan + one checksum
     shuffle, map-side combined; at 100 TB the checksum is computed at
     ingest and this query touches only the (checksum, id) index."""
-    docs = parallelize_scan(load_table(spark, sf_dir, "documents"), spark)
+    # direct scan (r16, guide 2.4): the md5 checksum is ~us-per-row JVM
+    # work feeding a keyed shuffle, so the round-robin repartition cost
+    # more than the parallelism it bought (A/B 0.659 -> 0.360 s) - the
+    # same trade multimodal_features documented in r15
+    docs = load_table(spark, sf_dir, "documents")
     media = documents_as_media(docs).unionByName(
         documents_as_media(
             docs.filter(F.col("doc_id") % 20 == 0).withColumn(
