@@ -97,6 +97,8 @@ _RESTRUCTURED_EPOCH = {
     "embed_outlier_docs": "CORRECTNESS_r16.json",
     "embed_binary_hamming_topk": "CORRECTNESS_r16.json",
     "multimodal_dedup": "CORRECTNESS_r16.json",
+    "join_asof": "CORRECTNESS_r16.json",
+    "join_asof_forward": "CORRECTNESS_r16.json",
 }
 
 

@@ -198,6 +198,47 @@ def join_range_buckets(spark, sf_dir):
     )
 
 
+def _asof_same_scan(spark, sf_dir, direction: str):
+    """Single-scan as-of for the click→error pairing (r16, guide §2.3):
+    both sides of the as-of come from the SAME events table, so the
+    generic ``operators.joins.asof_join`` union-of-two-filtered-scans
+    form read the fact twice per call. One tagged scan halves the input;
+    the window ordering and frames match the generic operator exactly
+    (right rows visible at equal timestamps in both directions), so the
+    result is bit-identical — interleaved A/B 0.487 → 0.418 s backward.
+    The generic operator stays for the true two-table case."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    is_click = F.col("event_type") == "click"
+    rows = ev.filter(F.col("event_type").isin("click", "error")).select(
+        F.when(is_click, F.col("event_id")).alias("event_id"),
+        "ts",
+        "user_id",
+        is_click.cast("int").alias("__is_left"),
+        F.when(~is_click, F.col("ts")).alias("__r_ts"),
+    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        asof_ts = F.last("__r_ts", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        asof_ts = F.first("__r_ts", ignorenulls=True).over(w)
+    return (
+        rows.withColumn("asof_ts", asof_ts)
+        .filter(F.col("__is_left") == 1)
+        .select("event_id", "ts", "user_id", "asof_ts")
+    )
+
+
 @query(
     "join_asof",
     oracle="""
@@ -211,15 +252,10 @@ def join_range_buckets(spark, sf_dir):
 )
 def join_asof(spark, sf_dir):
     """As-of join (§2.3 extension; Spark has no native one): for each click,
-    the most recent error by the same user. Union + window formulation —
-    one shuffle on user_id, linear per-group scan; oracle is DuckDB's native
-    ASOF JOIN."""
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
-    joined = asof_join(
-        clicks, errors, by="user_id", left_ts="ts", right_ts="ts", value_cols=["ts"]
-    )
+    the most recent error by the same user. Tagged single-scan + window
+    formulation (:func:`_asof_same_scan`) — one shuffle on user_id, linear
+    per-group scan; oracle is DuckDB's native ASOF JOIN."""
+    joined = _asof_same_scan(spark, sf_dir, "backward")
     return joined.select(
         "event_id",
         "ts",
@@ -630,21 +666,9 @@ def join_asof_forward(spark, sf_dir):
     shuffle, linear per-group scan) with the frame flipped to
     current..following and left rows sorting first at ties so an
     equal-timestamp error still matches (>= semantics, mirroring DuckDB's
-    forward ASOF JOIN)."""
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "ts", "user_id"
-    )
-    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
-    joined = asof_join(
-        clicks,
-        errors,
-        by="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        value_cols=["ts"],
-        direction="forward",
-    )
+    forward ASOF JOIN). Tagged single-scan form (:func:`_asof_same_scan`,
+    r16) — same semantics, half the fact reads."""
+    joined = _asof_same_scan(spark, sf_dir, "forward")
     return joined.select(
         "event_id",
         "ts",
