@@ -169,7 +169,9 @@ EXPECTED = {
     "having_topk": 0.28,
     "dedup_keep_first": 0.42,
     "join_three_way": 0.68,
-    "join_asof": 0.32,
+    # r16 re-baseline (§17): two >1.25x normalized dedicated readings on
+    # unchanged code (mode shift) + the single-scan restructure (A/B 0.418)
+    "join_asof": 0.45,
     # r13 protocol alignment (BASELINE.md §14): BIMODAL anchors are
     # dedicated-session steady medians now that the adjudicated headline
     # IS the dedicated median. window_topn dedicated readings r11/r12/r13:
@@ -243,11 +245,14 @@ EXPECTED = {
     # NTILE sorts that would dominate at scale
     "customer_rfm": 0.80,
     "text_tfidf_cosine_pairs": 0.56,
-    "events_distribution_drift": 0.83,
-    "events_value_winsorized": 0.85,
+    # r16 re-baseline (§17): direct scan, RR exchange removed — A/B 0.590
+    "events_distribution_drift": 0.65,
+    # r16 re-baseline (§17): direct scan — A/B 0.660
+    "events_value_winsorized": 0.70,
     "sequence_gaps": 0.69,
     "events_markov_transitions": 0.83,
-    "embed_dim_stats": 0.74,
+    # r16 re-baseline (§17): direct scan — A/B 0.327
+    "embed_dim_stats": 0.40,
     "source_syndication_rank": 3.85,
     "tpch_q5_local_volume": 0.91,
     "tpch_q17_small_qty_revenue": 0.74,
@@ -255,7 +260,8 @@ EXPECTED = {
     # r15 re-baseline (§16): cached components + broadcast + direct scan
     # — dedicated 0.366
     "text_dedup_rate_by_source": 0.45,
-    "embed_outlier_docs": 0.84,
+    # r16 re-baseline (§17): direct scan — A/B 0.457
+    "embed_outlier_docs": 0.55,
     "stream_distribution_drift": 1.72,
     "events_user_features": 0.78,
     "events_leakfree_labels": 0.58,
@@ -288,9 +294,12 @@ EXPECTED = {
     "tpch_q15_top_supplier": 0.94,
     "tpch_q21_waiting_suppliers": 1.71,
     "tpch_q2_min_cost_supplier": 0.92,
-    "tpch_q11_important_stock": 1.12,
-    "tpch_q16_supplier_part_counts": 1.05,
-    "tpch_q20_promotion_suppliers": 0.93,
+    # r16 re-baseline (§17): shared partsupp layout — dedicated 0.826
+    "tpch_q11_important_stock": 0.90,
+    # r16 re-baseline (§17): shared partsupp layout
+    "tpch_q16_supplier_part_counts": 0.90,
+    # r16 re-baseline (§17): shared partsupp layout
+    "tpch_q20_promotion_suppliers": 0.80,
     # r15 re-baseline (§16): total rides the MG pass (3 passes → 2) —
     # normalized ~0.98 dedicated / 0.983 full-run
     "text_heavy_hitters": 1.05,    "text_duplicate_spans": 1.21,
@@ -307,10 +316,13 @@ EXPECTED = {
     "embed_power_iteration_pc1": 1.25,
     "events_cusum_changepoint": 1.05,
     "corpus_token_allocation": 0.65,
-    "text_novelty_curve": 1.65,  # r10 re-baseline: two-tier cumsum (BASELINE.md §11)
+    # r16 re-baseline (§17): perdoc without the exploded gram stream —
+    # A/B 1.399 → 1.241 (r10 two-tier cumsum note stays in §11)
+    "text_novelty_curve": 1.35,
     "stream_ewma_monitor": 0.28,
     "events_pattern_match": 0.55,
-    "embed_binary_hamming_topk": 0.37,
+    # r16 re-baseline (§17): direct scan — A/B 0.246
+    "embed_binary_hamming_topk": 0.30,
     "part_skyline": 0.81,
     "search_hybrid_rrf": 1.14,
     "events_session_overlap": 1.21,
@@ -327,7 +339,8 @@ EXPECTED = {
     "embed_centroid_drift": 1.19,
     "stats_anova_oneway": 1.19,
     "text_trigram_search": 0.69,
-    "graph_brand_modularity": 2.07,
+    # r16 re-baseline (§17): degree layout + window q_total — dedicated 1.031
+    "graph_brand_modularity": 1.10,
     "sample_neyman_allocation": 0.65,
     "orders_gini_concentration": 0.90,
     # r15 re-baseline (§16): gram-partitioned (source,gram) layout, self-
