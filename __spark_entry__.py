@@ -99,6 +99,11 @@ _RESTRUCTURED_EPOCH = {
     "multimodal_dedup": "CORRECTNESS_r16.json",
     "join_asof": "CORRECTNESS_r16.json",
     "join_asof_forward": "CORRECTNESS_r16.json",
+    "embed_pq_codes": "CORRECTNESS_r16.json",
+    "embed_pq_search": "CORRECTNESS_r16.json",
+    "embed_ivfpq_search": "CORRECTNESS_r16.json",
+    "text_tficf_topk": "CORRECTNESS_r16.json",
+    "corpus_incremental_dedup": "CORRECTNESS_r16.json",
 }
 
 

@@ -50,6 +50,46 @@ _BUCKETED_CACHE = SessionLayoutCache()
 # in queries_cold.
 _SEM_CC_CACHE = SessionLayoutCache()
 _SEM_CC_N = SessionScalarCache()  # its row count — guards the broadcast hint
+# PQ codebook seeds and the quantized query vector: bounded driver-side
+# parameters (PQ_K + 1 rows, the query-vector discipline) that THREE PQ
+# queries re-collected per call — two driver jobs each, pure scheduling
+# tax on state that cannot change within a session (r16, guide §5).
+_PQ_SEEDS = SessionScalarCache()
+_PQ_QUERY_XQ = SessionScalarCache()
+
+
+def _pq_seed_vectors(spark, sf_dir):
+    """Seed vectors (vec_id 1..PQ_K, quantized, finite) for pq_codebooks."""
+    from nyc_taxi_pyspark_spark.operators.similarity import PQ_K, quantize8
+
+    def build():
+        vq = _emb(spark, sf_dir).select(
+            "vec_id", quantize8(F.col("embedding")).alias("xq")
+        )
+        return [
+            (int(r["vec_id"]), [int(x) for x in r["xq"]])
+            for r in vq.filter(F.col("vec_id").between(1, PQ_K))
+            .filter(~F.exists("xq", lambda x: x.isNull()))
+            .collect()
+        ]
+
+    return _PQ_SEEDS.get_or_build(spark, sf_dir, build)
+
+
+def _pq_query_vector(spark, sf_dir):
+    """Quantized query vector (vec_id 0) or None when absent."""
+    from nyc_taxi_pyspark_spark.operators.similarity import quantize8
+
+    def build():
+        row = (
+            _emb(spark, sf_dir)
+            .select("vec_id", quantize8(F.col("embedding")).alias("xq"))
+            .filter(F.col("vec_id") == 0)
+            .first()
+        )
+        return None if row is None else [int(x) for x in row["xq"]]
+
+    return _PQ_QUERY_XQ.get_or_build(spark, sf_dir, build)
 
 
 def _bucketed(spark, sf_dir):
@@ -1468,11 +1508,7 @@ def embed_pq_codes(spark, sf_dir):
     vq = _emb(spark, sf_dir).select(
         "vec_id", quantize8(F.col("embedding")).alias("xq")
     )
-    seeds = [
-        (int(r["vec_id"]), [int(x) for x in r["xq"]])
-        for r in vq.filter(F.col("vec_id").between(1, PQ_K))
-        .filter(~F.exists("xq", lambda x: x.isNull())).collect()
-    ]
+    seeds = _pq_seed_vectors(spark, sf_dir)  # session state (r16)
     return pq_assign(vq, pq_codebooks(seeds)).select(
         "vec_id", "pq_code", "recon_err_q"
     )
@@ -1546,16 +1582,10 @@ def embed_pq_search(spark, sf_dir):
     vq = _emb(spark, sf_dir).select(
         "vec_id", quantize8(F.col("embedding")).alias("xq")
     )
-    seeds = [
-        (int(r["vec_id"]), [int(x) for x in r["xq"]])
-        for r in vq.filter(F.col("vec_id").between(1, PQ_K))
-        .filter(~F.exists("xq", lambda x: x.isNull())).collect()
-    ]
-    books = pq_codebooks(seeds)
-    qrow = vq.filter(F.col("vec_id") == 0).first()
-    if qrow is None:
+    books = pq_codebooks(_pq_seed_vectors(spark, sf_dir))  # session state
+    query_xq = _pq_query_vector(spark, sf_dir)
+    if query_xq is None:
         raise ValueError(f"query vector vec_id=0 not found in {sf_dir}")
-    query_xq = [int(x) for x in qrow["xq"]]
     return pq_adc_topk(pq_assign(vq, books), pq_adc_lut(query_xq, books))
 
 
@@ -1634,13 +1664,10 @@ def embed_ivfpq_search(spark, sf_dir):
     vals = _query_vec_literal(spark, sf_dir)
     qcell = ivf_cell_py(vals, _centroids(spark, sf_dir))
     vq = ivf.select("vec_id", "cell", quantize8(F.col("embedding")).alias("xq"))
-    seeds = [
-        (int(r["vec_id"]), [int(x) for x in r["xq"]])
-        for r in vq.filter(F.col("vec_id").between(1, PQ_K))
-        .filter(~F.exists("xq", lambda x: x.isNull())).collect()
-    ]
-    books = pq_codebooks(seeds)
-    query_xq = [int(x) for x in vq.filter(F.col("vec_id") == 0).first()["xq"]]
+    books = pq_codebooks(_pq_seed_vectors(spark, sf_dir))  # session state
+    query_xq = _pq_query_vector(spark, sf_dir)
+    if query_xq is None:
+        raise ValueError(f"query vector vec_id=0 not found in {sf_dir}")
     pruned = vq.filter(F.col("cell") == F.lit(qcell))
     return pq_adc_topk(pq_assign(pruned, books), pq_adc_lut(query_xq, books))
 

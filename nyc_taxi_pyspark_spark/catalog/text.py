@@ -196,6 +196,14 @@ def _near_dup_oracle() -> str:
 
 
 _PAIR_CACHE = SessionLayoutCache()
+# corpus row count: a driver-side metadata scalar two queries (TF-ICF's N,
+# incremental dedup's split point) re-counted per call (r16, guide §5) —
+# at 100 TB this is catalog metadata, not a job
+_N_DOCS = SessionScalarCache()
+
+
+def _n_docs(spark, sf_dir) -> int:
+    return _N_DOCS.get_or_build(spark, sf_dir, _docs(spark, sf_dir).count)
 
 
 def _near_dup_pairs_cached(spark, sf_dir):
@@ -786,7 +794,7 @@ def text_tficf_topk(spark, sf_dir):
     back; N is a driver-side metadata count inlined as a literal (same
     parameter discipline as the similarity query vector)."""
     d = _docs(spark, sf_dir)
-    n_docs = d.count()
+    n_docs = _n_docs(spark, sf_dir)  # session metadata scalar (r16)
     toks = d.select(
         "doc_id", F.explode(tokens()).alias("token"), F.size(tokens()).alias("doc_len")
     )
@@ -1617,7 +1625,7 @@ def corpus_incremental_dedup(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir)
-    split = d.count() // 2
+    split = _n_docs(spark, sf_dir) // 2  # session metadata scalar (r16)
     inc = d.filter(F.col("doc_id") >= split)
     fps = _fp_layout(spark, sf_dir)
     exact = (
