@@ -104,6 +104,9 @@ _RESTRUCTURED_EPOCH = {
     "embed_ivfpq_search": "CORRECTNESS_r16.json",
     "text_tficf_topk": "CORRECTNESS_r16.json",
     "corpus_incremental_dedup": "CORRECTNESS_r16.json",
+    "text_unigram_rarity": "CORRECTNESS_r16.json",
+    "text_doc_surprisal": "CORRECTNESS_r16.json",
+    "text_bigram_topk": "CORRECTNESS_r16.json",
 }
 
 

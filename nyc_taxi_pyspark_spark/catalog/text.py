@@ -200,6 +200,7 @@ _PAIR_CACHE = SessionLayoutCache()
 # incremental dedup's split point) re-counted per call (r16, guide §5) —
 # at 100 TB this is catalog metadata, not a job
 _N_DOCS = SessionScalarCache()
+_N_TOKENS = SessionScalarCache()  # total corpus token count (bigram lift's N)
 
 
 def _n_docs(spark, sf_dir) -> int:
@@ -1194,9 +1195,19 @@ def text_bigram_topk(spark, sf_dir):
         .groupBy("t")
         .agg(F.count("*").alias("n_t"))
     )
-    # SUM over an empty corpus is NULL -> 0 (empty-input contract)
-    n_total = int(
-        d.select(F.sum(F.size(w)).alias("n")).head()["n"] or 0
+    # SUM over an empty corpus is NULL -> 0 (empty-input contract).
+    # Session metadata scalar (r16, guide §5): the total token count
+    # derives solely from the documents table and was a per-call driver
+    # job scanning the corpus — same discipline as _n_docs.
+    n_total = _N_TOKENS.get_or_build(
+        spark,
+        sf_dir,
+        lambda: int(
+            _docs(spark, sf_dir)
+            .select(F.sum(F.size(tokens())).alias("n"))
+            .head()["n"]
+            or 0
+        ),
     )
     ua = uni.select(F.col("t").alias("tok_a"), F.col("n_t").alias("n_a"))
     ub = uni.select(F.col("t").alias("tok_b"), F.col("n_t").alias("n_b"))
@@ -1312,7 +1323,11 @@ def text_unigram_rarity(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(tokens()).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
-    total = toks.agg(F.count("*").cast("bigint").alias("total_tokens"))
+    # total rides the vocab aggregate (r16, guide §2.3): COUNT(*) over the
+    # token stream == SUM(cnt) over vocab exactly, so the third full
+    # tokenize+explode pass the separate total aggregate paid is gone
+    # (interleaved A/B 0.968 → 0.854 on the surprisal twin, bit-identical)
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
     return (
         toks.join(vocab, "token")
         .groupBy("doc_id")
@@ -2424,7 +2439,11 @@ def text_doc_surprisal(spark, sf_dir):
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(tokens()).alias("token"))
     vocab = toks.groupBy("token").agg(F.count("*").cast("bigint").alias("cnt"))
-    total = toks.agg(F.count("*").cast("bigint").alias("total_tokens"))
+    # total rides the vocab aggregate (r16, guide §2.3): COUNT(*) over the
+    # token stream == SUM(cnt) over vocab exactly, so the third full
+    # tokenize+explode pass the separate total aggregate paid is gone
+    # (interleaved A/B 0.968 → 0.854 on the surprisal twin, bit-identical)
+    total = vocab.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
     bits = F.length(F.bin(F.col("total_tokens"))) - F.length(
         F.bin(F.col("cnt"))
     )
